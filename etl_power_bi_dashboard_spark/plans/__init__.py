@@ -1,0 +1,23 @@
+"""Query registry: name → (spark plan builder, DuckDB oracle SQL)."""
+
+from __future__ import annotations
+
+from .base import Query
+from . import core
+
+_MODULES = [core]
+
+
+def all_queries() -> dict[str, Query]:
+    out: dict[str, Query] = {}
+    for mod in _MODULES:
+        for q in mod.QUERIES:
+            if q.name in out:
+                raise ValueError(f"duplicate query name: {q.name}")
+            out[q.name] = q
+    return out
+
+
+REGISTRY: dict[str, Query] = all_queries()
+
+__all__ = ["Query", "REGISTRY", "all_queries"]

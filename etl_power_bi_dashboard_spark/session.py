@@ -1,0 +1,44 @@
+"""SparkSession factory.
+
+The reference engine (pandas, `src/etl_functions.py:562-585` in the
+reference repo) is eager and single-node; here the equivalent "runtime" is a
+SparkSession tuned for correctness parity and for scale:
+
+- AQE on (runtime partition coalescing, skew-join splitting) so the same
+  plans survive a 100× scale-up without retuning,
+- ANSI mode OFF so casts/parses return NULL on failure like
+  `pd.to_datetime(errors='coerce')` (plans additionally use try_* functions
+  so they stay correct even under an ANSI-on session provided by a driver),
+- UTC session timezone so date_id surrogate keys and window buckets are
+  deterministic across environments,
+- shuffle partitions sized for the local test harness; at cluster scale AQE
+  coalesces or splits as needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl-power-bi-dashboard-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

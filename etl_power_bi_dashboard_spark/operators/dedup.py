@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Spark-first design for 100 TB:
+
+- **exact**: hash groupBy on the dedup key (one shuffle, map-side partial
+  aggregation; at scale, pre-partition or bucket by the key).
+- **n-gram Jaccard**: shingle → explode → self-equi-join on shingle →
+  count — the join is the only shuffle and runs on (shingle, doc) pairs,
+  never materializing the O(n²) pair space for non-overlapping docs.
+- **MinHash+LSH**: per-doc signatures are a single groupBy over exploded
+  (hash_i, shingle) rows; banding turns near-dup search into an equi-join
+  on (band_no, band_signature), so candidate generation is linear-ish in
+  the number of colliding docs — the textbook LSH shuffle pattern.
+- **SimHash**: per-token 32-bit hashes aggregated into a per-doc
+  fingerprint with conditional sums — one shuffle, no UDFs.
+
+Hash functions are md5-based (content-deterministic, engine-portable) so
+results are reproducible across Spark and the DuckDB oracle — xxhash64
+would be faster but is not portable for differential testing; swap via the
+``token_hash`` helper when oracle parity is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_shingles
+
+
+def token_hash32(c: Column) -> Column:
+    """Portable 32-bit integer hash: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup keeping the minimum id per key group (deterministic
+    representative, unlike dropDuplicates' arbitrary first row)."""
+    return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
+    )
+
+
+def jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
+
+    Self-equi-join on the shingle — only docs sharing ≥1 shingle ever meet.
+    """
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(shingled: DataFrame, k: int = 12) -> DataFrame:
+    """k-permutation MinHash: signature_i = min over shingles of
+    md5(i || '|' || shingle) (lexicographic min on hex strings — portable
+    and order-free). Returns (doc_id, sig: array<string> length k)."""
+    hashed = shingled.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        F.col("shingle"),
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle"))).alias(
+            "h"
+        ),
+    )
+    per_i = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    return per_i.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("i", "mh")))
+        .getField("mh")
+        .alias("sig")
+    )
+
+
+def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
+    """(doc_id, band_no, band_sig): concat of each band's signature rows."""
+    return signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                # band starts: 0, r, 2r, ... — slice is 1-indexed
+                F.sequence(
+                    F.lit(0),
+                    (F.size("sig") / rows_per_band).cast("int") - 1,
+                ),
+                lambda b: F.array_join(
+                    F.slice("sig", (b * rows_per_band + 1).cast("int"), rows_per_band),
+                    "",
+                ),
+            )
+        ).alias("band_no", "band_sig"),
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct pairs (a < b) sharing at least one band signature."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 1,
+    k: int = 12,
+    rows_per_band: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → MinHash → LSH bands → candidate
+    pairs → exact Jaccard verification ≥ threshold."""
+    shingled = shingle_table(df, text_col, n=n)
+    candidates = lsh_candidate_pairs(lsh_bands(minhash_signatures(shingled, k), rows_per_band))
+    verified = jaccard_pairs(shingled, threshold)
+    return candidates.join(verified, ["doc_a", "doc_b"], "inner")
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash over distinct tokens: bit j of the fingerprint
+    is the sign of Σ_tokens (2·bit_j(h(token)) − 1)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).select("doc_id", token_hash32(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash fingerprints.
+
+    Uses 4-way band blocking (each 8-bit byte of the fingerprint as a
+    blocking key) so candidates with ≤ max_hamming differing bits are found
+    without an O(n²) cross join when max_hamming < 8·(bands−1)… for the
+    32-bit/4-band configuration any pair within Hamming 6 shares at least
+    one exact byte, by pigeonhole (6 < 4 bands ⇒ ≥1 band untouched
+    only when distance < 4; with distance ≤ 6 up to 3 bands may differ,
+    leaving ≥1 identical band) — the classic SimHash blocking scheme.
+    """
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_no"),
+                        F.shiftright(F.col("simhash"), 8 * i)
+                        .bitwiseAND(0xFF)
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_no", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: images/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas iterators
+(``mapInPandas``) — the Spark-native pattern for media pipelines.
+
+The decode step itself is STUBBED (``decode_image`` raises
+``NotImplementedError`` unless given the deterministic fake codec): the
+container has no image/audio libraries. Everything Spark-side — schema,
+batch iteration, partitioning, UDF signatures — is real and tested, so
+swapping a real decoder in is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StructType([])),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("first_byte", IntegerType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def decode_image(payload: bytes, codec: str = "real") -> bytes:
+    """Decode an image payload to raw pixels.
+
+    STUB: real decoding needs an image library not present in this
+    container. ``codec='fake'`` returns the payload unchanged (a
+    deterministic stand-in used by tests); anything else raises.
+    """
+    if codec == "fake":
+        return payload
+    raise NotImplementedError(
+        "image decoding requires an imaging library; install one and replace "
+        "this stub (the Spark-side plumbing in extract_features is complete)"
+    )
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary payload column (here: utf-8 bytes of the text,
+    standing in for image/audio bytes) plus typed metadata."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.octet_length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("byte_len"),
+        F.lit("application/octet-stream").alias("media_type"),
+    )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` so each task processes whole Arrow batches (not rows);
+    the stub features (length / first byte / additive checksum) stand in
+    for decode-resize-embed. Deterministic, so oracle-checkable.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int32"),
+                    "checksum": payloads.map(lambda b: int(sum(b)) % 1_000_000_007).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(compute, FEATURE_SCHEMA)

@@ -1,0 +1,158 @@
+"""Embedding similarity search: brute-force cosine top-k and an IVF
+(inverted-file) approximate variant.
+
+Spark-first design for scale:
+
+- vectors stay as ``array<double>`` columns; dot products / norms are
+  higher-order ``aggregate``/``zip_with`` expressions — JVM-side, no
+  Python, no UDFs;
+- brute force is a broadcast nested-loop of the (small) query set against
+  the (huge) corpus followed by a per-query top-k window — the exact
+  baseline;
+- IVF: corpus is assigned once to its nearest centroid (a broadcast of the
+  centroid table), bucketed by ``cluster_id``; a query probes only its
+  ``n_probe`` nearest clusters, so the scan touches ~n_probe/n_clusters of
+  the corpus. At 100 TB the assignment table is written partitioned by
+  ``cluster_id`` so probing is partition pruning, not a filter scan.
+
+Similarities are rounded to 6 decimals *before* ranking with a
+deterministic id tie-break, so rankings are reproducible across engines
+(float-sum association differs between engines in the last bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast queries × corpus, per-query window.
+
+    Returns (query_id, vec_id, cosine, rank). Excludes self-matches.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return scored.select(
+        "query_id", "vec_id", "cosine", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment: nearest centroid per vector (rounded L2², centroid-id
+    tie-break → deterministic)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    cen = centroids.select(
+        F.col("centroid_id"), as_double(F.col(vec_col)).alias("zv")
+    )
+    scored = c.crossJoin(F.broadcast(cen)).select(
+        "vec_id",
+        "cv",
+        "centroid_id",
+        F.round(sq_dist(F.col("cv"), F.col("zv")), 6).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    return (
+        scored.select("vec_id", "cv", "centroid_id", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cv", F.col("centroid_id").alias("cluster_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the n_probe nearest clusters per query,
+    rank candidates within them by cosine."""
+    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    cen = centroids.select("centroid_id", as_double(F.col(vec_col)).alias("zv"))
+    probe_w = Window.partitionBy("query_id").orderBy("d2", "centroid_id")
+    probes = (
+        q.crossJoin(F.broadcast(cen))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            F.round(sq_dist(F.col("qv"), F.col("zv")), 6).alias("d2"),
+        )
+        .select(
+            "query_id", "qv", "centroid_id", F.row_number().over(probe_w).alias("pr")
+        )
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", F.col("centroid_id").alias("cluster_id"))
+    )
+    cand = probes.join(assigned, "cluster_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        cand.select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+        .select("query_id", "vec_id", "cosine", F.row_number().over(rank_w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

@@ -795,15 +795,24 @@ SELECT c_custkey FROM customer WHERE c_acctbal > 7500
 
 
 def q_q1_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1 FK containment as a left-anti join: customers with no orders."""
+    """Q1 FK containment as a left-anti join: customers with no urgent
+    orders (the restriction keeps the result non-empty at every SF, so the
+    oracle check is non-trivial; the unrestricted FK audit lives in
+    operators/quality.py and is asserted empty in tests)."""
     cust = load(spark, sf_dir, "customer").select("c_custkey")
-    orders = load(spark, sf_dir, "orders").select("o_custkey")
-    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return cust.join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti")
 
 
 SQL_Q1 = """
 SELECT c_custkey FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """
 
 

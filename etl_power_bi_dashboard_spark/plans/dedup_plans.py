@@ -1,0 +1,147 @@
+"""Deduplication plans: exact, n-gram Jaccard, MinHash+LSH, SimHash
+(SURVEY §7.4). The corpus here has no planted near-duplicates (verified:
+max bigram Jaccard ≈ 0.12), so thresholds are calibrated per family to keep
+results non-empty while exercising the full pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from .base import Query, load
+
+
+def q_d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on full text (hash groupBy, min-id representative)."""
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"), ["text"])
+
+
+SQL_D1 = "SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text"
+
+
+def q_d1b_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level dedup with real collisions: md5 of the 2-token prefix."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(F.split("text", " "), 1, 2), " ")).alias("prefix_key"),
+    )
+    return keyed.groupBy("prefix_key").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("group_size")
+    )
+
+
+SQL_D1B = """
+SELECT md5(array_to_string(array_slice(string_split(text, ' '), 1, 2), ' '))
+           AS prefix_key,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       COUNT(*) AS group_size
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise word-bigram Jaccard ≥ 0.05 within a bounded id range
+    (shingle-join, no O(n²) cross join)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return dedup.jaccard_pairs(dedup.shingle_table(docs, n=2), 0.05)
+
+
+SQL_D2 = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+               i -> array_to_string(
+                   array_slice(string_split(text, ' '), i, i + 1), ' '))) AS sg
+    FROM documents WHERE doc_id < 120
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.sg, b.sg))
+           / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sg, b.sg))
+          / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.05
+"""
+
+
+def q_d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=12) + LSH(4 bands × 3 rows) candidate pairs, verified at
+    unigram Jaccard ≥ 0.7 (unigram space is dense in this corpus, so LSH
+    genuinely fires)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dedup.minhash_lsh_dedup_pairs(
+        docs, n=1, k=12, rows_per_band=3, threshold=0.7
+    )
+
+
+SQL_D3 = """
+WITH toks AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+    FROM documents WHERE doc_id < 150
+),
+sigs AS (
+    SELECT doc_id, ts,
+           list_transform(range(0, 12),
+               i -> list_min(list_transform(ts,
+                    t -> md5(CAST(i AS VARCHAR) || '|' || t)))) AS sig
+    FROM toks
+),
+bands AS (
+    SELECT doc_id, b.band_no,
+           sig[3 * b.band_no + 1] || sig[3 * b.band_no + 2]
+               || sig[3 * b.band_no + 3] AS band_sig
+    FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_no) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+),
+jac AS (
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(ta.ts, tb.ts))
+               / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)))
+               AS jaccard
+    FROM cand c
+    JOIN toks ta ON ta.doc_id = c.doc_a
+    JOIN toks tb ON tb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7
+"""
+
+
+def q_d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (near-pair search via byte-band blocking
+    is exercised in tests/test_dedup.py — not SQL-oracled)."""
+    return dedup.simhash_fingerprints(load(spark, sf_dir, "documents"))
+
+
+def _sql_d4() -> str:
+    bit_terms = " + ".join(
+        "CASE WHEN list_sum(list_transform(hs, "
+        f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(32)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_transform(list_distinct(string_split(text, ' ')),
+               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+    FROM documents
+)
+SELECT doc_id, {bit_terms} AS simhash FROM toks
+"""
+
+
+QUERIES: list[Query] = [
+    Query("d1_dedup_exact", q_d1_dedup_exact, SQL_D1, "exact dedup"),
+    Query("d1b_dedup_prefix", q_d1b_dedup_prefix, SQL_D1B, "key dedup with collisions"),
+    Query("d2_ngram_jaccard", q_d2_ngram_jaccard, SQL_D2, "n-gram Jaccard pairs"),
+    Query("d3_minhash_lsh", q_d3_minhash_lsh, SQL_D3, "MinHash+LSH near-dup"),
+    Query("d4_simhash", q_d4_simhash, _sql_d4(), "SimHash fingerprints"),
+]

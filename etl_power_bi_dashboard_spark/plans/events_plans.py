@@ -1,0 +1,137 @@
+"""Event-time windowed aggregation plans over the `events` table — the
+batch twins of the Structured Streaming surface in ``streaming/events.py``
+(same logical semantics; ``readStream`` + watermark swaps in for the batch
+scan).
+
+Scale notes: all three shapes are single-shuffle groupBys on
+(window, key); Spark's `window`/`session_window` are native Catalyst
+operators (no UDFs). Session windows at 100 TB shuffle by user_id — the
+natural partitioning key for clickstream data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import Query, load_events
+
+
+def _value_dec() -> F.Column:
+    return F.col("value").cast("decimal(18,2)")
+
+
+def q_e1_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows × event_type: count + exact sum."""
+    ev = load_events(spark, sf_dir)
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_value_dec()).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_E1 = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_e2_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour long, every 30 minutes (each event lands in 2)."""
+    ev = load_events(spark, sf_dir)
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_value_dec()).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+# each event belongs to windows starting at its 30-min bucket and 30 min
+# earlier (window length 1h, slide 30m, epoch-aligned like Spark)
+SQL_E2 = """
+WITH exploded AS (
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+    FROM events
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM exploded
+GROUP BY 1
+"""
+
+
+def q_e3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 1-hour inactivity gap.
+
+    Spark's native ``session_window`` (window end = last event + gap). The
+    oracle reproduces it with gaps-and-islands SQL.
+    """
+    ev = load_events(spark, sf_dir)
+    sw = F.session_window("ts", "1 hour")
+    return (
+        ev.groupBy(sw.alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_value_dec()).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_E3 = """
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL '1 hour'
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '1 hour' AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, session_no
+"""
+
+
+QUERIES: list[Query] = [
+    Query("e1_tumbling_hourly", q_e1_tumbling_hourly, SQL_E1, "tumbling window agg"),
+    Query("e2_sliding_windows", q_e2_sliding_windows, SQL_E2, "sliding window agg"),
+    Query("e3_session_windows", q_e3_session_windows, SQL_E3, "session window agg"),
+]

@@ -1,0 +1,99 @@
+"""Similarity-search plans over the `embeddings` table (SURVEY §7.4):
+brute-force cosine top-k (exact baseline) and IVF approximate search
+(the scale path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from .base import Query, load
+
+_DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+_NORM = "sqrt(list_sum(list_transform({a}, v -> v * v)))"
+_COS = f"round(({_DOT}) / (({_NORM.format(a='{a}')}) * ({_NORM.format(a='{b}')})), 6)"
+_SQDIST = "round(list_sum(list_transform(list_zip({a}, {b}), x -> (x[1] - x[2]) * (x[1] - x[2]))), 6)"
+
+
+def q_v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 10)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+SQL_V1 = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, vec_id,
+           {_COS.format(a="qv", b="cv")} AS cosine
+    FROM q, c WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id, cosine,
+       CAST(rnk AS INT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rnk
+    FROM scored
+) WHERE rnk <= 5
+"""
+
+
+def q_v2_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: centroids := vectors with vec_id % 50 = 0,
+    assign corpus to nearest centroid, probe 2 clusters per query."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, centroids, queries, k=3, n_probe=2)
+
+
+SQL_V2 = f"""
+WITH cen AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS zv
+             FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5),
+assigned AS (
+    SELECT vec_id, cv, centroid_id AS cluster_id FROM (
+        SELECT c.vec_id, c.cv, cen.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_SQDIST.format(a="cv", b="zv")}, cen.centroid_id
+               ) AS r
+        FROM c, cen
+    ) WHERE r = 1
+),
+probes AS (
+    SELECT query_id, qv, centroid_id AS cluster_id FROM (
+        SELECT q.query_id, q.qv, cen.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_SQDIST.format(a="qv", b="zv")}, cen.centroid_id
+               ) AS pr
+        FROM q, cen
+    ) WHERE pr <= 2
+),
+cand AS (
+    SELECT p.query_id, a.vec_id,
+           {_COS.format(a="p.qv", b="a.cv")} AS cosine
+    FROM probes p JOIN assigned a ON p.cluster_id = a.cluster_id
+    WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rnk
+    FROM cand
+) WHERE rnk <= 3
+"""
+
+
+QUERIES: list[Query] = [
+    Query("v1_cosine_topk", q_v1_cosine_topk, SQL_V1, "brute-force cosine top-k"),
+    Query("v2_ann_ivf", q_v2_ann_ivf, SQL_V2, "IVF approximate top-k"),
+]

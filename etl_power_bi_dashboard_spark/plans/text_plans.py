@@ -1,0 +1,121 @@
+"""Text-analysis + multimodal plans over the `documents` table
+(SURVEY §7.4 training-data-pipeline extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal, text
+from .base import Query, load
+
+_STOP_SQL = "('the', 'a', 'and', 'of', 'to', 'in', 'is')"
+_SR_SQL = (
+    "len(list_filter(string_split(text, ' '), x -> x IN "
+    + _STOP_SQL
+    + ")) / len(string_split(text, ' '))"
+)
+_ATL_SQL = (
+    "CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))"
+)
+
+
+def q_x1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+
+
+SQL_X1 = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents
+"""
+
+
+def q_x2_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        text.token_count(t).alias("n_tokens"),
+        text.avg_token_len(t).alias("avg_token_len"),
+        text.stopword_ratio(t).alias("stopword_ratio"),
+        text.quality_score(t).alias("quality_score"),
+    )
+
+
+SQL_X2 = f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       {_ATL_SQL} AS avg_token_len,
+       {_SR_SQL} AS stopword_ratio,
+       0.5 * ({_SR_SQL})
+         + 0.3 * least(len(string_split(text, ' ')) / 40.0, 1.0)
+         + 0.2 * least(({_ATL_SQL}) / 6.0, 1.0) AS quality_score
+FROM documents
+"""
+
+
+def q_x3_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", text.lang_guess(F.col("text")).alias("lang_guess")
+    )
+
+
+SQL_X3 = f"""
+SELECT doc_id, lang,
+       CASE WHEN {_SR_SQL} > 0.05 THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM documents
+"""
+
+
+def q_x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.fingerprint_md5(t).alias("md5_fp"),
+        text.shingle_fingerprint(t, 5).alias("shingle_fp"),
+    )
+
+
+SQL_X4 = """
+WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)
+SELECT doc_id,
+       md5(text) AS md5_fp,
+       list_min(list_transform(
+           list_transform(range(1, greatest(len(ts) - 4, 1) + 1),
+                          i -> array_to_string(array_slice(ts, i, i + 4), ' ')),
+           s -> md5(s))) AS shingle_fp
+FROM toks
+"""
+
+
+def q_m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: attach opaque bytes, extract features via an
+    Arrow-batched ``mapInPandas`` pass (the one deliberate Python hop —
+    this is the slot where a real image/audio decoder goes)."""
+    docs = load(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.with_binary_payload(docs))
+
+
+# text is pure ASCII (verified), so byte values == codepoints
+SQL_M1 = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(ascii(text[1]) AS INT) AS first_byte,
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                    i -> ord(text[i]))) % 1000000007 AS BIGINT)
+           AS checksum
+FROM documents
+"""
+
+
+QUERIES: list[Query] = [
+    Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
+    Query("x2_quality", q_x2_quality, SQL_X2, "quality scoring"),
+    Query("x3_lang_guess", q_x3_lang_guess, SQL_X3, "language-ID heuristic"),
+    Query("x4_fingerprint", q_x4_fingerprint, SQL_X4, "document fingerprinting"),
+    Query("m1_multimodal_features", q_m1_multimodal_features, SQL_M1, "binary payload features (mapInPandas)"),
+]

@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the no-op sink (full computation, no driver
+collect). The headline set spans the engine's surface: scans+joins+aggs,
+top-k, windows, event windows, dedup (MinHash-LSH), similarity search,
+text profiling, and the multimodal pandas hop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_power_bi_dashboard_spark.plans import REGISTRY
+from etl_power_bi_dashboard_spark.session import get_spark
+
+HEADLINE = [
+    "a1_sales_by_date",
+    "a2_sales_by_month",
+    "a3_sales_by_category",
+    "a4_sales_by_state",
+    "dax_measures",
+    "t1_topk",
+    "w2_running_total",
+    "e1_tumbling_hourly",
+    "e3_session_windows",
+    "d3_minhash_lsh",
+    "v1_cosine_topk",
+    "x2_quality",
+    "m1_multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Untimed warmup: spin up the Python worker pool (first mapInPandas
+    # costs ~20s of process forking on local[32]) and prime parquet
+    # footers/codegen, so timings measure the engine, not process bootstrap.
+    REGISTRY["m1_multimodal_features"].spark(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    REGISTRY["dax_measures"].spark(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Sinks (reference S4-S6, `src/etl_functions.py:396-439`): dual CSV +
+Parquet export of the star schema, plus the BI-integration contract doc.
+
+Parquet is the scale path (columnar, predicate-pushdown-friendly; at
+100 TB you'd partition fact_sales by date_id and skip CSV entirely —
+`partition_fact=True` does exactly that). CSV export mirrors the
+reference's BI-import convenience; ``single_file=True`` coalesces to one
+part-file per table like pandas' single-file output (only sensible for
+dimension-sized tables).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def _write_csv(df: DataFrame, path: str, single_file: bool) -> None:
+    w = (df.coalesce(1) if single_file else df).write.mode("overwrite")
+    w.option("header", True).csv(path)
+
+
+def _write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def export_star(
+    dims: dict[str, DataFrame],
+    fact: DataFrame,
+    aggs: dict[str, DataFrame],
+    output_path: str,
+    single_file_csv: bool = True,
+    partition_fact: bool = False,
+) -> list[str]:
+    """S4+S5: write every table as both CSV and Parquet under
+    ``output_path`` (dim_*/fact_sales/agg_* naming, ef:421-432).
+    Returns the list of table names written."""
+    written: list[str] = []
+    tables: dict[str, DataFrame] = {}
+    for name, df in dims.items():
+        tables[f"dim_{name}"] = df
+    if fact is not None:
+        tables["fact_sales"] = fact
+    for name, df in aggs.items():
+        tables[f"agg_{name}"] = df
+    for name, df in tables.items():
+        _write_csv(df, os.path.join(output_path, f"{name}_csv"), single_file_csv)
+        _write_parquet(
+            df,
+            os.path.join(output_path, f"{name}_parquet"),
+            ["date_id"] if (partition_fact and name == "fact_sales") else None,
+        )
+        written.append(name)
+    return written
+
+
+BI_CONTRACT = """# BI integration contract
+
+Star schema exported by etl_power_bi_dashboard_spark (Parquet recommended).
+
+## Tables
+fact_sales, dim_customer, dim_product, dim_seller, dim_date, dim_order,
+dim_review, plus agg_* rollups.
+
+## Relationships
+- fact_sales.customer_id -> dim_customer.id
+- fact_sales.product_id  -> dim_product.id
+- fact_sales.seller_id   -> dim_seller.id
+- fact_sales.date_id     -> dim_date.id
+- fact_sales.order_id    -> dim_order.id
+
+## Measures (answerable natively via spark.sql on the exported views)
+- total_sales        = SUM(fact_sales.price)
+- total_freight      = SUM(fact_sales.freight_value)
+- order_count        = COUNT(DISTINCT fact_sales.order_id)
+- avg_ticket         = total_sales / order_count
+- freight_percentage = total_freight / total_sales * 100
+
+Slice by dim_date (year/quarter/month), product category, customer state,
+or price band. (Reference behavior: src/etl_functions.py:442-559.)
+"""
+
+
+def write_bi_contract(output_path: str) -> str:
+    """S6 + instructions generator (ef:442-559), reduced to the schema /
+    relationship / measure contract our engine actually answers."""
+    os.makedirs(output_path, exist_ok=True)
+    path = os.path.join(output_path, "bi_integration.md")
+    with open(path, "w") as f:
+        f.write(BI_CONTRACT)
+    return path

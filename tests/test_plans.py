@@ -1,0 +1,84 @@
+"""Physical-plan assertions (the 100 TB posture, checkable at any scale):
+filters and projections reach the parquet scan, dimension joins broadcast,
+top-k plans as TakeOrderedAndProject, and no core plan ever drops into a
+Python evaluator (the multimodal pandas hop is the one deliberate
+exception)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = REGISTRY[name].spark(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown(spark):
+    plan = plan_of(spark, "p2_filter_eq")
+    assert "PushedFilters" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_projection_pruning(spark):
+    plan = plan_of(spark, "p1_projection")
+    # ReadSchema carries only the three projected columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderkey" in read and "o_orderdate" in read
+    assert "o_totalprice" not in read and "o_orderpriority" not in read
+
+
+def test_dim_join_broadcasts(spark):
+    for name in ["a3_sales_by_category", "a4_sales_by_state", "t1_topk"]:
+        assert "BroadcastHashJoin" in plan_of(spark, name), name
+
+
+def test_topk_plans_as_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "t1_topk")
+
+
+def test_partial_aggregation_present(spark):
+    # partial (map-side) + final hash aggregate around the exchange
+    plan = plan_of(spark, "a1_sales_by_date")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_whole_stage_codegen(spark):
+    import contextlib
+    import io
+
+    # AQE finalizes the physical plan only on execution; the codegen spans
+    # are visible in the post-execution explain.
+    df = REGISTRY["a2_sales_by_month"].spark(spark, SF_DIR)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # '*'-prefixed operators are inside WholeStageCodegen spans
+    assert "isFinalPlan=true" in plan
+    assert "* HashAggregate" in plan and "* BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in REGISTRY if n != "m1_multimodal_features")
+)
+def test_no_python_in_core_plans(spark, name):
+    plan = plan_of(spark, name)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"{name} drops into Python: {marker}"
+
+
+def test_multimodal_uses_arrow_batches(spark):
+    assert "MapInPandas" in plan_of(spark, "m1_multimodal_features")

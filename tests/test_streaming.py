@@ -1,0 +1,66 @@
+"""Structured Streaming tests: the streaming window aggregations must
+agree with their batch twins on the same data (stream/batch unification is
+the whole point of the design)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_power_bi_dashboard_spark.plans.base import load_events
+from etl_power_bi_dashboard_spark.streaming import events as se
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Re-write events with µs timestamps (the raw files are TIMESTAMP
+    NANOS, unreadable by a plain streaming scan) split into several files
+    so the stream sees multiple input splits."""
+    d = str(tmp_path_factory.mktemp("events_us"))
+    load_events(spark, SF_DIR).repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _drain(q):
+    q.awaitTermination(120)
+    q.stop()
+
+
+def test_tumbling_stream_matches_batch(spark, event_dir):
+    stream = se.tumbling_counts(se.read_event_stream(spark, event_dir))
+    _drain(se.run_to_memory(stream, "t_tumbling"))
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.table("t_tumbling").collect()
+    }
+    batch = (
+        load_events(spark, SF_DIR)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): (r.n, round(r.tv, 6)) for r in batch}
+    assert got == want
+
+
+def test_session_stream_matches_batch(spark, event_dir):
+    stream = se.session_counts(se.read_event_stream(spark, event_dir))
+    _drain(se.run_to_memory(stream, "t_sessions"))
+    got = spark.table("t_sessions")
+    batch = (
+        load_events(spark, SF_DIR)
+        .groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert got.count() == batch.count()
+    assert got.agg(F.sum("n_events")).first()[0] == load_events(spark, SF_DIR).count()
+
+
+def test_sliding_stream_runs(spark, event_dir):
+    stream = se.sliding_counts(se.read_event_stream(spark, event_dir))
+    _drain(se.run_to_memory(stream, "t_sliding"))
+    rows = spark.table("t_sliding")
+    # every event lands in exactly 2 sliding windows
+    assert rows.agg(F.sum("n_events")).first()[0] == 2 * load_events(spark, SF_DIR).count()

@@ -185,16 +185,14 @@ def simhash_fingerprints(
     return agg.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_pairs(fps: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance on SimHash fingerprints.
 
-    Uses 4-way band blocking (each 8-bit byte of the fingerprint as a
-    blocking key) so candidates with ≤ max_hamming differing bits are found
-    without an O(n²) cross join when max_hamming < 8·(bands−1)… for the
-    32-bit/4-band configuration any pair within Hamming 6 shares at least
-    one exact byte, by pigeonhole (6 < 4 bands ⇒ ≥1 band untouched
-    only when distance < 4; with distance ≤ 6 up to 3 bands may differ,
-    leaving ≥1 identical band) — the classic SimHash blocking scheme.
+    4-way byte-band blocking: a pair within Hamming distance d shares at
+    least one untouched byte whenever d ≤ bands − 1 (pigeonhole), so
+    recall is exact for max_hamming ≤ 3; larger thresholds would need more
+    bands (e.g. 8 nibble bands for d ≤ 7). The blocked equi-join replaces
+    the O(n²) cross join — the classic SimHash dedup scheme.
     """
     bands = fps.select(
         "doc_id",

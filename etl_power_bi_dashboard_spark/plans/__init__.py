@@ -3,9 +3,25 @@
 from __future__ import annotations
 
 from .base import Query
-from . import core, dedup_plans, events_plans, similarity_plans, text_plans, windows
+from . import (
+    core,
+    dedup_plans,
+    events_plans,
+    groupings,
+    similarity_plans,
+    text_plans,
+    windows,
+)
 
-_MODULES = [core, windows, events_plans, text_plans, dedup_plans, similarity_plans]
+_MODULES = [
+    core,
+    windows,
+    groupings,
+    events_plans,
+    text_plans,
+    dedup_plans,
+    similarity_plans,
+]
 
 
 def all_queries() -> dict[str, Query]:

@@ -138,10 +138,29 @@ SELECT doc_id, {bit_terms} AS simhash FROM toks
 """
 
 
+def q_d4b_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) via byte-band blocking — exact
+    recall at this threshold (pigeonhole over 4 bands), verified against
+    the oracle's brute-force pair scan."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dedup.simhash_near_pairs(dedup.simhash_fingerprints(docs), max_hamming=3)
+
+
+def _sql_d4b() -> str:
+    return f"""
+WITH sh AS ({_sql_d4().replace("FROM documents", "FROM documents WHERE doc_id < 150", 1)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 QUERIES: list[Query] = [
     Query("d1_dedup_exact", q_d1_dedup_exact, SQL_D1, "exact dedup"),
     Query("d1b_dedup_prefix", q_d1b_dedup_prefix, SQL_D1B, "key dedup with collisions"),
     Query("d2_ngram_jaccard", q_d2_ngram_jaccard, SQL_D2, "n-gram Jaccard pairs"),
     Query("d3_minhash_lsh", q_d3_minhash_lsh, SQL_D3, "MinHash+LSH near-dup"),
     Query("d4_simhash", q_d4_simhash, _sql_d4(), "SimHash fingerprints"),
+    Query("d4b_simhash_pairs", q_d4b_simhash_pairs, _sql_d4b(), "SimHash Hamming pairs"),
 ]

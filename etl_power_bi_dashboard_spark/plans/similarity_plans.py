@@ -93,7 +93,40 @@ FROM (
 """
 
 
+def q_d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35; corpus max is
+    ~0.51, so this is the top ~0.1% of pairs). Exact pairwise scan here as
+    the oracle-checkable baseline; the bucketed scale path is the IVF
+    assignment in v2 (pairs within probed clusters only)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").cast("array<double>").alias("vb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    from ..operators.similarity import cosine
+
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+SQL_D5 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_COS.format(a="a.v", b="b.v")} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS.format(a="a.v", b="b.v")} >= 0.35
+"""
+
+
 QUERIES: list[Query] = [
     Query("v1_cosine_topk", q_v1_cosine_topk, SQL_V1, "brute-force cosine top-k"),
     Query("v2_ann_ivf", q_v2_ann_ivf, SQL_V2, "IVF approximate top-k"),
+    Query("d5_embedding_neardup", q_d5_embedding_neardup, SQL_D5, "embedding cosine near-dup"),
 ]

@@ -1,0 +1,72 @@
+"""Dedup-operator properties not covered by oracle parity: the blocked
+(sub-quadratic) paths must have exact recall vs brute force at their
+guaranteed thresholds."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from etl_power_bi_dashboard_spark.operators import dedup
+
+from .conftest import SF_DIR
+
+
+def _docs(spark, n=150):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(F.col("doc_id") < n)
+    )
+
+
+def test_simhash_blocking_recall_exact(spark):
+    """Byte-band blocking finds EVERY pair within Hamming ≤ 3 (pigeonhole:
+    3 diffs can touch at most 3 of 4 bands)."""
+    fps = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_fingerprints(_docs(spark)).collect()
+    }
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    blocked = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_near_pairs(
+            dedup.simhash_fingerprints(_docs(spark)), max_hamming=3
+        ).collect()
+    }
+    assert blocked == brute and len(brute) > 0
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark):
+    """Every verified pair surfaced by the full MinHash-LSH pipeline really
+    has Jaccard ≥ threshold, and the pipeline finds a non-trivial share of
+    the true ≥0.8 pairs (LSH is probabilistic; k=12, r=3 → ~99% at 0.8)."""
+    shingled = dedup.shingle_table(_docs(spark), n=1)
+    truth = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(shingled, 0.8).collect()
+    }
+    found = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_dedup_pairs(
+            _docs(spark), n=1, k=12, rows_per_band=3, threshold=0.8
+        ).collect()
+    }
+    assert all(j >= 0.8 for j in found.values())
+    assert len(truth) > 0
+    recall = len(set(found) & set(truth)) / len(truth)
+    assert recall >= 0.95, f"LSH recall too low: {recall}"
+
+
+def test_exact_dedup_representative_is_min(spark):
+    docs = _docs(spark)
+    deduped = dedup.exact_dedup(docs, ["lang"])
+    got = {r.lang: r.doc_id for r in deduped.collect()}
+    want = {
+        r.lang: r.m
+        for r in docs.groupBy("lang").agg(F.min("doc_id").alias("m")).collect()
+    }
+    assert got == want

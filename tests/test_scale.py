@@ -1,0 +1,80 @@
+"""Scale-toolkit tests: salted operators are result-equivalent to their
+plain counterparts, and bucketed joins really eliminate the exchange."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from etl_power_bi_dashboard_spark.operators import scale
+
+from .conftest import SF_DIR
+
+
+def _li(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+def test_salted_sum_equals_plain(spark):
+    plain = {
+        r.l_returnflag: round(r.s, 6)
+        for r in _li(spark)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: round(r.sum_l_quantity, 6)
+        for r in scale.salted_sum(_li(spark), "l_returnflag", "l_quantity").collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    plain = _li(spark).join(orders, "l_orderkey", "inner").count()
+    salted = scale.salted_join(_li(spark), orders, "l_orderkey").count()
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # uses the default spark-warehouse/ dir (gitignored); clear any stale
+    # state from prior interrupted runs (orphan dirs survive catalog loss)
+    import shutil
+
+    for t in ("b_lineitem", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    li = _li(spark).select("l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    scale.write_bucketed(li, "b_lineitem", "l_orderkey")
+    scale.write_bucketed(orders, "b_orders", "l_orderkey")
+    joined = scale.bucketed_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+
+    # at test scale the planner would broadcast instead (tables are tiny,
+    # which also disables bucketed scans) — force the at-scale strategy
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = scale.bucketed_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # and it's still correct
+    plain = _li(spark).select("l_orderkey", "l_quantity").join(orders, "l_orderkey").count()
+    assert joined.count() == plain
+
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")

@@ -1,0 +1,51 @@
+"""SQL entry point (SURVEY §3, entry point 3): the exported star schema as
+temp views so the BI-layer measures (§2.10) are answerable via
+``spark.sql`` — the reference delegates these to Power BI; here they're
+native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+MEASURES_SQL = """
+SELECT CAST(SUM(price) AS DOUBLE)                       AS total_sales,
+       CAST(SUM(freight_value) AS DOUBLE)               AS total_freight,
+       COUNT(DISTINCT order_id)                         AS order_count,
+       CAST(SUM(price) AS DOUBLE) / COUNT(DISTINCT order_id) AS avg_ticket,
+       CAST(SUM(freight_value) AS DOUBLE) / CAST(SUM(price) AS DOUBLE) * 100
+           AS freight_percentage
+FROM fact_sales
+"""
+
+MEASURES_BY_PERIOD_SQL = """
+SELECT d.year, d.quarter,
+       CAST(SUM(f.price) AS DOUBLE) AS total_sales,
+       COUNT(DISTINCT f.order_id)   AS order_count
+FROM fact_sales f JOIN dim_date d ON f.date_id = d.id
+GROUP BY d.year, d.quarter
+"""
+
+
+def register_star_views(
+    spark: SparkSession, dims: dict[str, DataFrame], fact: DataFrame
+) -> list[str]:
+    """Register fact_sales + dim_* as temp views; returns the view names."""
+    names = []
+    fact.createOrReplaceTempView("fact_sales")
+    names.append("fact_sales")
+    for name, df in dims.items():
+        view = f"dim_{name}"
+        df.createOrReplaceTempView(view)
+        names.append(view)
+    return names
+
+
+def answer_measures(spark: SparkSession) -> DataFrame:
+    """The five DAX measures (§2.10) over the registered views."""
+    return spark.sql(MEASURES_SQL)
+
+
+def measures_by_period(spark: SparkSession) -> DataFrame:
+    """Measures sliced by the dim_date relationship (§2.10 slicers)."""
+    return spark.sql(MEASURES_BY_PERIOD_SQL)

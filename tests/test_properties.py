@@ -1,0 +1,84 @@
+"""Property-based tests (SURVEY §5.2): semantic laws that must hold on
+arbitrary inputs, via hypothesis over small generated frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_power_bi_dashboard_spark.operators.model import build_fact_sales
+from etl_power_bi_dashboard_spark.operators.transform import fill_missing
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_settings
+def test_median_fill_idempotent(spark, vals):
+    """fill ∘ fill == fill, and the output never contains nulls when at
+    least one value is present."""
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    once = fill_missing(df)
+    twice = fill_missing(once)
+    a = sorted((r.v is None, r.v) for r in once.collect())
+    b = sorted((r.v is None, r.v) for r in twice.collect())
+    assert a == b
+    if any(v is not None for v in vals):
+        assert all(r.v is not None for r in once.collect())
+
+
+@given(d=st.dates(dt.date(1990, 1, 1), dt.date(2100, 12, 31)))
+@_settings
+def test_date_id_roundtrip(spark, d):
+    """yyyyMMdd surrogate key round-trips through parse (§1.4.6)."""
+    df = spark.createDataFrame([(d.isoformat(),)], "s string")
+    out = df.select(
+        F.date_format(F.to_date("s"), "yyyyMMdd").cast("long").alias("id")
+    ).first()
+    assert out.id == int(d.strftime("%Y%m%d"))
+
+
+@given(
+    reviews_per_order=st.lists(st.integers(0, 3), min_size=1, max_size=6)
+)
+@_settings
+def test_fanout_row_count_law(spark, reviews_per_order):
+    """|fact ⟕ reviews| = Σ max(1, reviews_per_order) (§1.4.8)."""
+    orders = spark.createDataFrame(
+        [(f"o{i}", "c", "2023-01-01 00:00:00") for i in range(len(reviews_per_order))],
+        "order_id string, customer_id string, order_purchase_timestamp string",
+    ).withColumn(
+        "order_purchase_timestamp", F.to_timestamp("order_purchase_timestamp")
+    )
+    items = spark.createDataFrame(
+        [
+            (f"o{i}", 1, "p", "s", None, 1.0, 0.1)
+            for i in range(len(reviews_per_order))
+        ],
+        "order_id string, order_item_id long, product_id string, seller_id string,"
+        " shipping_limit_date string, price double, freight_value double",
+    )
+    review_rows = [
+        (f"o{i}", j + 1)
+        for i, n in enumerate(reviews_per_order)
+        for j in range(n)
+    ]
+    reviews = spark.createDataFrame(
+        review_rows or [("_none", 1)], "order_id string, review_score long"
+    )
+    fact = build_fact_sales(items, orders, reviews)
+    want = sum(max(1, n) for n in reviews_per_order)
+    assert fact.count() == want

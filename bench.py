@@ -23,6 +23,8 @@ from etl_power_bi_dashboard_spark.plans import REGISTRY
 from etl_power_bi_dashboard_spark.session import get_spark
 
 HEADLINE = [
+    "h1_pricing_summary",
+    "h5_region_volume",
     "a1_sales_by_date",
     "a2_sales_by_month",
     "a3_sales_by_category",

@@ -10,6 +10,7 @@ from . import (
     groupings,
     similarity_plans,
     text_plans,
+    tpch,
     windows,
 )
 
@@ -17,6 +18,7 @@ _MODULES = [
     core,
     windows,
     groupings,
+    tpch,
     events_plans,
     text_plans,
     dedup_plans,

@@ -52,6 +52,29 @@ def sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_pandas_udf():
+    """Vectorized Arrow-batched cosine as a ``pandas_udf`` — the
+    alternative to the native higher-order-function path for when the
+    scoring math outgrows SQL expressions (e.g. a real model head).
+    NumPy matrix math over whole Arrow batches; never row-at-a-time.
+    The native ``cosine()`` expression remains the default (JVM-side,
+    no serialization) — tests assert both agree."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no inner type hints: `from __future__ import annotations` turns them
+    # into strings pyspark's signature inspection can't resolve
+    def _cos(a, b):
+        va = np.stack(a.to_numpy())
+        vb = np.stack(b.to_numpy())
+        dots = np.einsum("ij,ij->i", va, vb)
+        norms = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        return pd.Series(dots / norms)
+
+    return pandas_udf(_cos, "double")
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -57,6 +57,55 @@ def decode_image(payload: bytes, codec: str = "real") -> bytes:
     )
 
 
+def resize_image(pixels: bytes, width: int, height: int, codec: str = "real") -> bytes:
+    """Resize raw pixels. STUB like :func:`decode_image`; the fake codec
+    truncates/pads deterministically so the batch plumbing is testable."""
+    if codec == "fake":
+        n = max(width * height, 0)
+        return (pixels * (n // max(len(pixels), 1) + 1))[:n]
+    raise NotImplementedError(
+        "image resizing requires an imaging library; replace this stub"
+    )
+
+
+def sample_frames(payload: bytes, every_n: int = 2, codec: str = "real") -> list[bytes]:
+    """Sample 'frames' from a video payload. STUB; the fake codec treats
+    each 16-byte slice as one frame and keeps every n-th."""
+    if codec == "fake":
+        frames = [payload[i : i + 16] for i in range(0, len(payload), 16)]
+        return frames[::every_n]
+    raise NotImplementedError(
+        "frame sampling requires a video library; replace this stub"
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame_len", IntegerType()),
+    ]
+)
+
+
+def explode_sampled_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """mapInPandas pass that fans each payload out to its sampled frames
+    (one output row per kept frame) — the video-ingest shape: schema,
+    batch iteration, and row fan-out are real; the codec is the fake."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_no": [], "frame_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, fr in enumerate(sample_frames(payload, every_n, codec="fake")):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(i)
+                    rows["frame_len"].append(len(fr))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(sample, FRAME_SCHEMA)
+
+
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach an opaque binary payload column (here: utf-8 bytes of the text,
     standing in for image/audio bytes) plus typed metadata."""

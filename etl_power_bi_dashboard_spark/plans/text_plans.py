@@ -112,10 +112,77 @@ FROM documents
 """
 
 
+def q_m2_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-ingest plumbing: payload → sampled frames (one row per kept
+    16-byte frame, every 2nd) through mapInPandas. The fake codec is
+    deterministic, so the fan-out is fully oracle-checkable in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    return multimodal.explode_sampled_frames(
+        multimodal.with_binary_payload(docs), every_n=2
+    )
+
+
+# frame i covers bytes [32i+1, 32i+16]; frames exist while 32i < len
+SQL_M2 = """
+WITH f AS (
+    SELECT doc_id, octet_length(encode(text)) AS blen,
+           unnest(range(0, (octet_length(encode(text)) + 31) // 32)) AS frame_no
+    FROM documents
+)
+SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+       CAST(least(16, blen - frame_no * 32) AS INT) AS frame_len
+FROM f
+"""
+
+
+def q_m3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas (applyInPandas): per-label embedding centroid
+    via NumPy over each group's stacked vectors — the grouped twin of the
+    mapInPandas feature pass. Rounded to 6 so the element-wise means match
+    the oracle's avg() association order."""
+    import numpy as np
+    import pandas as pd_
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def centroid(pdf: pd_.DataFrame) -> pd_.DataFrame:
+        vecs = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        c = np.round(vecs.mean(axis=0), 6)
+        n = len(pdf)
+        # per-dimension rows: scalar columns hash portably across engines
+        return pd_.DataFrame(
+            {
+                "label": int(pdf["label"].iloc[0]),
+                "dim": range(1, len(c) + 1),
+                "centroid_value": c,
+                "n_vectors": n,
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        centroid, "label int, dim int, centroid_value double, n_vectors long"
+    )
+
+
+SQL_M3 = """
+WITH u AS (
+    SELECT label, d.i AS dim, CAST(embedding[d.i] AS DOUBLE) AS v
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       round(avg(v), 6) AS centroid_value,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM u
+GROUP BY label, dim
+"""
+
+
 QUERIES: list[Query] = [
     Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
     Query("x2_quality", q_x2_quality, SQL_X2, "quality scoring"),
     Query("x3_lang_guess", q_x3_lang_guess, SQL_X3, "language-ID heuristic"),
     Query("x4_fingerprint", q_x4_fingerprint, SQL_X4, "document fingerprinting"),
     Query("m1_multimodal_features", q_m1_multimodal_features, SQL_M1, "binary payload features (mapInPandas)"),
+    Query("m2_frame_sampling", q_m2_frame_sampling, SQL_M2, "frame-sample fan-out (mapInPandas)"),
+    Query("m3_label_centroids", q_m3_label_centroids, SQL_M3, "grouped centroids (applyInPandas)"),
 ]

@@ -71,9 +71,10 @@ def test_whole_stage_codegen(spark):
     assert "* HashAggregate" in plan and "* BroadcastHashJoin" in plan
 
 
-@pytest.mark.parametrize(
-    "name", sorted(n for n in REGISTRY if n != "m1_multimodal_features")
-)
+_PANDAS_PLANS = {"m1_multimodal_features", "m2_frame_sampling", "m3_label_centroids"}
+
+
+@pytest.mark.parametrize("name", sorted(n for n in REGISTRY if n not in _PANDAS_PLANS))
 def test_no_python_in_core_plans(spark, name):
     plan = plan_of(spark, name)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):

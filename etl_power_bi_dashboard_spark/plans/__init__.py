@@ -7,6 +7,7 @@ from . import (
     core,
     dedup_plans,
     events_plans,
+    expressions,
     groupings,
     similarity_plans,
     text_plans,
@@ -18,6 +19,7 @@ _MODULES = [
     core,
     windows,
     groupings,
+    expressions,
     tpch,
     events_plans,
     text_plans,

@@ -135,6 +135,76 @@ def assign_clusters(
     )
 
 
+def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id for cosine similarity.
+
+    Plane p's coefficient for dimension j is ±1 derived from
+    md5(f"{p}|{j}") — content-deterministic and engine-portable (same
+    construction as the MinHash permutations). bucket = Σ_p 2^p·[v·h_p > 0].
+    Similar directions land in the same bucket with probability
+    1 − θ/π per plane; bucketing replaces the all-pairs scan at scale.
+    """
+    def _signed_term(plane_tag: str):
+        # MUST be a single-parameter lambda: pyspark treats a 2-arg lambda
+        # as (element, index) and would silently rebind a default arg
+        def term(j):
+            bit = (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(plane_tag), j.cast("string"))), 1, 2),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+            )
+            return F.when(bit == 1, F.element_at(vec, j)).otherwise(
+                -F.element_at(vec, j)
+            )
+
+        return term
+
+    bucket = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        signed = F.transform(F.sequence(F.lit(1), F.lit(dim)), _signed_term(f"{p}|"))
+        dot_p = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(F.round(dot_p, 6) > 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed near-dup: candidate pairs share an 8-plane bucket,
+    then exact cosine verification ≥ threshold. The equi-join on the
+    bucket replaces the O(n²) pair scan (recall is probabilistic —
+    ~(1−θ/π)^8 per pair — raise recall with multiple tables at scale)."""
+    b = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+        lsh_bucket(as_double(F.col(vec_col)), n_planes).alias("bucket"),
+    )
+    left = b.alias("a")
+    right = b.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     centroids: DataFrame,

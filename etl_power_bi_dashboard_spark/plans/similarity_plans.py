@@ -125,8 +125,38 @@ WHERE {_COS.format(a="a.v", b="b.v")} >= 0.35
 """
 
 
+def q_v3_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup: 8 md5-derived ±1 planes bucket the
+    corpus; candidates share a bucket, then exact cosine ≥ 0.3 verifies.
+    The bucket equi-join is the scale path (vs d5's exact pair scan)."""
+    from ..operators.similarity import lsh_neardup_pairs
+
+    return lsh_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def _sql_v3() -> str:
+    def plane(p: int) -> str:
+        return (
+            "CASE WHEN round(list_sum(list_transform(range(1, 65), "
+            f"j -> CASE WHEN CAST(('0x' || substr(md5('{p}|' || CAST(j AS VARCHAR)), 1, 2)) AS INT) % 2 = 1 "
+            "THEN v[j] ELSE -v[j] END)), 6) > 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+
+    buckets = " + ".join(plane(p) for p in range(8))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {buckets} AS bucket FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_COS.format(a="a.v", b="b.v")} AS cosine
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS.format(a="a.v", b="b.v")} >= 0.3
+"""
+
+
 QUERIES: list[Query] = [
     Query("v1_cosine_topk", q_v1_cosine_topk, SQL_V1, "brute-force cosine top-k"),
     Query("v2_ann_ivf", q_v2_ann_ivf, SQL_V2, "IVF approximate top-k"),
+    Query("v3_lsh_neardup", q_v3_lsh_neardup, _sql_v3(), "LSH-bucketed near-dup"),
     Query("d5_embedding_neardup", q_d5_embedding_neardup, SQL_D5, "embedding cosine near-dup"),
 ]

@@ -78,3 +78,43 @@ def test_bucketed_join_has_no_exchange(spark):
 
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_ivf_probe_is_partition_pruned(spark, tmp_path):
+    """The IVF scale story: cluster assignments written partitioned by
+    cluster_id mean a probe reads ONLY the probed clusters' files —
+    partition pruning, not a filter scan."""
+    from etl_power_bi_dashboard_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = similarity.assign_clusters(emb, centroids)
+    path = str(tmp_path / "ivf_index")
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+    probe = spark.read.parquet(path).filter(F.col("cluster_id").isin(0, 50))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split("PartitionFilters", 1)[1][:200]
+    assert probe.count() > 0
+
+
+def test_partitioned_fact_sink(spark, tmp_path):
+    """export_star(partition_fact=True) writes fact_sales hive-partitioned
+    by date_id (the 100 TB layout: date-pruned scans for period slices)."""
+    import os
+
+    from etl_power_bi_dashboard_spark import sinks
+    from etl_power_bi_dashboard_spark.pipeline import run_pipeline
+
+    dims, fact, aggs = run_pipeline(spark, "/root/reference/data/raw/")
+    sinks.export_star(dims, fact, {}, str(tmp_path), partition_fact=True)
+    fact_dir = tmp_path / "fact_sales_parquet"
+    parts = [d for d in os.listdir(fact_dir) if d.startswith("date_id=")]
+    assert len(parts) > 10
+    back = spark.read.parquet(str(fact_dir))
+    assert back.count() == fact.count()

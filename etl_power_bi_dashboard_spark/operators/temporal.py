@@ -1,0 +1,139 @@
+"""Temporal join/rollup operators Spark has no single-call primitive for
+— as-of join, bounded range join, hierarchical time rollup — each built as
+a composition of DataFrame ops (no UDFs), with the shuffle structure a
+100 TB event table needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_value_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of join: for every left row, the most recent right row with
+    right.ts <= left.ts, per key.
+
+    Spark-first strategy: tag and union the two inputs, sort within each
+    key partition once, and carry the latest right values forward with an
+    ignore-nulls `last` window — ONE shuffle on the key, no range
+    self-join blowup, works at any key cardinality. (The pandas
+    counterpart is merge_asof; Spark has no built-in.)
+    """
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in (on, ts)
+    ]
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_rts", F.lit(None).cast("timestamp"))
+    for c in right_value_cols:
+        l_tag = l_tag.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    r_tag = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        F.col(ts).alias("_rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+    )
+    l_cols = [c for c in left.columns]
+    unioned = l_tag.select(
+        *l_cols, "_side", "_rts", *[f"_r_{c}" for c in right_value_cols]
+    ).unionByName(
+        r_tag.select(
+            *[
+                F.col(c) if c in (on, ts) else F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+                for c in l_cols
+            ],
+            "_side",
+            "_rts",
+            *[f"_r_{c}" for c in right_value_cols],
+        )
+    )
+    # right rows sort before left rows at the same timestamp (asof <=)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *l_cols,
+        "_side",
+        F.last("_rts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    window_seconds: int = 300,
+) -> DataFrame:
+    """Bounded range join: pairs (l, r) with same key and
+    l.ts <= r.ts < l.ts + window.
+
+    Naive inequality joins plan as nested loops; instead both sides get a
+    time-bucket key (bucket length = window) and join on
+    (key, bucket ∈ {b, b+1}) — an equi-join with a 2× fan-out, then the
+    exact range filter. At scale this is the standard interval-bucketing
+    trick: shuffle by (key, bucket), no quadratic pair space.
+    """
+    win_us = window_seconds * 1_000_000
+    l = left.select(
+        F.col(on),
+        F.col(ts).alias("l_ts"),
+        F.floor(F.unix_micros(ts) / win_us).alias("_lb"),
+    )
+    r = right.select(
+        F.col(on).alias("_ron"),
+        F.col(ts).alias("r_ts"),
+        F.floor(F.unix_micros(ts) / win_us).alias("_rb"),
+    )
+    l_exp = l.withColumn("_b", F.explode(F.array(F.col("_lb"), F.col("_lb") + 1)))
+    joined = l_exp.join(
+        r, (l_exp[on] == r["_ron"]) & (l_exp["_b"] == r["_rb"]), "inner"
+    )
+    return (
+        joined.filter(
+            (F.col("r_ts") >= F.col("l_ts"))
+            & (
+                F.unix_micros("r_ts")
+                < F.unix_micros("l_ts") + F.lit(win_us)
+            )
+        )
+        .select(on, "l_ts", "r_ts")
+        .distinct()
+    )
+
+
+def hierarchical_rollup(
+    events: DataFrame, ts: str = "ts", value: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Hypertable-style continuous aggregate: hourly partials (exact
+    DECIMAL) that re-aggregate into daily totals without rescanning raw
+    events — the two-tier rollup a time-series store materializes.
+    Returns (hourly, daily)."""
+    hourly = (
+        events.groupBy(F.date_trunc("hour", ts).alias("bucket_hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col(value).cast("decimal(18,2)")).alias("tv_dec"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "bucket_hour").alias("bucket_day"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("tv_dec").alias("tv_dec"),
+        )
+    )
+    return hourly, daily

@@ -10,6 +10,7 @@ from . import (
     expressions,
     groupings,
     similarity_plans,
+    temporal_plans,
     text_plans,
     tpch,
     windows,
@@ -22,6 +23,7 @@ _MODULES = [
     expressions,
     tpch,
     events_plans,
+    temporal_plans,
     text_plans,
     dedup_plans,
     similarity_plans,

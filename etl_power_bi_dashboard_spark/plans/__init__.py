@@ -13,15 +13,19 @@ from . import (
     temporal_plans,
     text_plans,
     tpch,
+    tpch_more,
     windows,
+    windows_more,
 )
 
 _MODULES = [
     core,
     windows,
+    windows_more,
     groupings,
     expressions,
     tpch,
+    tpch_more,
     events_plans,
     temporal_plans,
     text_plans,

@@ -177,8 +177,38 @@ GROUP BY label, dim
 """
 
 
+def q_x5_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency: tokenize → explode → count → top-20.
+
+    The classic word-count shape; at scale the explode fans out
+    map-side and the count partial-aggregates before the single shuffle
+    on the term key. Ties broken by term for a deterministic top-k.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("term_count"))
+        .orderBy(F.desc("term_count"), "term")
+        .limit(20)
+    )
+
+
+SQL_X5 = """
+SELECT term, COUNT(*) AS term_count
+FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE length(term) > 0
+GROUP BY term
+ORDER BY term_count DESC, term
+LIMIT 20
+"""
+
+
 QUERIES: list[Query] = [
     Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
+    Query("x5_top_terms", q_x5_top_terms, SQL_X5, "corpus term frequency top-k"),
     Query("x2_quality", q_x2_quality, SQL_X2, "quality scoring"),
     Query("x3_lang_guess", q_x3_lang_guess, SQL_X3, "language-ID heuristic"),
     Query("x4_fingerprint", q_x4_fingerprint, SQL_X4, "document fingerprinting"),

@@ -1,0 +1,196 @@
+"""Window-surface completion: explicit frames (moving average), tile /
+distribution functions, value-picking functions, and the gaps-and-islands
+sessionization idiom — the remaining standard window shapes w1-w3 didn't
+cover (the reference has no windows at all, SURVEY §2.8).
+
+Scale notes: every window here partitions by a high-cardinality key
+(user_id, c_mktsegment) so the sort happens per-partition across the
+cluster; no global single-partition windows over raw fact rows. The
+moving-average frame sums DECIMAL so sliding-window evaluation order
+(segment trees vs running sums — engines differ) cannot perturb values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import Query, load, load_events
+
+
+def q_w4_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving average of the last 3 event values (ROWS frame).
+
+    The frame sum is DECIMAL (event values carry ≤3 decimals, so the cast
+    is exact) divided by the frame row count — association-independent,
+    so Spark's running-frame evaluation and DuckDB's segment-tree window
+    aggregation produce bit-identical doubles. Total order (ts, event_id)
+    makes frame contents deterministic.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("moving_avg_3"),
+    )
+
+
+SQL_W4 = """
+SELECT user_id, event_id, value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS moving_avg_3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_w5_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile tiling + rank distributions over customer balances.
+
+    ntile / percent_rank / cume_dist under a deterministic total order;
+    the distribution values are small-integer ratios, identical IEEE on
+    both engines.
+    """
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+SQL_W5 = """
+SELECT c_custkey, c_acctbal,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def q_w6_value_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first / last / nth value per market segment (full-partition frame).
+
+    last_value needs the UNBOUNDED FOLLOWING frame end on both engines —
+    the default frame stops at CURRENT ROW and would return the row
+    itself.
+    """
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.first("c_custkey").over(w).alias("richest_custkey"),
+        F.last("c_custkey").over(w).alias("poorest_custkey"),
+        F.nth_value("c_custkey", 2).over(w).alias("runner_up_custkey"),
+    )
+
+
+SQL_W6 = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       FIRST_VALUE(c_custkey) OVER w AS richest_custkey,
+       LAST_VALUE(c_custkey) OVER w AS poorest_custkey,
+       NTH_VALUE(c_custkey, 2) OVER w AS runner_up_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_r4_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: per-user event sessions split on
+    >1h inactivity, via lag + running sum of session-start flags — the
+    window-function twin of the e3 session_window aggregation.
+
+    Gap arithmetic is integer microseconds (unix_micros / epoch_us), so
+    the 1-hour threshold compares exactly on both engines.
+    """
+    ev = load_events(spark, sf_dir)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    is_start = F.when(
+        micros - F.lag(micros).over(order) > 3600 * 1_000_000, 1
+    ).otherwise(0)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        is_start.alias("is_start"),
+    ).withColumn(
+        "session_no",
+        F.sum("is_start").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("int"),
+    )
+    return flagged.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SQL_R4 = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 3600000000
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts,
+           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+               AS session_no
+    FROM flagged
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+def q_p7_sample_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% key-sample: o_orderkey % 20 = 0.
+
+    The engine-portable sampling primitive — unlike TABLESAMPLE /
+    rand(), a key-modulus predicate selects the same rows on any engine
+    and any partitioning, which is what reproducible training-data
+    pipelines need.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return o.agg(
+        F.count("*").alias("sample_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sample_total"),
+    )
+
+
+SQL_P7 = """
+SELECT COUNT(*) AS sample_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sample_total
+FROM orders WHERE o_orderkey % 20 = 0
+"""
+
+
+QUERIES: list[Query] = [
+    Query("w4_moving_avg", q_w4_moving_avg, SQL_W4, "ROWS-frame moving average"),
+    Query("w5_distribution", q_w5_distribution, SQL_W5, "ntile/percent_rank/cume_dist"),
+    Query("w6_value_picks", q_w6_value_picks, SQL_W6, "first/last/nth value"),
+    Query("r4_gap_islands", q_r4_gap_islands, SQL_R4, "gaps-and-islands sessions"),
+    Query("p7_sample_mod", q_p7_sample_mod, SQL_P7, "deterministic key sampling"),
+]

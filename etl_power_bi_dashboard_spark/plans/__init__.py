@@ -10,6 +10,7 @@ from . import (
     expressions,
     groupings,
     similarity_plans,
+    stats_plans,
     temporal_plans,
     text_plans,
     tpch,
@@ -31,6 +32,7 @@ _MODULES = [
     text_plans,
     dedup_plans,
     similarity_plans,
+    stats_plans,
 ]
 
 

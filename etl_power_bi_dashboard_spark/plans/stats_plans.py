@@ -1,0 +1,128 @@
+"""Distributional statistics plans: exact histogram binning, exact
+rank-based percentiles, and the approximate sketch operators
+(HyperLogLog distinct, approx percentile) that are the *only* viable
+formulation at 100 TB.
+
+The approx queries register with ``oracle=None`` (sketch implementations
+differ across engines, so a hash-compare is meaningless); their accuracy
+is pinned by `tests/test_stats.py` against the exact in-engine answer
+(relative error bounds), which is the honest contract for a sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import Query, load, load_events
+
+
+def q_a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (10k-wide buckets).
+
+    Bucketing is FLOOR over one IEEE divide — bit-identical on both
+    engines — and the groupBy partial-aggregates map-side, so the shuffle
+    carries only ~dozens of bucket rows regardless of input scale.
+    """
+    o = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 10000.0).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bucket_total"),
+        )
+    )
+
+
+SQL_A13 = """
+SELECT CAST(FLOOR(o_totalprice / 10000.0) AS INT) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_a14_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99) of event value per type.
+
+    Rank-based: the value at row ⌈q·n⌉ under a deterministic total order
+    — no interpolation, so engines cannot disagree in the last bit the
+    way interpolating percentile implementations do. One window sort per
+    event_type partition, parallel across types.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def pick(q: float, alias: str):
+        target = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return F.max(F.when(F.col("rn") == target, F.col("value"))).alias(alias)
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        pick(0.5, "p50"),
+        pick(0.9, "p90"),
+        pick(0.99, "p99"),
+    )
+
+
+SQL_A14 = """
+WITH ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type, MAX(n) AS n,
+       MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN value END) AS p50,
+       MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN value END) AS p90,
+       MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN value END) AS p99
+FROM ranked
+GROUP BY event_type
+"""
+
+
+def q_ax1_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct counts — the 100 TB formulation of A1's
+    countDistinct (no per-key state, mergeable sketches, one narrow
+    shuffle). rsd=0.01 ⇒ ~1% expected error; accuracy bound pinned in
+    tests/test_stats.py. No oracle: HLL++ bucket layouts are
+    engine-specific.
+    """
+    fact = load(spark, sf_dir, "lineitem")
+    return fact.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )
+
+
+def q_ax2_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) per event type — the
+    streaming/100 TB twin of a14's exact rank percentiles. Accuracy
+    bound pinned in tests/test_stats.py; no oracle (sketch-specific).
+    """
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
+    )
+
+
+QUERIES: list[Query] = [
+    Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
+    Query("a14_percentiles_disc", q_a14_percentiles_disc, SQL_A14,
+          "exact rank-based percentiles"),
+    Query("ax1_approx_distinct", q_ax1_approx_distinct, None,
+          "HLL approximate distinct (sketch; accuracy-tested)"),
+    Query("ax2_approx_quantiles", q_ax2_approx_quantiles, None,
+          "approximate percentiles (sketch; accuracy-tested)"),
+]

@@ -1,0 +1,64 @@
+"""Accuracy contracts for the sketch operators (ax1/ax2) — the queries
+that legitimately have no DuckDB oracle (sketch layouts are
+engine-specific). Each sketch answer must sit within its documented error
+bound of the exact in-engine answer, which is the honest correctness
+statement for approximate operators at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_power_bi_dashboard_spark.plans import REGISTRY
+from etl_power_bi_dashboard_spark.plans.base import load, load_events
+
+from .conftest import SF_DIR
+
+
+def test_approx_distinct_within_bound(spark):
+    approx = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["ax1_approx_distinct"].spark(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in load(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.countDistinct("l_partkey").alias("parts"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, row in exact.items():
+        # rsd=0.01 ⇒ expected ~1%; 5% is a generous deterministic ceiling
+        assert abs(approx[flag]["approx_orders"] - row["orders"]) <= 0.05 * row["orders"]
+        assert abs(approx[flag]["approx_parts"] - row["parts"]) <= 0.05 * row["parts"]
+
+
+def test_approx_quantiles_within_bound(spark):
+    approx = {
+        r["event_type"]: r["approx_pcts"]
+        for r in REGISTRY["ax2_approx_quantiles"].spark(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in REGISTRY["a14_percentiles_disc"].spark(spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, row in exact.items():
+        for i, col in enumerate(["p50", "p90", "p99"]):
+            # GK sketch with accuracy 10000 on ~10^2-10^5 rows/group is
+            # near-exact; allow one rank's worth of slack via 2% of range
+            assert abs(approx[etype][i] - row[col]) <= max(0.02 * row[col], 1e-9)
+
+
+def test_exact_percentiles_are_order_insensitive(spark):
+    """Repartitioning the input cannot change a rank-based percentile."""
+    ev = load_events(spark, SF_DIR)
+    base = REGISTRY["a14_percentiles_disc"].spark(spark, SF_DIR).collect()
+    assert len(base) > 0
+    again = REGISTRY["a14_percentiles_disc"].spark(spark, SF_DIR).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+    assert ev.count() == sum(r["n"] for r in base)

@@ -96,6 +96,69 @@ def session_counts(
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication on event_id — the streaming twin of
+    the batch d1 exact-dedup operator.
+
+    ``dropDuplicatesWithinWatermark`` keys state by event_id and evicts
+    each key once the watermark passes its event time, so state stays
+    bounded by (duplicate horizon × arrival rate) instead of growing with
+    the whole stream — the only formulation that survives an unbounded
+    100 TB/day feed.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def click_purchase_join(
+    events: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream join: purchases attributed to a prior
+    click by the same user within ``within``.
+
+    Both sides carry watermarks and the join condition bounds purchase
+    time to [click_ts, click_ts + within], which lets Spark evict join
+    state for clicks older than the watermark — the canonical bounded
+    stream-stream equi-join. Batch twin: the same join expression over the
+    static frame (tests assert agreement).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
     """Drain a streaming aggregation into an in-memory table (tests/demos);
     returns the query handle — caller awaits termination/processing."""

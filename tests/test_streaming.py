@@ -64,3 +64,33 @@ def test_sliding_stream_runs(spark, event_dir):
     rows = spark.table("t_sliding")
     # every event lands in exactly 2 sliding windows
     assert rows.agg(F.sum("n_events")).first()[0] == 2 * load_events(spark, SF_DIR).count()
+
+
+def test_dedup_stream_removes_duplicates(spark, event_dir, tmp_path):
+    """Stream the events twice over (union with itself, re-written to
+    files) — the watermarked dedup must collapse back to the distinct
+    event_id count."""
+    doubled_dir = str(tmp_path / "doubled")
+    base = spark.read.parquet(event_dir)
+    base.union(base).repartition(6).write.mode("overwrite").parquet(doubled_dir)
+    stream = se.dedup_stream(se.read_event_stream(spark, doubled_dir))
+    _drain(se.run_to_memory(stream, "t_dedup", mode="append"))
+    got = spark.table("t_dedup")
+    n_distinct = base.select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_stream_stream_join_matches_batch(spark, event_dir):
+    stream = se.click_purchase_join(se.read_event_stream(spark, event_dir))
+    _drain(se.run_to_memory(stream, "t_ssjoin", mode="append"))
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.table("t_ssjoin").collect()
+    }
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in se.click_purchase_join(spark.read.parquet(event_dir)).collect()
+    }
+    assert got == want
+    assert len(want) > 0

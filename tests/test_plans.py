@@ -83,3 +83,11 @@ def test_no_python_in_core_plans(spark, name):
 
 def test_multimodal_uses_arrow_batches(spark):
     assert "MapInPandas" in plan_of(spark, "m1_multimodal_features")
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_cartesian_products(spark, name):
+    """No registry plan may degenerate into a cartesian product — the
+    1-row scalar broadcasts (a9 NPS, h22 global avg) must plan as
+    BroadcastNestedLoopJoin over a 1-row side, never CartesianProduct."""
+    assert "CartesianProduct" not in plan_of(spark, name), name

@@ -387,6 +387,125 @@ GROUP BY c_mktsegment
 """
 
 
+def q_h8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share per year within a
+    region — conditional-numerator ratio over a 6-table star join.
+
+    Share = Σ(revenue where supplier nation = CHINA) / Σ(revenue), both
+    exact DECIMAL sums, divided once as doubles.
+    """
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_nation = supp.join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = _revenue()
+    zero = F.lit(0).cast("decimal(20,6)")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == supp_nation["s_suppkey"])
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == "CHINA", rev).otherwise(zero))
+        .cast("double")
+        .alias("china_rev"),
+        F.sum(rev).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        "o_year", (F.col("china_rev") / F.col("total_rev")).alias("mkt_share")
+    )
+
+
+SQL_H8 = f"""
+WITH j AS (
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           sn.n_name AS supp_nation,
+           {SQL_REVENUE} AS rev
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'CHINA' THEN rev
+                     ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+           / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+FROM j
+GROUP BY o_year
+"""
+
+
+def q_h19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of conjunctive brand/size/quantity clauses.
+
+    Catalyst extracts the common l_partkey = p_partkey conjunct so the
+    join stays an equi-join with the disjunction as a post-join filter
+    (never a cartesian) — the h19 plan is covered by the registry-wide
+    no-CartesianProduct test.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    clause1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size") <= 5)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size") <= 10)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+    )
+    clause3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size") <= 15)
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+    )
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).filter(
+        clause1 | clause2 | clause3
+    )
+    return joined.agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+SQL_H19 = f"""
+SELECT CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size <= 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size <= 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_a12_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributional stats (mean/variance/stddev) per return flag,
     computed from DECIMAL power sums so partial-aggregation order can't
@@ -441,7 +560,9 @@ QUERIES: list[Query] = [
     Query("h16_supplier_count", q_h16_supplier_count, SQL_H16, "NOT IN anti-join"),
     Query("h17_small_qty_revenue", q_h17_small_qty_revenue, SQL_H17,
           "correlated scalar subquery"),
+    Query("h8_market_share", q_h8_market_share, SQL_H8, "market-share ratio"),
     Query("h18_large_volume", q_h18_large_volume, SQL_H18, "HAVING subquery"),
+    Query("h19_disjunctive", q_h19_disjunctive, SQL_H19, "disjunctive predicates"),
     Query("h22_idle_customers", q_h22_idle_customers, SQL_H22,
           "scalar subquery + NOT EXISTS"),
     Query("a12_stats_exact", q_a12_stats_exact, SQL_A12,

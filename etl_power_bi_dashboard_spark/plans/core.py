@@ -860,6 +860,42 @@ SELECT CAST((SELECT SUM(price) FROM fact) AS DOUBLE) AS fact_total,
 """
 
 
+def q_q4_shape_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape report (nb cells 5/7/8/14): rows × cols per table.
+
+    Column counts come from the schema (free); row counts are one
+    metadata-only parquet count per table — Spark answers these from
+    footer statistics without scanning data.
+    """
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem"]
+    parts = []
+    for t in tables:
+        df = load(spark, sf_dir, t)
+        parts.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.count("*").alias("n_rows"),
+                F.lit(len(df.columns)).cast("int").alias("n_cols"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_Q4 = """
+SELECT 'region' AS table_name, COUNT(*) AS n_rows, 2 AS n_cols FROM region
+UNION ALL SELECT 'nation', COUNT(*), 3 FROM nation
+UNION ALL SELECT 'customer', COUNT(*), 5 FROM customer
+UNION ALL SELECT 'supplier', COUNT(*), 4 FROM supplier
+UNION ALL SELECT 'part', COUNT(*), 6 FROM part
+UNION ALL SELECT 'orders', COUNT(*), 6 FROM orders
+UNION ALL SELECT 'lineitem', COUNT(*), 11 FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # BI-layer measures (§2.10; ef:499-505) — the DAX surface answered natively
 # ---------------------------------------------------------------------------
@@ -1012,5 +1048,6 @@ FROM orders o LEFT JOIN (
     Query("q1_fk_orphans", q_q1_fk_orphans, SQL_Q1, "Q1 anti-join FK check"),
     Query("q2_null_audit", q_q2_null_audit, SQL_Q2, "Q2 null audit"),
     Query("q3_reconciliation", q_q3_reconciliation, SQL_Q3, "Q3 sum reconciliation"),
+    Query("q4_shape_report", q_q4_shape_report, SQL_Q4, "Q4 rows × cols per table"),
     Query("dax_measures", q_dax_measures, SQL_DAX, "§2.10 DAX measures"),
 ]

@@ -1,0 +1,80 @@
+"""Distributed connected components — the transitive-closure step a real
+dedup pipeline runs after candidate generation (LSH/SimHash/Jaccard pairs
+give you *edges*; deduplication needs the *components* so each duplicate
+group collapses to one representative).
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with itself; each round every node takes the min of its own label and its
+neighbors' labels; at the fixpoint all nodes in a component carry the
+component's minimum node id. Rounds = graph diameter (small for the dense
+near-dup clusters this is used on). This is the DataFrame formulation of
+the classic Bagel/GraphX pattern — each round is one shuffle (join on
+src + groupBy dst), and ``localCheckpoint`` truncates the lineage so the
+plan doesn't grow with iterations.
+
+At 100 TB: candidate edges come from LSH buckets (operators/dedup.py),
+never all-pairs; ubiquitous tokens should be document-frequency-capped
+before the inverted-index join or every document joins every other.
+The per-round shuffle is keyed by node id — AQE handles the skew that a
+giant component's hub nodes create; the large-star/small-star variant
+(alternating min over neighbors vs min over neighbors-of-label) halves
+round count on pathological diameters but isn't needed at our scales.
+
+The iteration itself is driver-side control flow (a convergence loop),
+not driver-side data — each round's data stays distributed; only the
+0-or-1 "did anything change" count crosses to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected edge list → both directions (the propagation joins are
+    directional)."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node with the minimum node id of its component.
+
+    ``nodes``: one column ``node_col`` (isolated nodes allowed — they
+    become singleton clusters). ``edges``: undirected pairs src/dst.
+    Returns (node, label). Deterministic: the min-label fixpoint is
+    unique regardless of partitioning or iteration interleaving.
+    """
+    sym = symmetrize(edges).localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        proposed = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("old_label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = proposed.filter(F.col("label") != F.col("old_label")).count()
+        labels = proposed.select("node", "label")
+        if changed == 0:
+            break
+    return labels

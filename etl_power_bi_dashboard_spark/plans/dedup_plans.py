@@ -156,8 +156,84 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: unigram-Jaccard ≥ 0.95 edges (inverted-index
+    join, not all-pairs) → connected components (iterative min-label
+    propagation, operators/graph.py) → (doc_id, cluster) where cluster is
+    the component's min doc_id.
+
+    This is the transitive-closure step after candidate generation that
+    actual dedup pipelines need: A≈B and B≈C must collapse A,B,C into one
+    group even when A≉C. Non-SQL-expressible in one query on the Spark
+    side (iterative fixpoint); the oracle is DuckDB's recursive CTE
+    computing the same unique min-label fixpoint.
+    """
+    from ..operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = tok.select(F.col("doc_id").alias("i"), "term")
+    b = tok.select(F.col("doc_id").alias("j"), "term")
+    inter = (
+        a.join(b, ["term"])
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
+    )
+    si = sizes.select(F.col("doc_id").alias("i"), F.col("n").alias("ni"))
+    sj = sizes.select(F.col("doc_id").alias("j"), F.col("n").alias("nj"))
+    edges = (
+        inter.join(si, "i")
+        .join(sj, "j")
+        .filter(
+            F.col("c").cast("double") / (F.col("ni") + F.col("nj") - F.col("c"))
+            >= 0.95
+        )
+        .select(F.col("i").alias("src"), F.col("j").alias("dst"))
+    )
+    labels = connected_components(
+        docs.select("doc_id"), edges, node_col="doc_id"
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster")
+    )
+
+
+SQL_D6 = """
+WITH RECURSIVE
+tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+    FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+    SELECT i, j FROM inter
+    JOIN sizes si ON si.doc_id = i
+    JOIN sizes sj ON sj.doc_id = j
+    WHERE CAST(c AS DOUBLE) / (si.n + sj.n - c) >= 0.95
+),
+sym AS (SELECT i AS src, j AS dst FROM edges UNION ALL SELECT j, i FROM edges),
+cc AS (
+    SELECT doc_id AS node, doc_id AS label FROM documents
+    UNION
+    SELECT s.dst AS node, cc.label FROM cc JOIN sym s ON cc.node = s.src
+    WHERE cc.label < s.dst
+)
+SELECT node AS doc_id, MIN(label) AS cluster FROM cc GROUP BY node
+"""
+
+
 QUERIES: list[Query] = [
     Query("d1_dedup_exact", q_d1_dedup_exact, SQL_D1, "exact dedup"),
+    Query("d6_dup_clusters", q_d6_dup_clusters, SQL_D6,
+          "connected-components duplicate clusters"),
     Query("d1b_dedup_prefix", q_d1b_dedup_prefix, SQL_D1B, "key dedup with collisions"),
     Query("d2_ngram_jaccard", q_d2_ngram_jaccard, SQL_D2, "n-gram Jaccard pairs"),
     Query("d3_minhash_lsh", q_d3_minhash_lsh, SQL_D3, "MinHash+LSH near-dup"),

@@ -70,3 +70,34 @@ def test_exact_dedup_representative_is_min(spark):
         for r in docs.groupBy("lang").agg(F.min("doc_id").alias("m")).collect()
     }
     assert got == want
+
+
+def test_connected_components_chain_and_isolate(spark):
+    """Min-label propagation over a chain must converge to the chain's
+    min id (requires diameter-many rounds), and isolated nodes stay
+    singletons."""
+    from etl_power_bi_dashboard_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["id"])
+    # chain 1-2-3-4-5 plus the separate pair 6-7
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (7, 6)], ["src", "dst"]
+    )
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components(nodes, edges, node_col="id").collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 6), (7, 6)}
+    assert got == want
+
+
+def test_connected_components_isolated_singleton(spark):
+    from etl_power_bi_dashboard_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(10,), (20,), (30,)], ["id"])
+    edges = spark.createDataFrame([(20, 30)], ["src", "dst"])
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components(nodes, edges, node_col="id").collect()
+    }
+    assert got == {(10, 10), (20, 20), (30, 20)}

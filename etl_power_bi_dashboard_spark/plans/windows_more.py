@@ -187,10 +187,44 @@ FROM orders WHERE o_orderkey % 20 = 0
 """
 
 
+def q_p8_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content hash (80/10/10).
+
+    The training-data staple: assignment depends only on the document's
+    content (md5 prefix mod 100), so it is stable across engines, runs,
+    repartitions, and incremental ingests — unlike randomSplit, whose
+    assignment depends on partitioning. Salting the hash input (e.g.
+    ``md5(concat(split_name, text))``) yields independent re-splits.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10).cast("int") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+SQL_P8 = """
+SELECT doc_id,
+       CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 AS INT)
+           AS bucket,
+       CASE WHEN CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 < 80
+                THEN 'train'
+            WHEN CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 < 90
+                THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 QUERIES: list[Query] = [
     Query("w4_moving_avg", q_w4_moving_avg, SQL_W4, "ROWS-frame moving average"),
     Query("w5_distribution", q_w5_distribution, SQL_W5, "ntile/percent_rank/cume_dist"),
     Query("w6_value_picks", q_w6_value_picks, SQL_W6, "first/last/nth value"),
     Query("r4_gap_islands", q_r4_gap_islands, SQL_R4, "gaps-and-islands sessions"),
     Query("p7_sample_mod", q_p7_sample_mod, SQL_P7, "deterministic key sampling"),
+    Query("p8_hash_split", q_p8_hash_split, SQL_P8,
+          "content-hash train/val/test split"),
 ]

@@ -93,3 +93,39 @@ def write_bi_contract(output_path: str) -> str:
     with open(path, "w") as f:
         f.write(BI_CONTRACT)
     return path
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_partitions: int | None = None,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    right-sized files.
+
+    The operational reality of a long-running 100 TB lake: streaming
+    micro-batches and per-task writers leave thousands of KB-scale files,
+    and scan-task scheduling overhead then dominates query time. This
+    rewrites the dataset with ``target_partitions`` output files
+    (defaulting to total-bytes / 128 MB, min 1), using a rebalancing
+    repartition so output files are uniform regardless of input skew.
+    Writes to ``dest_path`` (never in-place — readers of ``src_path``
+    stay consistent; swapping paths is the caller's atomic-commit step,
+    which a table format like Delta/Iceberg would own in production).
+
+    Returns the number of output partitions used.
+    """
+    import glob
+
+    df = spark.read.parquet(src_path)
+    if target_partitions is None:
+        nbytes = sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(src_path, "**", "*.parquet"),
+                               recursive=True)
+        )
+        target_partitions = max(1, -(-nbytes // target_bytes_per_file))
+    df.repartition(target_partitions).write.mode("overwrite").parquet(dest_path)
+    return target_partitions

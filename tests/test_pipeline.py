@@ -128,3 +128,20 @@ def test_sink_roundtrip(spark, tmp_path):
     assert csv_back.count() == dims["seller"].count()
     contract = sinks.write_bi_contract(str(tmp_path))
     assert os.path.exists(contract)
+
+
+def test_compact_parquet_reduces_files_preserving_rows(spark, tmp_path):
+    from etl_power_bi_dashboard_spark.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dest = str(tmp_path / "compacted")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    import glob
+    assert len(glob.glob(src + "/*.parquet")) == 64
+    n = compact_parquet(spark, src, dest)
+    assert n == 1  # tiny dataset → single right-sized file
+    assert len(glob.glob(dest + "/*.parquet")) == 1
+    got = spark.read.parquet(dest)
+    assert got.count() == 10_000
+    assert got.agg({"k": "sum"}).first()[0] == df.agg({"k": "sum"}).first()[0]

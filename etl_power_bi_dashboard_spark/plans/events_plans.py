@@ -130,8 +130,66 @@ GROUP BY user_id, session_no
 """
 
 
+def q_e5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequenced conversion funnel: signup → first click after signup →
+    first purchase after that click, per user; output stage counts.
+
+    Stage timestamps are conditional MINs over one scan + one shuffle per
+    sequencing level (each level's filter depends on the previous MIN, so
+    levels can't collapse into one aggregate — but every level is a keyed
+    aggregate on user_id, and AQE reuses the exchange). Timestamps are
+    exact integer microseconds on both engines, so the strict-inequality
+    sequencing is deterministic.
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        signup.agg(F.count("*").alias("n_signup"))
+        .crossJoin(click.agg(F.count("*").alias("n_click_after_signup")))
+        .crossJoin(purchase.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+SQL_E5 = """
+WITH signup AS (
+    SELECT user_id, MIN(ts) AS signup_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+), click AS (
+    SELECT e.user_id, MIN(e.ts) AS click_ts
+    FROM events e JOIN signup s ON e.user_id = s.user_id
+    WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+    GROUP BY e.user_id
+), purchase AS (
+    SELECT e.user_id, MIN(e.ts) AS purchase_ts
+    FROM events e JOIN click c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+    GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM signup) AS n_signup,
+       (SELECT COUNT(*) FROM click) AS n_click_after_signup,
+       (SELECT COUNT(*) FROM purchase) AS n_purchase_after_click
+"""
+
+
 QUERIES: list[Query] = [
     Query("e1_tumbling_hourly", q_e1_tumbling_hourly, SQL_E1, "tumbling window agg"),
+    Query("e5_funnel", q_e5_funnel, SQL_E5, "sequenced conversion funnel"),
     Query("e2_sliding_windows", q_e2_sliding_windows, SQL_E2, "sliding window agg"),
     Query("e3_session_windows", q_e3_session_windows, SQL_E3, "session window agg"),
 ]

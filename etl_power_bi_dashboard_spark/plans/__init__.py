@@ -15,6 +15,7 @@ from . import (
     text_plans,
     tpch,
     tpch_more,
+    tpch_rest,
     windows,
     windows_more,
 )
@@ -27,6 +28,7 @@ _MODULES = [
     expressions,
     tpch,
     tpch_more,
+    tpch_rest,
     events_plans,
     temporal_plans,
     text_plans,

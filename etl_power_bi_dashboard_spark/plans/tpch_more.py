@@ -391,8 +391,8 @@ def q_h8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's revenue share per year within a
     region — conditional-numerator ratio over a 6-table star join.
 
-    Share = Σ(revenue where supplier nation = CHINA) / Σ(revenue), both
-    exact DECIMAL sums, divided once as doubles.
+    Share = Σ(revenue where supplier nation = NATION_7, an ASIA nation)
+    / Σ(revenue), both exact DECIMAL sums, divided once as doubles.
     """
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
@@ -420,13 +420,13 @@ def q_h8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_nation), li["l_suppkey"] == supp_nation["s_suppkey"])
     )
     agg = joined.groupBy("o_year").agg(
-        F.sum(F.when(F.col("supp_nation") == "CHINA", rev).otherwise(zero))
+        F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero))
         .cast("double")
-        .alias("china_rev"),
+        .alias("nation_rev"),
         F.sum(rev).cast("double").alias("total_rev"),
     )
     return agg.select(
-        "o_year", (F.col("china_rev") / F.col("total_rev")).alias("mkt_share")
+        "o_year", (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share")
     )
 
 
@@ -445,7 +445,7 @@ WITH j AS (
     WHERE r.r_name = 'ASIA'
 )
 SELECT o_year,
-       CAST(SUM(CASE WHEN supp_nation = 'CHINA' THEN rev
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev
                      ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
            / CAST(SUM(rev) AS DOUBLE) AS mkt_share
 FROM j

@@ -1,0 +1,96 @@
+"""JSONL (newline-delimited JSON) source + sink.
+
+The reference exports only CSV/Parquet (`src/etl_functions.py:421-432`);
+JSONL is the additional interchange format every large-scale training-data
+pipeline speaks (corpus shards, annotation dumps, API exports). Design
+rules for the 100 TB path:
+
+- **Reads take an explicit schema.** `spark.read.json` without one runs a
+  full inference pass over the data — a second 100 TB scan before the
+  first real job. Callers pass the `StructType` (or DDL string) they
+  expect; unparseable lines land in a `_corrupt_record` column instead of
+  failing the job, so corpus hygiene is a queryable property, not a crash.
+- **Writes shard by records, not files.** `maxRecordsPerFile` bounds shard
+  size so downstream loaders (which typically stream one shard per worker)
+  get uniform work units; `partition_by` gives hive-style layout for
+  partition-pruned re-reads. Compression defaults to gzip — JSONL is
+  text, ~10× compressible, and scan cost at scale is IO-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Read newline-delimited JSON with a caller-supplied schema.
+
+    With ``keep_corrupt=True`` the returned frame carries a
+    ``_corrupt_record`` string column: NULL for clean rows, the raw line
+    for malformed ones (PERMISSIVE mode) — filter on it to quarantine bad
+    shards. With the default ``False``, malformed lines are dropped
+    (DROPMALFORMED), matching a best-effort corpus ingest.
+    """
+    if keep_corrupt:
+        full = (
+            StructType.fromDDL(schema) if isinstance(schema, str) else schema
+        ).add(CORRUPT_COL, "string")
+        return (
+            spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+        )
+    return (
+        spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
+    )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int | None = None,
+    partition_by: list[str] | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """Write a DataFrame as JSONL shards under ``path``.
+
+    ``max_records_per_file`` caps rows per output shard (uniform loader
+    work units); ``partition_by`` adds hive-style directory partitioning
+    for partition-pruned re-reads.
+    """
+    w = df.write.mode("overwrite")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if compression is not None:
+        w = w.option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
+def corrupt_line_report(df_with_corrupt: DataFrame) -> DataFrame:
+    """One-row hygiene summary for a ``keep_corrupt=True`` read:
+    total lines, clean lines, corrupt lines.
+
+    Spark disallows queries over raw JSON whose referenced columns are
+    only ``_corrupt_record`` (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+    RECORD_COLUMN) — materialize the parse first (``df.cache()`` for
+    small audits, or write the parsed frame to parquet and report over
+    that for corpus-scale runs).
+    """
+    c = F.col(CORRUPT_COL)
+    return df_with_corrupt.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(c.isNull(), 1)).alias("n_clean"),
+        F.count(F.when(c.isNotNull(), 1)).alias("n_corrupt"),
+    )

@@ -9,6 +9,7 @@ from . import (
     events_plans,
     expressions,
     groupings,
+    merge_plans,
     similarity_plans,
     stats_plans,
     temporal_plans,
@@ -26,6 +27,7 @@ _MODULES = [
     windows_more,
     groupings,
     expressions,
+    merge_plans,
     tpch,
     tpch_more,
     tpch_rest,

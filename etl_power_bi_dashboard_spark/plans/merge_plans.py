@@ -1,0 +1,137 @@
+"""Warehouse-maintenance operators: MERGE/upsert semantics expressed as
+set operations Catalyst can plan — the batch idiom for refreshing the
+star-schema dimensions the reference rebuilds from scratch each run
+(`src/etl_functions.py:562-585` re-runs the whole pipeline; a 100 TB
+deployment upserts the delta instead).
+
+Without a transactional table format, MERGE INTO is a full-outer join on
+the business key with COALESCE picking source over target — one shuffle
+on the key, and the result overwrites the dim atomically via
+write-then-swap. The source delta here is derived deterministically from
+the customer table itself (updates = keys divisible by 10 with a +100.00
+balance adjustment; inserts = three re-keyed rows), so the oracle can
+reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import Query, load
+
+
+def _delta(cust: DataFrame) -> DataFrame:
+    """Deterministic upsert source: updated balances for every 10th
+    customer, plus three brand-new rows re-keyed above the key space."""
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserts = cust.orderBy("c_custkey").limit(3).select(
+        (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return updates.unionByName(inserts)
+
+
+def q_u1_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-1 MERGE: upsert a delta into the customer dimension —
+    matched keys take the source row, unmatched-by-target keys insert,
+    unmatched-by-source keys persist unchanged.
+
+    Expressed as FULL OUTER join on the business key + per-column
+    COALESCE(source, target): exactly what MERGE INTO lowers to without
+    a transactional table format. One shuffle on c_custkey; at scale the
+    (small) delta side broadcasts and the join degrades to a cheap
+    broadcast outer join. The +100.00 balance adjustment is a single
+    IEEE add, identical on both engines.
+    """
+    cust = load(spark, sf_dir, "customer")
+    src = _delta(cust)
+    tgt = cust.select(
+        F.col("c_custkey").alias("t_key"),
+        F.col("c_name").alias("t_name"),
+        F.col("c_nationkey").alias("t_nation"),
+        F.col("c_acctbal").alias("t_acctbal"),
+        F.col("c_mktsegment").alias("t_seg"),
+    )
+    merged = src.join(tgt, src["c_custkey"] == tgt["t_key"], "full_outer")
+    return merged.select(
+        F.coalesce(src["c_custkey"], F.col("t_key")).alias("c_custkey"),
+        F.coalesce(src["c_name"], F.col("t_name")).alias("c_name"),
+        F.coalesce(src["c_nationkey"], F.col("t_nation")).alias("c_nationkey"),
+        F.coalesce(src["c_acctbal"], F.col("t_acctbal")).alias("c_acctbal"),
+        F.coalesce(src["c_mktsegment"], F.col("t_seg")).alias("c_mktsegment"),
+    )
+
+
+SQL_U1 = """
+WITH src AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey, c_acctbal,
+           c_mktsegment
+    FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 3)
+)
+SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+       COALESCE(s.c_name, t.c_name) AS c_name,
+       COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+       COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+       COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+FROM src s
+FULL OUTER JOIN customer t ON s.c_custkey = t.c_custkey
+"""
+
+
+def q_u2_delete_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture companion: classify every key in the merged
+    state as inserted / updated / unchanged by anti/semi-joining the
+    delta against the target — the audit view a MERGE pipeline emits.
+
+    Three counts from two broadcast-ish joins; at scale the delta side
+    is small, so classification costs one scan of the dim.
+    """
+    cust = load(spark, sf_dir, "customer")
+    src = _delta(cust)
+    tgt_keys = cust.select("c_custkey")
+    inserted = src.join(tgt_keys, "c_custkey", "left_anti")
+    updated = src.join(tgt_keys, "c_custkey", "left_semi")
+    unchanged = tgt_keys.join(src.select("c_custkey"), "c_custkey", "left_anti")
+    return (
+        inserted.agg(F.count("*").alias("n_inserted"))
+        .crossJoin(updated.agg(F.count("*").alias("n_updated")))
+        .crossJoin(unchanged.agg(F.count("*").alias("n_unchanged")))
+    )
+
+
+SQL_U2 = """
+WITH src AS (
+    SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000
+    FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 3)
+)
+SELECT (SELECT COUNT(*) FROM src s
+        WHERE s.c_custkey NOT IN (SELECT c_custkey FROM customer))
+           AS n_inserted,
+       (SELECT COUNT(*) FROM src s
+        WHERE s.c_custkey IN (SELECT c_custkey FROM customer)) AS n_updated,
+       (SELECT COUNT(*) FROM customer t
+        WHERE t.c_custkey NOT IN (SELECT c_custkey FROM src)) AS n_unchanged
+"""
+
+
+QUERIES: list[Query] = [
+    Query("u1_scd1_merge", q_u1_scd1_merge, SQL_U1, "SCD-1 MERGE upsert"),
+    Query("u2_delete_detect", q_u2_delete_detect, SQL_U2,
+          "CDC insert/update/unchanged audit"),
+]

@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import multimodal, text
@@ -206,8 +206,87 @@ LIMIT 20
 """
 
 
+def q_x6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by TF-IDF-style score —
+    term frequency × corpus rarity, the keyword-extraction staple.
+
+    Rarity is the *rational* form N/df rather than log(N/df): same
+    ranking monotonicity, but exact IEEE division instead of a
+    transcendental whose last-bit rounding differs across libm
+    implementations — the engine-portable formulation. Score =
+    (tf/doc_len)·(N/df) with identical association on both engines.
+
+    Plan shape: one tokenize+explode scan feeds both the per-(doc,term)
+    counts and the per-doc lengths (same shuffle key prefix); document
+    frequency re-aggregates the (doc,term) counts on term; N is a 1-row
+    broadcast. Final top-3 is a row_number window per doc with a term
+    tiebreak.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    doc_len = toks.groupBy(F.col("doc_id").alias("dl_doc")).agg(
+        F.count("*").alias("doc_len")
+    )
+    df_t = tf.groupBy(F.col("term").alias("df_term")).agg(
+        F.count("*").alias("df")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(doc_len, tf["doc_id"] == F.col("dl_doc"))
+        .join(df_t, tf["term"] == F.col("df_term"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf").cast("double") / F.col("doc_len").cast("double"))
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "score", "rk")
+    )
+
+
+SQL_X6 = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), toks_f AS (
+    SELECT doc_id, term FROM toks WHERE length(term) > 0
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks_f GROUP BY doc_id, term
+), doc_len AS (
+    SELECT doc_id, COUNT(*) AS doc_len FROM toks_f GROUP BY doc_id
+), df_t AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+    SELECT t.doc_id, t.term,
+           (CAST(t.tf AS DOUBLE) / CAST(d.doc_len AS DOUBLE))
+               * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                  / CAST(f.df AS DOUBLE)) AS score
+    FROM tf t
+    JOIN doc_len d ON t.doc_id = d.doc_id
+    JOIN df_t f ON t.term = f.term
+)
+SELECT doc_id, term, score, rk
+FROM (SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM scored)
+WHERE rk <= 3
+"""
+
+
 QUERIES: list[Query] = [
     Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
+    Query("x6_tfidf", q_x6_tfidf, SQL_X6, "TF-IDF keyword extraction"),
     Query("x5_top_terms", q_x5_top_terms, SQL_X5, "corpus term frequency top-k"),
     Query("x2_quality", q_x2_quality, SQL_X2, "quality scoring"),
     Query("x3_lang_guess", q_x3_lang_guess, SQL_X3, "language-ID heuristic"),

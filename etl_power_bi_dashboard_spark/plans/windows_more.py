@@ -219,6 +219,101 @@ FROM documents
 """
 
 
+def q_w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per customer — a RANGE window frame over a
+    numeric day key (the time-based twin of w4's ROWS frame).
+
+    RANGE frames bound by *value* distance, so same-day peer orders are
+    always in-frame together regardless of row order — the correct
+    semantics for time-series trailing sums, and deterministic without a
+    row-level tiebreak. The day key is integer floor-division of epoch
+    microseconds (identical on both engines for post-1970 data); the
+    frame sum is an exact DECIMAL partial surfaced as DOUBLE, so the
+    engines' different frame-evaluation strategies (running sum vs
+    segment tree) cannot perturb it. Partitioned by o_custkey: the sort
+    is per-customer across the cluster, never a global single partition.
+
+    The day key is date-based (days since epoch), not epoch-microsecond
+    division: the parquet timestamps surface as TIMESTAMP_NTZ under a
+    plain session, where unix_micros() doesn't apply and an LTZ cast
+    would drag session-timezone semantics into the key.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("day_num"),
+    )
+    w = (
+        Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-6, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_num",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_revenue"),
+    )
+
+
+SQL_W7 = """
+WITH o AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day_num
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, day_num,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY day_num
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS trailing_7d_revenue
+FROM o
+"""
+
+
+def q_p9_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-rate stratified sample: 20% of each language stratum,
+    chosen by content-hash order (the per-group twin of p7/p8).
+
+    Within each stratum, documents are ranked by md5(text) (with doc_id
+    as total-order tiebreak) and the first ceil(0.2·n) kept — an exact
+    per-stratum rate, stable across engines, runs, and repartitions,
+    where per-row Bernoulli sampling only approximates the rate in small
+    strata. One shuffle on the stratum key; rank and stratum size come
+    from the same window sort.
+    """
+    docs = load(spark, sf_dir, "documents")
+    order = [F.md5(F.col("text")), F.col("doc_id")]
+    rk = F.row_number().over(Window.partitionBy("lang").orderBy(*order))
+    n = F.count("*").over(Window.partitionBy("lang"))
+    return (
+        docs.select(
+            "doc_id", "lang", rk.alias("rk"), n.alias("stratum_size")
+        )
+        .filter(F.col("rk") <= F.ceil(F.col("stratum_size") * 0.2))
+        .select("doc_id", "lang", "rk", "stratum_size")
+    )
+
+
+SQL_P9 = """
+WITH ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)
+               AS rk,
+           COUNT(*) OVER (PARTITION BY lang) AS stratum_size
+    FROM documents
+)
+SELECT doc_id, lang, rk, stratum_size
+FROM ranked
+WHERE rk <= CEIL(stratum_size * 0.2)
+"""
+
+
 QUERIES: list[Query] = [
     Query("w4_moving_avg", q_w4_moving_avg, SQL_W4, "ROWS-frame moving average"),
     Query("w5_distribution", q_w5_distribution, SQL_W5, "ntile/percent_rank/cume_dist"),
@@ -227,4 +322,8 @@ QUERIES: list[Query] = [
     Query("p7_sample_mod", q_p7_sample_mod, SQL_P7, "deterministic key sampling"),
     Query("p8_hash_split", q_p8_hash_split, SQL_P8,
           "content-hash train/val/test split"),
+    Query("w7_range_frame", q_w7_range_frame, SQL_W7,
+          "RANGE-frame trailing 7-day revenue"),
+    Query("p9_stratified_sample", q_p9_stratified_sample, SQL_P9,
+          "exact-rate stratified sampling"),
 ]

@@ -117,6 +117,27 @@ def q_ax2_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ax3_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters over the corpus language column —
+    ``df.stat.freqItems`` (Karp-Shenker-Papadimitriou one-pass counting)
+    is the fixed-memory formulation of a10/x5's exact value counts for
+    when the key domain is too wide to hold (trending terms over a
+    100 TB corpus).
+
+    Guarantee: every value with true frequency ≥ the support threshold
+    IS in the result (no false negatives; false positives possible) — a
+    mergeable, single-pass, bounded-state contract pinned against exact
+    counts in tests/test_stats.py. Exploded to one row per candidate so
+    the driver's rows-only check sees scalar rows. No oracle: the
+    false-positive set is partitioning-dependent, hence engine-specific.
+    """
+    docs = load(spark, sf_dir, "documents")
+    freq = docs.stat.freqItems(["lang"], support=0.3)
+    return freq.select(
+        F.explode("lang_freqItems").alias("candidate_lang")
+    )
+
+
 QUERIES: list[Query] = [
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
     Query("a14_percentiles_disc", q_a14_percentiles_disc, SQL_A14,
@@ -125,4 +146,6 @@ QUERIES: list[Query] = [
           "HLL approximate distinct (sketch; accuracy-tested)"),
     Query("ax2_approx_quantiles", q_ax2_approx_quantiles, None,
           "approximate percentiles (sketch; accuracy-tested)"),
+    Query("ax3_freq_items", q_ax3_freq_items, None,
+          "approximate heavy hitters (no-false-negative; accuracy-tested)"),
 ]

@@ -159,6 +159,40 @@ def click_purchase_join(
     )
 
 
+def idempotent_parquet_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    mode: str = "update",
+):
+    """Exactly-once-effect parquet sink via ``foreachBatch``: each
+    micro-batch overwrites its own ``epoch=<id>`` subdirectory, so a
+    replayed batch (after failure between write and checkpoint commit)
+    rewrites the same directory instead of duplicating rows — the
+    standard idempotence recipe when the sink format is not
+    transactional. Readers take the union of epochs; for an aggregation
+    stream in update mode, the *latest* epoch per key wins (dedup on
+    read or compact downstream).
+
+    Returns the started query; caller awaits termination. The trigger is
+    ``availableNow`` (drain-everything batch-style), which is also the
+    production backfill mode.
+    """
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{target_path}/epoch={epoch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_write)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
     """Drain a streaming aggregation into an in-memory table (tests/demos);
     returns the query handle — caller awaits termination/processing."""

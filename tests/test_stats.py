@@ -62,3 +62,21 @@ def test_exact_percentiles_are_order_insensitive(spark):
     again = REGISTRY["a14_percentiles_disc"].spark(spark, SF_DIR).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, again))
     assert ev.count() == sum(r["n"] for r in base)
+
+
+def test_freq_items_no_false_negatives(spark):
+    """freqItems must return every value whose true frequency meets the
+    support threshold (false positives allowed, false negatives not)."""
+    got = {
+        r.candidate_lang
+        for r in REGISTRY["ax3_freq_items"].spark(spark, SF_DIR).collect()
+    }
+    docs = load(spark, SF_DIR, "documents")
+    n = docs.count()
+    true_heavy = {
+        r.lang
+        for r in docs.groupBy("lang").count().collect()
+        if r["count"] >= 0.3 * n
+    }
+    assert true_heavy, "fixture should contain at least one heavy language"
+    assert true_heavy <= got

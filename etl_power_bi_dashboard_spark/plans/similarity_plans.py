@@ -154,7 +154,24 @@ WHERE {_COS.format(a="a.v", b="b.v")} >= 0.3
 """
 
 
+def q_ml1_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster profile: sizes per cluster after 3 Lloyd's
+    iterations (K=4, deterministic lowest-id seeding).
+
+    Iterative — no single SQL equivalent, so no oracle (the driver
+    records the rows-only check); monotone-SSE convergence and
+    mass-conservation are pinned in tests/test_clustering.py.
+    """
+    from ..operators.clustering import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _, _ = kmeans(spark, emb, k=4, iters=3)
+    return assigned.groupBy("cluster_id").agg(F.count("*").alias("n_vectors"))
+
+
 QUERIES: list[Query] = [
+    Query("ml1_kmeans", q_ml1_kmeans, None,
+          "iterative k-means (oracle-less; convergence-tested)"),
     Query("v1_cosine_topk", q_v1_cosine_topk, SQL_V1, "brute-force cosine top-k"),
     Query("v2_ann_ivf", q_v2_ann_ivf, SQL_V2, "IVF approximate top-k"),
     Query("v3_lsh_neardup", q_v3_lsh_neardup, _sql_v3(), "LSH-bucketed near-dup"),

@@ -15,7 +15,7 @@ reproduce it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import Query, load
@@ -130,8 +130,43 @@ SELECT (SELECT COUNT(*) FROM src s
 """
 
 
+def q_u3_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: keep only the newest record per key — the dedup
+    every change-log consumer runs before serving state (Kafka topic →
+    table, upsert-stream materialization).
+
+    row_number over (key, recency) with an event_id tiebreak for a total
+    order; one shuffle on the key, filter rank=1. At scale this is the
+    exact single-pass formulation (no self-join against max(ts), which
+    would shuffle twice and break on ts ties).
+    """
+    from .base import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+SQL_U3 = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events)
+WHERE rk = 1
+"""
+
+
 QUERIES: list[Query] = [
     Query("u1_scd1_merge", q_u1_scd1_merge, SQL_U1, "SCD-1 MERGE upsert"),
     Query("u2_delete_detect", q_u2_delete_detect, SQL_U2,
           "CDC insert/update/unchanged audit"),
+    Query("u3_latest_per_key", q_u3_latest_per_key, SQL_U3,
+          "CDC latest-record-per-key compaction"),
 ]

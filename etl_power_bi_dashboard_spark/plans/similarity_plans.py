@@ -154,6 +154,52 @@ WHERE {_COS.format(a="a.v", b="b.v")} >= 0.3
 """
 
 
+def q_v4_text_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal profile: join the text table to its embedding table on
+    the shared id and report per-language vector statistics — the
+    dataset-card query every multimodal corpus build runs (are vector
+    magnitudes comparable across language slices?).
+
+    The join is keyed 1:1 on the id (one shuffle, or broadcast of the
+    smaller modality at skewed scales). Norms are rounded to 6 decimals
+    *then* DECIMAL-summed, so the per-group mean is exact and
+    partial-aggregation order can't flip bits (sqrt is IEEE
+    correctly-rounded, hence identical on both engines).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm6 = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    joined = docs.join(emb, docs["doc_id"] == emb["vec_id"])
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(norm6.cast("decimal(18,6)")).cast("double") / F.count("*")
+        ).alias("avg_norm"),
+    )
+
+
+SQL_V4 = """
+SELECT d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(round(sqrt(list_sum(list_transform(
+                e.embedding::DOUBLE[], v -> v * v))), 6)
+            AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+FROM documents d
+JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY d.lang
+"""
+
+
 def q_ml1_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster profile: sizes per cluster after 3 Lloyd's
     iterations (K=4, deterministic lowest-id seeding).
@@ -176,4 +222,6 @@ QUERIES: list[Query] = [
     Query("v2_ann_ivf", q_v2_ann_ivf, SQL_V2, "IVF approximate top-k"),
     Query("v3_lsh_neardup", q_v3_lsh_neardup, _sql_v3(), "LSH-bucketed near-dup"),
     Query("d5_embedding_neardup", q_d5_embedding_neardup, SQL_D5, "embedding cosine near-dup"),
+    Query("v4_text_embedding_join", q_v4_text_embedding_join, SQL_V4,
+          "cross-modal text↔embedding profile"),
 ]

@@ -110,3 +110,17 @@ def test_transactional_sink_capability_gate(spark, tmp_path):
         back = spark.read.parquet(out)
         assert back.count() == docs.count()
         assert set(back.columns) == set(docs.columns)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is the other columnar format Spark speaks natively — verify
+    the full source matrix (CSV/Parquet/JSONL/ORC) with a typed
+    roundtrip including the array column."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = str(tmp_path / "emb_orc")
+    emb.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == emb.schema
+    orig = {r.vec_id: (r.embedding, r.label) for r in emb.collect()}
+    got = {r.vec_id: (r.embedding, r.label) for r in back.collect()}
+    assert got == orig

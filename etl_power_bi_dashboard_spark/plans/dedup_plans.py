@@ -230,10 +230,35 @@ SELECT node AS doc_id, MIN(label) AS cluster FROM cc GROUP BY node
 """
 
 
+def q_d7_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-list a dedup pipeline actually emits: one representative
+    per duplicate cluster (the min-doc_id canonical member, which IS the
+    cluster label) with the cluster's member count — downstream training
+    jobs read this instead of the full corpus.
+
+    One extra tiny aggregation over d6's (doc_id, cluster) labels; the
+    label itself is the representative, so no join back to pick it.
+    """
+    labels = q_d6_dup_clusters(spark, sf_dir)
+    return labels.groupBy(F.col("cluster").alias("representative_doc")).agg(
+        F.count("*").alias("cluster_size")
+    )
+
+
+SQL_D7 = SQL_D6.replace(
+    "SELECT node AS doc_id, MIN(label) AS cluster FROM cc GROUP BY node",
+    """SELECT cluster AS representative_doc, COUNT(*) AS cluster_size
+FROM (SELECT node, MIN(label) AS cluster FROM cc GROUP BY node)
+GROUP BY cluster""",
+)
+
+
 QUERIES: list[Query] = [
     Query("d1_dedup_exact", q_d1_dedup_exact, SQL_D1, "exact dedup"),
     Query("d6_dup_clusters", q_d6_dup_clusters, SQL_D6,
           "connected-components duplicate clusters"),
+    Query("d7_cluster_representatives", q_d7_cluster_representatives, SQL_D7,
+          "dedup keep-list (representative + cluster size)"),
     Query("d1b_dedup_prefix", q_d1b_dedup_prefix, SQL_D1B, "key dedup with collisions"),
     Query("d2_ngram_jaccard", q_d2_ngram_jaccard, SQL_D2, "n-gram Jaccard pairs"),
     Query("d3_minhash_lsh", q_d3_minhash_lsh, SQL_D3, "MinHash+LSH near-dup"),

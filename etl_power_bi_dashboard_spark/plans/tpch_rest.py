@@ -346,9 +346,11 @@ def q_h15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-supplier revenues are exact decimal sums as doubles; MAX over
     them is order-insensitive, and the equality join-back compares two
     identically-derived doubles, so argmax selection is deterministic.
-    The MAX is a 1-row broadcast against the already-computed view —
-    Spark evaluates the revenue aggregate once per branch but AQE reuses
-    the shuffled scan; no extra wide exchange.
+    The MAX is a 1-row broadcast. Spark evaluates the revenue view once
+    per branch (the pruned columns differ, so AQE does not dedupe the
+    exchanges — verified on the runtime plan); the recomputed side is
+    the already-filtered 3-month slice, and in a production pipeline the
+    view would be cached or persisted before the argmax.
     """
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))

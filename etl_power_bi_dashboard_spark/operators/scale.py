@@ -44,9 +44,15 @@ def salted_join(
 ) -> DataFrame:
     """Skewed-key equi-join: salt the big side, explode the small side
     across every salt value, join on (key, salt). Row-for-row equivalent
-    to ``skewed.join(small, key)``."""
+    to ``skewed.join(small, key)``.
+
+    The salt is a content hash of the whole row, so bucket assignment —
+    and therefore the physical plan and any persisted intermediate — is
+    reproducible across runs, partitionings, and task retries (a
+    ``monotonically_increasing_id`` salt would not be)."""
     left = skewed.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets)),
     )
     right = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

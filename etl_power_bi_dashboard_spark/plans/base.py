@@ -54,9 +54,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Read nanos as raw int64 (``spark.sql.legacy.parquet.nanosAsLong``) and
     truncate to microseconds — exactly what DuckDB does when it coerces
     nanos to its µs-precision TIMESTAMP, so oracle comparisons line up.
+
+    The session timezone is pinned to UTC for the same reason: ``ts`` is
+    rebuilt via ``timestamp_micros`` (TZ-aware), so a non-UTC driver
+    session would shift every derived window/timestamp relative to the
+    TZ-naive DuckDB oracle.
     """
     path = f"{sf_dir}/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

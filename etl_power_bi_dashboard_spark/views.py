@@ -9,19 +9,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 MEASURES_SQL = """
-SELECT CAST(SUM(price) AS DOUBLE)                       AS total_sales,
-       CAST(SUM(freight_value) AS DOUBLE)               AS total_freight,
-       COUNT(DISTINCT order_id)                         AS order_count,
-       CAST(SUM(price) AS DOUBLE) / COUNT(DISTINCT order_id) AS avg_ticket,
-       CAST(SUM(freight_value) AS DOUBLE) / CAST(SUM(price) AS DOUBLE) * 100
+SELECT CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)         AS total_sales,
+       CAST(SUM(CAST(freight_value AS DECIMAL(18,2))) AS DOUBLE) AS total_freight,
+       COUNT(DISTINCT order_id)                                  AS order_count,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(DISTINCT order_id)                            AS avg_ticket,
+       CAST(SUM(CAST(freight_value AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) * 100
            AS freight_percentage
 FROM fact_sales
 """
 
 MEASURES_BY_PERIOD_SQL = """
 SELECT d.year, d.quarter,
-       CAST(SUM(f.price) AS DOUBLE) AS total_sales,
-       COUNT(DISTINCT f.order_id)   AS order_count
+       CAST(SUM(CAST(f.price AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+       COUNT(DISTINCT f.order_id)                           AS order_count
 FROM fact_sales f JOIN dim_date d ON f.date_id = d.id
 GROUP BY d.year, d.quarter
 """

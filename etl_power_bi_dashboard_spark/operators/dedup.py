@@ -11,8 +11,9 @@ Spark-first design for 100 TB:
   (hash_i, shingle) rows; banding turns near-dup search into an equi-join
   on (band_no, band_signature), so candidate generation is linear-ish in
   the number of colliding docs — the textbook LSH shuffle pattern.
-- **SimHash**: per-token 32-bit hashes aggregated into a per-doc
-  fingerprint with conditional sums — one shuffle, no UDFs.
+- **SimHash**: per-token 60-bit hashes aggregated into a per-doc
+  fingerprint with conditional sums — one shuffle, no UDFs; 15-bit-band
+  blocking (32,768 buckets/band) keeps candidate pairs sub-quadratic.
 
 Hash functions are md5-based (content-deterministic, engine-portable) so
 results are reproducible across Spark and the DuckDB oracle — xxhash64
@@ -33,6 +34,16 @@ def token_hash32(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
 
 
+def token_hash60(c: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5.
+
+    60 (not 64) bits so the value always fits a signed BIGINT on both
+    Spark and DuckDB without overflow games, and splits evenly into
+    4 × 15-bit bands for SimHash blocking.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
     """Exact dedup keeping the minimum id per key group (deterministic
     representative, unlike dropDuplicates' arbitrary first row)."""
@@ -49,11 +60,30 @@ def shingle_table(
     )
 
 
-def jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+def jaccard_pairs(
+    shingled: DataFrame, threshold: float, max_df: int | None = None
+) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
 
     Self-equi-join on the shingle — only docs sharing ≥1 shingle ever meet.
+
+    ``max_df`` is the scale guard: a stopword-like shingle shared by 10⁶
+    docs would alone create ~10¹² join rows, so shingles whose document
+    frequency exceeds ``max_df`` are dropped from the whole computation
+    (intersections AND set sizes — i.e. Jaccard over the capped shingle
+    vocabulary, the standard prefix/frequency-filtering approximation).
+    With no shingle above the cap the result is exactly the uncapped one
+    (property-tested). The df filter is a groupBy + semi-join on the same
+    key as the pair join, so it adds no new shuffle key.
     """
+    if max_df is not None:
+        allowed = (
+            shingled.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        shingled = shingled.join(allowed, "shingle", "semi")
     a = shingled.alias("a")
     b = shingled.alias("b")
     common = (
@@ -79,6 +109,35 @@ def jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
             (
                 F.col("common")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def verify_candidate_jaccard(
+    candidates: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair list ONLY.
+
+    Joins each (doc_a, doc_b) candidate to the two per-doc shingle sets
+    and intersects them — cost is linear in the number of candidates,
+    never touching non-candidate pairs. This is the verification stage a
+    bucketed dedup (LSH/SimHash) needs at scale: the expensive pairwise
+    work is restricted to what the bucketing surfaced.
+    """
+    sets_ = shingled.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+    sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter / (F.size("sh_a") + F.size("sh_b") - inter)
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -153,22 +212,34 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH bands → candidate
-    pairs → exact Jaccard verification ≥ threshold."""
+    pairs → exact Jaccard verification ≥ threshold.
+
+    Verification is candidate-restricted: the Jaccard join touches ONLY
+    the pairs LSH surfaced (``verify_candidate_jaccard``), never the full
+    shingle self-join — at 10⁹ docs the all-sharing-pairs join would
+    dwarf the LSH pass it's meant to avoid.
+    """
     shingled = shingle_table(df, text_col, n=n)
     candidates = lsh_candidate_pairs(lsh_bands(minhash_signatures(shingled, k), rows_per_band))
-    verified = jaccard_pairs(shingled, threshold)
-    return candidates.join(verified, ["doc_a", "doc_b"], "inner")
+    return verify_candidate_jaccard(candidates, shingled, threshold)
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
 ) -> DataFrame:
     """Per-document SimHash over distinct tokens: bit j of the fingerprint
-    is the sign of Σ_tokens (2·bit_j(h(token)) − 1)."""
+    is the sign of Σ_tokens (2·bit_j(h(token)) − 1).
+
+    60-bit fingerprints (15-hex-char md5 prefix hash): wide enough that
+    the 4-band blocking in :func:`simhash_near_pairs` gets 2¹⁵ = 32,768
+    buckets per band — at 10⁹ docs the expected candidate set is
+    ~n²/32,768 per band instead of the ~n²/256 a byte-band scheme over a
+    32-bit fingerprint would produce.
+    """
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
-    ).select("doc_id", token_hash32(F.col("tok")).alias("h"))
+    ).select("doc_id", token_hash60(F.col("tok")).alias("h"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
@@ -188,11 +259,13 @@ def simhash_fingerprints(
 def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance on SimHash fingerprints.
 
-    4-way byte-band blocking: a pair within Hamming distance d shares at
-    least one untouched byte whenever d ≤ bands − 1 (pigeonhole), so
-    recall is exact for max_hamming ≤ 3; larger thresholds would need more
-    bands (e.g. 8 nibble bands for d ≤ 7). The blocked equi-join replaces
-    the O(n²) cross join — the classic SimHash dedup scheme.
+    4-way 15-bit-band blocking over the 60-bit fingerprint: a pair within
+    Hamming distance d shares at least one untouched band whenever
+    d ≤ bands − 1 (pigeonhole), so recall is exact for max_hamming ≤ 3;
+    larger thresholds would need more bands. 15-bit bands give 32,768
+    buckets per band (vs 256 for byte bands), keeping per-bucket
+    candidate sets sub-quadratic at corpus scale. The blocked equi-join
+    replaces the O(n²) cross join — the classic SimHash dedup scheme.
     """
     bands = fps.select(
         "doc_id",
@@ -202,8 +275,8 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band_no"),
-                        F.shiftright(F.col("simhash"), 8 * i)
-                        .bitwiseAND(0xFF)
+                        F.shiftright(F.col("simhash"), 15 * i)
+                        .bitwiseAND(0x7FFF)
                         .alias("band_val"),
                     )
                     for i in range(4)

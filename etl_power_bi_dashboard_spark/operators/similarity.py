@@ -135,14 +135,18 @@ def assign_clusters(
     )
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, tag: str = "") -> Column:
     """Random-hyperplane LSH bucket id for cosine similarity.
 
     Plane p's coefficient for dimension j is ±1 derived from
-    md5(f"{p}|{j}") — content-deterministic and engine-portable (same
+    md5(f"{tag}{p}|{j}") — content-deterministic and engine-portable (same
     construction as the MinHash permutations). bucket = Σ_p 2^p·[v·h_p > 0].
     Similar directions land in the same bucket with probability
     1 − θ/π per plane; bucketing replaces the all-pairs scan at scale.
+
+    Sizing contract (SCALE.md): pick ``n_planes ≈ log2(corpus_size)`` so
+    expected bucket occupancy stays O(1); ``tag`` derives independent
+    hash tables for the multi-table recall boost.
     """
     def _signed_term(plane_tag: str):
         # MUST be a single-parameter lambda: pyspark treats a 2-arg lambda
@@ -164,7 +168,7 @@ def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
 
     bucket = F.lit(0).cast("bigint")
     for p in range(n_planes):
-        signed = F.transform(F.sequence(F.lit(1), F.lit(dim)), _signed_term(f"{p}|"))
+        signed = F.transform(F.sequence(F.lit(1), F.lit(dim)), _signed_term(f"{tag}{p}|"))
         dot_p = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
         bucket = bucket + F.when(F.round(dot_p, 6) > 0, F.lit(1 << p).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
@@ -176,30 +180,60 @@ def lsh_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.3,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed near-dup: candidate pairs share an 8-plane bucket,
-    then exact cosine verification ≥ threshold. The equi-join on the
-    bucket replaces the O(n²) pair scan (recall is probabilistic —
-    ~(1−θ/π)^8 per pair — raise recall with multiple tables at scale)."""
-    b = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("v"),
-        lsh_bucket(as_double(F.col(vec_col)), n_planes).alias("bucket"),
+    """LSH-bucketed near-dup: candidate pairs share a bucket in at least
+    one of ``n_tables`` independent hash tables, then exact cosine
+    verification ≥ threshold. The equi-join on the bucket replaces the
+    O(n²) pair scan.
+
+    Scaling the two knobs (the SCALE.md contract):
+
+    - ``n_planes`` sets bucket CARDINALITY (2^n_planes per table). Per-pair
+      collision probability is (1−θ/π)^n_planes, and expected candidate
+      work is ~n²/2^n_planes per table — so n_planes must grow with the
+      corpus: ≈ log2(n) keeps expected bucket occupancy O(1).
+    - ``n_tables`` sets RECALL: a true pair is a candidate if ANY table
+      collides, 1−(1−(1−θ/π)^n_planes)^n_tables — the standard way to buy
+      back the recall that more planes cost.
+
+    Table t > 0 derives its planes from the ``T{t}:`` md5 tag; table 0
+    keeps the untagged construction (oracle-compatible with the single-
+    table SQL twin). Candidates are verified by joining vec ids back to
+    the vector table — per-candidate cost, never all-pairs.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     )
-    left = b.alias("a")
-    right = b.alias("b")
-    return (
-        left.join(
+    cands: DataFrame | None = None
+    for t in range(n_tables):
+        tag = "" if t == 0 else f"T{t}:"
+        bt = vecs.select(
+            "vec_id", lsh_bucket(F.col("v"), n_planes, tag=tag).alias("bucket")
+        )
+        left = bt.alias("a")
+        right = bt.alias("b")
+        pairs_t = left.join(
             right,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
+        cands = pairs_t if cands is None else cands.unionByName(pairs_t)
+    if n_tables > 1:
+        cands = cands.distinct()
+    va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -44,9 +44,14 @@ GROUP BY 1
 
 def q_d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise word-bigram Jaccard ≥ 0.05 within a bounded id range
-    (shingle-join, no O(n²) cross join)."""
+    (shingle-join, no O(n²) cross join).
+
+    ``max_df=120`` exercises the hot-shingle document-frequency guard on
+    the live path while provably not dropping anything here (df can't
+    exceed the 120-doc corpus), so the oracle stays the uncapped SQL.
+    """
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
-    return dedup.jaccard_pairs(dedup.shingle_table(docs, n=2), 0.05)
+    return dedup.jaccard_pairs(dedup.shingle_table(docs, n=2), 0.05, max_df=120)
 
 
 SQL_D2 = """
@@ -115,8 +120,8 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7
 
 
 def q_d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (near-pair search via byte-band blocking
-    is exercised in tests/test_dedup.py — not SQL-oracled)."""
+    """60-bit SimHash fingerprints (near-pair search via 15-bit-band
+    blocking is exercised in tests/test_dedup.py — not SQL-oracled)."""
     return dedup.simhash_fingerprints(load(spark, sf_dir, "documents"))
 
 
@@ -125,13 +130,13 @@ def _sql_d4() -> str:
         "CASE WHEN list_sum(list_transform(hs, "
         f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
         f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        for j in range(32)
+        for j in range(60)
     )
     return f"""
 WITH toks AS (
     SELECT doc_id,
            list_transform(list_distinct(string_split(text, ' ')),
-               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+               t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
     FROM documents
 )
 SELECT doc_id, {bit_terms} AS simhash FROM toks
@@ -139,9 +144,9 @@ SELECT doc_id, {bit_terms} AS simhash FROM toks
 
 
 def q_d4b_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3) via byte-band blocking — exact
-    recall at this threshold (pigeonhole over 4 bands), verified against
-    the oracle's brute-force pair scan."""
+    """SimHash near-dup pairs (Hamming ≤ 3) via 15-bit-band blocking —
+    exact recall at this threshold (pigeonhole over 4 bands), verified
+    against the oracle's brute-force pair scan."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return dedup.simhash_near_pairs(dedup.simhash_fingerprints(docs), max_hamming=3)
 

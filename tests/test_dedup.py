@@ -61,6 +61,55 @@ def test_lsh_candidates_superset_of_high_jaccard(spark):
     assert recall >= 0.95, f"LSH recall too low: {recall}"
 
 
+def test_d3_verification_is_candidate_restricted(spark):
+    """The MinHash-LSH pipeline must never run the full shingle self-join:
+    Jaccard verification joins candidate pairs to per-doc shingle sets
+    (linear in candidates). Pinned on the optimized plan — no
+    shingle = shingle equi-join may appear."""
+    import contextlib
+    import io
+    import re
+
+    df = dedup.minhash_lsh_dedup_pairs(
+        _docs(spark), n=1, k=12, rows_per_band=3, threshold=0.7
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "array_intersect" in plan
+    assert not re.search(r"shingle#\d+\)?\s*=\s*shingle#\d+", plan)
+
+
+def test_jaccard_max_df_noop_when_under_cap(spark):
+    """With the df cap above every shingle's document frequency, capped
+    results are exactly the uncapped ones (the d2 registry query relies
+    on this to keep its uncapped oracle)."""
+    shingled = dedup.shingle_table(_docs(spark, 60), n=2)
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(shingled, 0.05).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(shingled, 0.05, max_df=60).collect()
+    }
+    assert capped == uncapped and len(uncapped) > 0
+
+
+def test_jaccard_max_df_drops_hot_shingles(spark):
+    """A stopword-like shingle shared by every doc must not generate
+    candidate pairs once its document frequency exceeds the cap."""
+    docs = spark.createDataFrame(
+        [(i, f"common tok{i}") for i in range(6)], ["doc_id", "text"]
+    )
+    shingled = dedup.shingle_table(docs, n=1)
+    hot = dedup.jaccard_pairs(shingled, 0.2).collect()
+    assert len(hot) == 15  # all C(6,2) pairs share 'common': jaccard 1/3
+    capped = dedup.jaccard_pairs(shingled, 0.2, max_df=3).collect()
+    assert capped == []  # 'common' (df=6) dropped; tok_i never collide
+
+
 def test_exact_dedup_representative_is_min(spark):
     docs = _docs(spark)
     deduped = dedup.exact_dedup(docs, ["lang"])

@@ -31,6 +31,26 @@ def test_pandas_udf_cosine_matches_native(spark):
         assert abs(r.native - r.vectorized) < 1e-9
 
 
+def test_lsh_multi_table_monotone_recall(spark):
+    """A second LSH hash table can only ADD verified pairs (table 0 is
+    always included), and every surfaced pair really clears the cosine
+    threshold — the multi-table recall contract from SCALE.md."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+    one = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.lsh_neardup_pairs(emb, threshold=0.25, n_tables=1).collect()
+    }
+    two = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.lsh_neardup_pairs(emb, threshold=0.25, n_tables=2).collect()
+    }
+    assert set(one) <= set(two)
+    assert len(two) > 0
+    assert all(c >= 0.25 for c in two.values())
+
+
 def test_ivf_recall_vs_brute_force(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 20)

@@ -6,7 +6,11 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 Execution is forced with the no-op sink (full computation, no driver
 collect). The headline set spans the engine's surface: scans+joins+aggs,
 top-k, windows, event windows, dedup (MinHash-LSH), similarity search,
-text profiling, and the multimodal pandas hop.
+text profiling, and the multimodal pandas hop. The TAIL set adds the
+expensive families — multi-join TPC-H heavies, FULL-corpus near-dup
+(d2/d3 with no doc_id slice), iterative connected components, k-means —
+at one rep each so their regressions are visible without doubling wall
+time.
 """
 
 from __future__ import annotations
@@ -40,6 +44,33 @@ HEADLINE = [
     "m1_multimodal_features",
 ]
 
+# Expensive tails: the genuinely costly families (multi-join TPC-H
+# heavies, FULL-corpus dedup — no doc_id slice — iterative components,
+# k-means) so a regression there is visible round-over-round. Single rep
+# each (they dominate wall time; HEADLINE keeps best-of-2 for the
+# noise-sensitive short queries).
+TAIL = [
+    "h9_product_profit",
+    "h21_waiting_supplier",
+    "d2_ngram_jaccard_full",
+    "d3_minhash_lsh_full",
+    "d6_dup_clusters",
+    "ml1_kmeans",
+]
+
+
+def _tail_plan(name: str):
+    from etl_power_bi_dashboard_spark.plans.dedup_plans import (
+        q_d2_ngram_jaccard,
+        q_d3_minhash_lsh,
+    )
+
+    if name == "d2_ngram_jaccard_full":
+        return lambda spark, sf_dir: q_d2_ngram_jaccard(spark, sf_dir, max_doc=None)
+    if name == "d3_minhash_lsh_full":
+        return lambda spark, sf_dir: q_d3_minhash_lsh(spark, sf_dir, max_doc=None)
+    return REGISTRY[name].spark
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,6 +101,12 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+
+    for name in TAIL:
+        plan = _tail_plan(name)
+        t0 = time.perf_counter()
+        plan(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -29,6 +29,25 @@ from pyspark.sql import functions as F
 from .text import word_shingles
 
 
+def ensure_parallelism(df: DataFrame, *part_cols: str) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the input
+    has fewer partitions.
+
+    Dedup signature stages are compute-bound (explode × k hash evaluations
+    per token), not scan-bound: a small-but-expensive input read from one
+    parquet file would otherwise run the whole map stage in ONE task and
+    idle every other core. At real scale the scan already has ≥ cores
+    partitions and this is a no-op — the shuffle is only paid when it buys
+    back otherwise-idle parallelism (observed 76s → single-task vs ~6s
+    repartitioned on the sf0.1 corpus).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *part_cols) if part_cols else df.repartition(target)
+    return df
+
+
 def token_hash32(c: Column) -> Column:
     """Portable 32-bit integer hash: first 8 hex chars of md5."""
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
@@ -148,7 +167,7 @@ def minhash_signatures(shingled: DataFrame, k: int = 12) -> DataFrame:
     """k-permutation MinHash: signature_i = min over shingles of
     md5(i || '|' || shingle) (lexicographic min on hex strings — portable
     and order-free). Returns (doc_id, sig: array<string> length k)."""
-    hashed = shingled.select(
+    hashed = ensure_parallelism(shingled, "doc_id").select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
         F.col("shingle"),
@@ -236,7 +255,7 @@ def simhash_fingerprints(
     ~n²/32,768 per band instead of the ~n²/256 a byte-band scheme over a
     32-bit fingerprint would produce.
     """
-    tok = df.select(
+    tok = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     ).select("doc_id", token_hash60(F.col("tok")).alias("h"))

@@ -41,18 +41,28 @@ def salted_join(
     small: DataFrame,
     key: str,
     salt_buckets: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skewed-key equi-join: salt the big side, explode the small side
     across every salt value, join on (key, salt). Row-for-row equivalent
     to ``skewed.join(small, key)``.
 
-    The salt is a content hash of the whole row, so bucket assignment —
-    and therefore the physical plan and any persisted intermediate — is
-    reproducible across runs, partitionings, and task retries (a
-    ``monotonically_increasing_id`` salt would not be)."""
+    The salt is a content hash (default: all columns of the skewed side),
+    so bucket assignment — and therefore the physical plan and any
+    persisted intermediate — is reproducible across runs, partitionings,
+    and task retries (a ``monotonically_increasing_id`` salt would not be).
+
+    Pass ``salt_cols`` to hash a cheap high-cardinality column subset
+    instead of the whole row: (a) hashing wide rows (e.g. long text
+    columns) costs per-row CPU, and (b) **fully identical rows all hash to
+    the same salt bucket**, so for duplicate-heavy hot keys the default
+    content salt silently does NOT spread the skew — pick a column that
+    varies within the hot key (an id, an event timestamp) in that case.
+    Join correctness is unaffected either way; only balance is."""
+    salt_src = salt_cols if salt_cols else skewed.columns
     left = skewed.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt_buckets)),
     )
     right = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

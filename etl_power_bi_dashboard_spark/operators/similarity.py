@@ -204,6 +204,8 @@ def lsh_neardup_pairs(
     table SQL twin). Candidates are verified by joining vec ids back to
     the vector table — per-candidate cost, never all-pairs.
     """
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
     vecs = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     )

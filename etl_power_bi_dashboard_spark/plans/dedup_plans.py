@@ -42,15 +42,22 @@ GROUP BY 1
 """
 
 
-def q_d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise word-bigram Jaccard ≥ 0.05 within a bounded id range
-    (shingle-join, no O(n²) cross join).
+def q_d2_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_doc: int | None = 120
+) -> DataFrame:
+    """Pairwise word-bigram Jaccard ≥ 0.05 (shingle-join, no O(n²) cross
+    join), over the whole corpus or a bounded id slice.
 
+    The oracle-checked registry entry uses ``max_doc=120``, where
     ``max_df=120`` exercises the hot-shingle document-frequency guard on
-    the live path while provably not dropping anything here (df can't
-    exceed the 120-doc corpus), so the oracle stays the uncapped SQL.
+    the live path while provably not dropping anything (df can't exceed
+    the 120-doc corpus), so the oracle stays the uncapped SQL. Bench calls
+    with ``max_doc=None`` to measure the full-corpus cost (there the
+    df-cap genuinely prunes hot shingles — the scale behavior).
     """
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    docs = load(spark, sf_dir, "documents")
+    if max_doc is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc)
     return dedup.jaccard_pairs(dedup.shingle_table(docs, n=2), 0.05, max_df=120)
 
 
@@ -72,11 +79,21 @@ WHERE len(list_intersect(a.sg, b.sg))
 """
 
 
-def q_d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_d3_minhash_lsh(
+    spark: SparkSession, sf_dir: str, max_doc: int | None = 150
+) -> DataFrame:
     """MinHash(k=12) + LSH(4 bands × 3 rows) candidate pairs, verified at
     unigram Jaccard ≥ 0.7 (unigram space is dense in this corpus, so LSH
-    genuinely fires)."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    genuinely fires).
+
+    The oracle-checked registry entry bounds the corpus to ``doc_id <
+    150`` (the DuckDB twin recomputes the same slice); bench calls with
+    ``max_doc=None`` so the recorded dedup number measures the FULL
+    corpus, not a slice.
+    """
+    docs = load(spark, sf_dir, "documents")
+    if max_doc is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc)
     return dedup.minhash_lsh_dedup_pairs(
         docs, n=1, k=12, rows_per_band=3, threshold=0.7
     )
@@ -176,7 +193,7 @@ def q_d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = dedup.ensure_parallelism(docs, "doc_id").select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
     )

@@ -93,17 +93,31 @@ FROM (
 """
 
 
-def q_d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_d5_embedding_neardup(
+    spark: SparkSession, sf_dir: str, probe_limit: int = 200
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35; corpus max is
-    ~0.51, so this is the top ~0.1% of pairs). Exact pairwise scan here as
-    the oracle-checkable baseline; the bucketed scale path is the IVF
-    assignment in v2 (pairs within probed clusters only)."""
+    ~0.51, so this is the top ~0.1% of pairs): every pair whose lower id is
+    in the bounded probe set (vec_id < ``probe_limit``), checked exactly
+    against the FULL corpus.
+
+    This is the incremental-dedup shape a production pipeline runs — "is
+    anything in this new batch a near-dup of the existing corpus?" — and
+    it is the bounded form of the exact baseline: the probe side is small
+    enough to broadcast, so the plan is one linear pass over the corpus
+    (BroadcastNestedLoopJoin, no shuffle) and stays O(n·|probe|) instead
+    of the O(n²) full θ-join that can never finish at 10⁹ vectors. The
+    full-corpus closure at scale is the bucketed v3/v2 path; exact
+    verification of LSH candidates is d3's shape.
+    """
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").cast("array<double>").alias("va"))
+    a = emb.filter(F.col("vec_id") < probe_limit).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
     b = emb.select(F.col("vec_id").alias("vec_b"),
                    F.col("embedding").cast("array<double>").alias("vb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    pairs = F.broadcast(a).join(b, F.col("vec_a") < F.col("vec_b"))
     from ..operators.similarity import cosine
 
     return (
@@ -120,7 +134,7 @@ SQL_D5 = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_COS.format(a="a.v", b="b.v")} AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
+FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.vec_id < 200
 WHERE {_COS.format(a="a.v", b="b.v")} >= 0.35
 """
 

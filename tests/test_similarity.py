@@ -32,23 +32,57 @@ def test_pandas_udf_cosine_matches_native(spark):
 
 
 def test_lsh_multi_table_monotone_recall(spark):
-    """A second LSH hash table can only ADD verified pairs (table 0 is
-    always included), and every surfaced pair really clears the cosine
-    threshold — the multi-table recall contract from SCALE.md."""
+    """Measured recall vs the exact pair set improves monotonically with
+    the number of LSH hash tables (the sizing contract promised in
+    lsh_neardup_pairs' docstring / SCALE.md): each extra table can only
+    ADD verified pairs (table 0 is always included), every surfaced pair
+    really clears the cosine threshold, and on this corpus extra tables
+    buy a strict recall gain (not just a no-op superset)."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
         F.col("vec_id") < 300
     )
-    one = {
-        (r.vec_a, r.vec_b): r.cosine
-        for r in similarity.lsh_neardup_pairs(emb, threshold=0.25, n_tables=1).collect()
+    thr = 0.25
+    # exact ground truth: brute-force pair scan on the bounded slice
+    v = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias("c"),
+        )
+        .filter(F.col("c") >= thr)
+        .collect()
     }
-    two = {
-        (r.vec_a, r.vec_b): r.cosine
-        for r in similarity.lsh_neardup_pairs(emb, threshold=0.25, n_tables=2).collect()
-    }
-    assert set(one) <= set(two)
-    assert len(two) > 0
-    assert all(c >= 0.25 for c in two.values())
+    assert exact, "slice has no near pairs at this threshold"
+
+    found: dict[int, set] = {}
+    for n_tables in (1, 2, 4):
+        rows = similarity.lsh_neardup_pairs(
+            emb, threshold=thr, n_tables=n_tables
+        ).collect()
+        found[n_tables] = {(r.vec_a, r.vec_b) for r in rows}
+        assert all(r.cosine >= thr for r in rows)
+        # verification is exact, so LSH output never exceeds ground truth
+        assert found[n_tables] <= exact
+
+    assert found[1] <= found[2] <= found[4]
+    recalls = {n: len(found[n] & exact) / len(exact) for n in found}
+    assert recalls[1] <= recalls[2] <= recalls[4]
+    assert recalls[4] > recalls[1], f"tables bought no recall: {recalls}"
+
+
+def test_lsh_rejects_nonpositive_tables(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    import pytest
+
+    with pytest.raises(ValueError, match="n_tables"):
+        similarity.lsh_neardup_pairs(emb, n_tables=0)
 
 
 def test_ivf_recall_vs_brute_force(spark):

@@ -54,6 +54,7 @@ TAIL = [
     "h21_waiting_supplier",
     "d2_ngram_jaccard_full",
     "d3_minhash_lsh_full",
+    "d3_minhash_lsh_fast",
     "d6_dup_clusters",
     "ml1_kmeans",
 ]
@@ -69,6 +70,13 @@ def _tail_plan(name: str):
         return lambda spark, sf_dir: q_d2_ngram_jaccard(spark, sf_dir, max_doc=None)
     if name == "d3_minhash_lsh_full":
         return lambda spark, sf_dir: q_d3_minhash_lsh(spark, sf_dir, max_doc=None)
+    if name == "d3_minhash_lsh_fast":
+        # same full-corpus pipeline with the xxhash64 signature fast path
+        # (the production choice when signatures needn't be DuckDB-
+        # reproducible) — bench both so the md5-portability tax is visible
+        return lambda spark, sf_dir: q_d3_minhash_lsh(
+            spark, sf_dir, max_doc=None, hasher="xxhash64"
+        )
     return REGISTRY[name].spark
 
 

@@ -163,22 +163,39 @@ def verify_candidate_jaccard(
     )
 
 
-def minhash_signatures(shingled: DataFrame, k: int = 12) -> DataFrame:
+def minhash_signatures(
+    shingled: DataFrame, k: int = 12, hasher: str = "md5"
+) -> DataFrame:
     """k-permutation MinHash: signature_i = min over shingles of
-    md5(i || '|' || shingle) (lexicographic min on hex strings — portable
-    and order-free). Returns (doc_id, sig: array<string> length k)."""
-    hashed = ensure_parallelism(shingled, "doc_id").select(
+    hash(i, shingle). Returns (doc_id, sig: array<string> length k).
+
+    ``hasher``:
+
+    - ``"md5"`` (default): lexicographic min on hex strings —
+      engine-portable, so the DuckDB oracle can recompute signatures
+      bit-for-bit (differential testing).
+    - ``"xxhash64"``: numeric min on Spark's native 64-bit hash — one
+      codegen'd JVM expression instead of md5's digest + hex formatting,
+      ~2× faster on the signature stage. Not reproducible outside Spark;
+      this is what a production corpus run should use. Any fixed total
+      order over a uniform hash preserves the MinHash collision property
+      Pr[min_a = min_b] = J, so the two hashers differ only in WHICH
+      candidates surface, not in correctness — verification is exact
+      Jaccard either way.
+    """
+    exploded = ensure_parallelism(shingled, "doc_id").select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
         F.col("shingle"),
-    ).select(
-        "doc_id",
-        "i",
-        F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle"))).alias(
-            "h"
-        ),
     )
-    per_i = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    if hasher == "md5":
+        h = F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle")))
+    elif hasher == "xxhash64":
+        h = F.xxhash64(F.col("i"), F.col("shingle"))
+    else:
+        raise ValueError(f"unknown hasher: {hasher!r}")
+    hashed = exploded.select("doc_id", "i", h.alias("h"))
+    per_i = hashed.groupBy("doc_id", "i").agg(F.min("h").cast("string").alias("mh"))
     return per_i.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("i", "mh")))
         .getField("mh")
@@ -229,6 +246,7 @@ def minhash_lsh_dedup_pairs(
     k: int = 12,
     rows_per_band: int = 3,
     threshold: float = 0.7,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH bands → candidate
     pairs → exact Jaccard verification ≥ threshold.
@@ -237,9 +255,16 @@ def minhash_lsh_dedup_pairs(
     the pairs LSH surfaced (``verify_candidate_jaccard``), never the full
     shingle self-join — at 10⁹ docs the all-sharing-pairs join would
     dwarf the LSH pass it's meant to avoid.
+
+    ``hasher="xxhash64"`` swaps the signature hash for Spark's native
+    codegen'd hash (see :func:`minhash_signatures`) — the production
+    choice when DuckDB-reproducible signatures aren't needed; output
+    pairs are still exact-Jaccard-verified.
     """
     shingled = shingle_table(df, text_col, n=n)
-    candidates = lsh_candidate_pairs(lsh_bands(minhash_signatures(shingled, k), rows_per_band))
+    candidates = lsh_candidate_pairs(
+        lsh_bands(minhash_signatures(shingled, k, hasher=hasher), rows_per_band)
+    )
     return verify_candidate_jaccard(candidates, shingled, threshold)
 
 

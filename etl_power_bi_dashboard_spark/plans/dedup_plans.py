@@ -80,7 +80,10 @@ WHERE len(list_intersect(a.sg, b.sg))
 
 
 def q_d3_minhash_lsh(
-    spark: SparkSession, sf_dir: str, max_doc: int | None = 150
+    spark: SparkSession,
+    sf_dir: str,
+    max_doc: int | None = 150,
+    hasher: str = "md5",
 ) -> DataFrame:
     """MinHash(k=12) + LSH(4 bands × 3 rows) candidate pairs, verified at
     unigram Jaccard ≥ 0.7 (unigram space is dense in this corpus, so LSH
@@ -95,7 +98,7 @@ def q_d3_minhash_lsh(
     if max_doc is not None:
         docs = docs.filter(F.col("doc_id") < max_doc)
     return dedup.minhash_lsh_dedup_pairs(
-        docs, n=1, k=12, rows_per_band=3, threshold=0.7
+        docs, n=1, k=12, rows_per_band=3, threshold=0.7, hasher=hasher
     )
 
 

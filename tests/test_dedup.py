@@ -61,6 +61,34 @@ def test_lsh_candidates_superset_of_high_jaccard(spark):
     assert recall >= 0.95, f"LSH recall too low: {recall}"
 
 
+def test_minhash_fast_hasher_same_recall_contract(spark):
+    """The xxhash64 signature path (production fast path — native codegen
+    instead of portable md5) honors the same contract: every emitted pair
+    is exact-Jaccard-verified, and recall vs brute force at the ≥0.8
+    design point matches the md5 path's bound."""
+    shingled = dedup.shingle_table(_docs(spark), n=1)
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(shingled, 0.8).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_dedup_pairs(
+            _docs(spark), n=1, k=12, rows_per_band=3, threshold=0.8,
+            hasher="xxhash64",
+        ).collect()
+    }
+    assert all(j >= 0.8 for j in fast.values())
+    assert set(fast) <= truth
+    recall = len(set(fast) & truth) / len(truth)
+    assert recall >= 0.95, f"fast-path LSH recall too low: {recall}"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hasher"):
+        dedup.minhash_signatures(shingled, hasher="sha1")
+
+
 def test_d3_verification_is_candidate_restricted(spark):
     """The MinHash-LSH pipeline must never run the full shingle self-join:
     Jaccard verification joins candidate pairs to per-doc shingle sets

@@ -90,3 +90,62 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_guess(t).alias("lang_guess"),
         fingerprint_md5(t).alias("fingerprint"),
     )
+
+
+# --- repetition & PII (C4/Gopher-style corpus filters) ---------------------
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def dup_word_fraction(text: Column) -> Column:
+    """Fraction of tokens that repeat an earlier token — the word-level
+    repetition signal from Gopher-style quality filtering (high values
+    flag boilerplate/keyword-stuffed documents). Exact integer ratio cast
+    through DOUBLE, so it is bit-identical across engines."""
+    t = tokens(text)
+    return (F.size(t) - F.size(F.array_distinct(t))).cast("double") / F.size(t)
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition profile: (doc_id, n_tokens,
+    dup_word_frac, top_bigram_frac).
+
+    ``top_bigram_frac`` — the share of all bigram occurrences taken by the
+    single most frequent bigram — is the "top n-gram fraction" filter from
+    the Gopher/MassiveText cleaning recipe; near-1 values mean the
+    document is one phrase repeated. Computed distributed: explode
+    bigrams → per-(doc, bigram) counts → per-doc max/sum (two partial-agg
+    shuffles on the doc key, no self-joins), then joined back to the
+    expression-only token stats."""
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(t).alias("n_tokens"),
+        dup_word_fraction(t).alias("dup_word_frac"),
+    )
+    bi = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(t, 2)).alias("bigram"),
+    )
+    per_bigram = bi.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    per_doc = per_bigram.groupBy("doc_id").agg(
+        F.max("c").alias("_mx"), F.sum("c").alias("_tot")
+    )
+    return base.join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_word_frac",
+        (F.col("_mx").cast("double") / F.col("_tot")).alias("top_bigram_frac"),
+    )
+
+
+def scrub_emails(text: Column, replacement: str = "[EMAIL]") -> Column:
+    """Redact email addresses (PII scrub pass every released corpus
+    runs). Pure regexp_replace — JVM-side, linear scan."""
+    return F.regexp_replace(text, EMAIL_PATTERN, replacement)
+
+
+def email_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(EMAIL_PATTERN))

@@ -278,6 +278,48 @@ GROUP BY cluster""",
 )
 
 
+def q_d9_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents (doc_id ≥ 20)
+    sharing at least one word 4-gram with the held-out eval set
+    (doc_id < 20), with the shared-shingle count per (corpus, eval) pair.
+
+    This is the standard train/test-contamination check an LLM corpus
+    build runs before release (production recipes use 8–13-grams; 4 fits
+    this corpus's 10–99-word documents). Same inverted-index shape as d2:
+    shingle both sides → equi-join on the shingle → pair counts — only
+    docs sharing a shingle ever meet, never an all-pairs scan, and the
+    eval side of the join is benchmark-sized (broadcastable at scale).
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, n=4)
+    ev = sh.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    corp = sh.filter(F.col("doc_id") >= 20)
+    return (
+        corp.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+
+
+SQL_D9 = """
+WITH sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 3, 1) + 1),
+               i -> array_to_string(
+                   array_slice(string_split(text, ' '), i, i + 3), ' '))))
+               AS shingle
+    FROM documents
+)
+SELECT c.doc_id, e.doc_id AS eval_doc_id, COUNT(*) AS shared_ngrams
+FROM sh c JOIN sh e ON c.shingle = e.shingle
+WHERE e.doc_id < 20 AND c.doc_id >= 20
+GROUP BY 1, 2
+"""
+
+
 QUERIES: list[Query] = [
     Query("d1_dedup_exact", q_d1_dedup_exact, SQL_D1, "exact dedup"),
     Query("d6_dup_clusters", q_d6_dup_clusters, SQL_D6,
@@ -289,4 +331,6 @@ QUERIES: list[Query] = [
     Query("d3_minhash_lsh", q_d3_minhash_lsh, SQL_D3, "MinHash+LSH near-dup"),
     Query("d4_simhash", q_d4_simhash, _sql_d4(), "SimHash fingerprints"),
     Query("d4b_simhash_pairs", q_d4b_simhash_pairs, _sql_d4b(), "SimHash Hamming pairs"),
+    Query("d9_contamination", q_d9_contamination, SQL_D9,
+          "benchmark decontamination (n-gram overlap vs eval set)"),
 ]

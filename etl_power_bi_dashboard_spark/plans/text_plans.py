@@ -285,6 +285,79 @@ WHERE rk <= 3
 """
 
 
+def q_x7_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters: per-doc duplicate-word
+    fraction and top-bigram occupancy (near-1 ⇒ one phrase repeated).
+    Distributed as two partial-agg shuffles on the doc key — no
+    self-joins (operators/text.py:repetition_signals)."""
+    return text.repetition_signals(load(spark, sf_dir, "documents"))
+
+
+SQL_X7 = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (
+    SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+           CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t)
+               AS dup_word_frac
+    FROM toks
+),
+bi AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+               i -> array_to_string(
+                   array_slice(string_split(text, ' '), i, i + 1), ' ')))
+               AS bigram
+    FROM documents
+),
+pb AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+pd AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM pb GROUP BY 1)
+SELECT b.doc_id, b.n_tokens, b.dup_word_frac,
+       CAST(pd.mx AS DOUBLE) / pd.tot AS top_bigram_frac
+FROM base b JOIN pd USING (doc_id)
+"""
+
+
+def q_x8_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (every released corpus runs one): deterministic
+    email injection on every 7th doc (the raw corpus contains none), then
+    regex redaction with a per-doc redaction count and the scrubbed
+    content hash. Pure JVM regexp — linear scan, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        text.email_count(injected).cast("int").alias("n_redactions"),
+        F.md5(text.scrub_emails(injected)).alias("scrubbed_md5"),
+    )
+
+
+_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+SQL_X8 = f"""
+WITH inj AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com now'
+                ELSE text END AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_SQL}')) AS INT) AS n_redactions,
+       md5(regexp_replace(t, '{_EMAIL_SQL}', '[EMAIL]', 'g')) AS scrubbed_md5
+FROM inj
+"""
+
+
 QUERIES: list[Query] = [
     Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
     Query("x6_tfidf", q_x6_tfidf, SQL_X6, "TF-IDF keyword extraction"),
@@ -292,6 +365,9 @@ QUERIES: list[Query] = [
     Query("x2_quality", q_x2_quality, SQL_X2, "quality scoring"),
     Query("x3_lang_guess", q_x3_lang_guess, SQL_X3, "language-ID heuristic"),
     Query("x4_fingerprint", q_x4_fingerprint, SQL_X4, "document fingerprinting"),
+    Query("x7_repetition", q_x7_repetition, SQL_X7,
+          "Gopher-style repetition quality signals"),
+    Query("x8_pii_scrub", q_x8_pii_scrub, SQL_X8, "PII email redaction"),
     Query("m1_multimodal_features", q_m1_multimodal_features, SQL_M1, "binary payload features (mapInPandas)"),
     Query("m2_frame_sampling", q_m2_frame_sampling, SQL_M2, "frame-sample fan-out (mapInPandas)"),
     Query("m3_label_centroids", q_m3_label_centroids, SQL_M3, "grouped centroids (applyInPandas)"),

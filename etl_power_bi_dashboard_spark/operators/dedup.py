@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import word_shingles
+from .text import tokens, word_shingles
 
 
 def ensure_parallelism(df: DataFrame, *part_cols: str) -> DataFrame:
@@ -76,6 +76,33 @@ def shingle_table(
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
+    )
+
+
+def chunk_table(
+    df: DataFrame,
+    n: int = 8,
+    stride: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_h) per strided token window: md5 of each n-token
+    chunk starting at positions 1, 1+stride, 1+2·stride, …
+
+    Chunk-level hashing is the partial-overlap complement of the
+    whole-document shingle set: two documents that share a copied span
+    (but differ elsewhere) collide on the chunks covering the span, which
+    per-document MinHash/SimHash signatures dilute away. One row per
+    POSITION (not distinct) so internal repetition stays countable.
+    Expression-only explode — embarrassingly parallel, no shuffle."""
+    t = tokens(F.col(text_col))
+    m = F.greatest(F.size(t) - (n - 1), F.lit(1))
+    pos = F.sequence(F.lit(1), m, F.lit(stride))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(pos, lambda i: F.md5(F.array_join(F.slice(t, i, n), " ")))
+        ).alias("chunk_h"),
     )
 
 

@@ -278,6 +278,59 @@ GROUP BY cluster""",
 )
 
 
+def q_d8_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap (chunk-level) dedup profile: per document, the
+    count and fraction of its strided 8-token chunks whose hash also
+    appears in at least one OTHER document.
+
+    This is the span-copy detector whole-document signatures (d3/d4)
+    dilute away: a doc that copies one paragraph from another collides on
+    exactly the chunks covering the span. Shape: explode chunks (no
+    shuffle) → chunk-frequency agg (one shuffle on chunk_h, map-side
+    partials) → hash join back on chunk_h → per-doc agg. No self-join —
+    cost is linear in corpus chunks, the 100 TB-safe form.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ch = dedup.ensure_parallelism(dedup.chunk_table(docs, n=8, stride=4))
+    freq = ch.groupBy("chunk_h").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        ch.join(freq, "chunk_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("int").alias("dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "dup_chunks",
+            (F.col("dup_chunks").cast("double") / F.col("n_chunks").cast("double")
+             ).alias("dup_chunk_frac"),
+        )
+    )
+
+
+SQL_D8 = """
+WITH ch AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 7, 1) + 1, 4),
+               i -> md5(array_to_string(
+                   array_slice(string_split(text, ' '), i, i + 7), ' '))))
+               AS chunk_h
+    FROM documents
+),
+freq AS (SELECT chunk_h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_chunks,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS INT) AS dup_chunks,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS dup_chunk_frac
+FROM ch JOIN freq USING (chunk_h)
+GROUP BY doc_id
+"""
+
+
 def q_d9_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus documents (doc_id ≥ 20)
     sharing at least one word 4-gram with the held-out eval set
@@ -333,4 +386,6 @@ QUERIES: list[Query] = [
     Query("d4b_simhash_pairs", q_d4b_simhash_pairs, _sql_d4b(), "SimHash Hamming pairs"),
     Query("d9_contamination", q_d9_contamination, SQL_D9,
           "benchmark decontamination (n-gram overlap vs eval set)"),
+    Query("d8_chunk_dedup", q_d8_chunk_dedup, SQL_D8,
+          "chunk-level partial-overlap dedup profile"),
 ]

@@ -187,9 +187,63 @@ SELECT (SELECT COUNT(*) FROM signup) AS n_signup,
 """
 
 
+def q_e6_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the Monday-week of
+    their first event; for each (cohort_week, weeks-since-cohort) cell,
+    the count of distinct cohort members active that week.
+
+    Both the first-event agg and the activity⨝cohort join shuffle on
+    user_id — one key, reused across stages (AQE plans the second as a
+    co-partitioned join). Week offsets divide exact Monday-aligned day
+    diffs by 7, so the matrix is engine-portable."""
+    ev = load_events(spark, sf_dir)
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        # timestamp output (e1-style): DATE reprs differ between pandas
+        # bridges (datetime.date vs datetime64), timestamps agree
+        .select(
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
+
+
+SQL_E6 = """
+WITH cohort AS (
+    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY 1
+),
+activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+    FROM events
+)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(datediff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM activity JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: list[Query] = [
     Query("e1_tumbling_hourly", q_e1_tumbling_hourly, SQL_E1, "tumbling window agg"),
     Query("e5_funnel", q_e5_funnel, SQL_E5, "sequenced conversion funnel"),
     Query("e2_sliding_windows", q_e2_sliding_windows, SQL_E2, "sliding window agg"),
     Query("e3_session_windows", q_e3_session_windows, SQL_E3, "session window agg"),
+    Query("e6_retention_cohorts", q_e6_retention_cohorts, SQL_E6,
+          "weekly cohort retention matrix"),
 ]

@@ -358,6 +358,117 @@ FROM inj
 """
 
 
+def q_x9_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop filter verdict — the decision pass a corpus
+    build runs after the signal passes (x2/x7): each document gets a
+    reason BITMASK (1 = token count outside [20, 400], 2 = duplicate-word
+    fraction > 0.3, 4 = top-bigram occupancy > 0.2, 8 = stopword ratio
+    < 0.02, 16 = mean token length outside [3, 10]) and ``keep = 1`` iff
+    no filter fired.
+
+    Thresholds compare exact rational doubles (int/int divisions), so the
+    verdicts are bit-portable across engines. Plan shape = x7's two
+    partial-agg shuffles on the doc key plus expression-only signals —
+    nothing new materializes at 100 TB beyond the bigram profile it
+    already shares with x7."""
+    rep = text.repetition_signals(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    sig = docs.select(
+        "doc_id",
+        text.stopword_ratio(t).alias("sw"),
+        text.avg_token_len(t).alias("atl"),
+    )
+    j = rep.join(sig, "doc_id")
+    reasons = (
+        F.when((F.col("n_tokens") < 20) | (F.col("n_tokens") > 400), 1).otherwise(0)
+        + F.when(F.col("dup_word_frac") > 0.3, 2).otherwise(0)
+        + F.when(F.col("top_bigram_frac") > 0.2, 4).otherwise(0)
+        + F.when(F.col("sw") < 0.02, 8).otherwise(0)
+        + F.when((F.col("atl") < 3.0) | (F.col("atl") > 10.0), 16).otherwise(0)
+    )
+    return j.select(
+        "doc_id",
+        reasons.cast("int").alias("reasons"),
+        F.when(reasons == 0, 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
+_STOP_SQL = "('the','a','and','of','to','in','is')"
+
+SQL_X9 = f"""
+WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+base AS (
+    SELECT doc_id,
+           CAST(len(t) AS INT) AS n_tokens,
+           CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_word_frac,
+           CAST(len(list_filter(t, x -> x IN {_STOP_SQL})) AS DOUBLE) / len(t) AS sw,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(t) AS atl
+    FROM toks
+),
+bi AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+               i -> array_to_string(
+                   array_slice(string_split(text, ' '), i, i + 1), ' ')))
+               AS bigram
+    FROM documents
+),
+pb AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+pd AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM pb GROUP BY 1),
+scored AS (
+    SELECT b.doc_id,
+           (CASE WHEN b.n_tokens < 20 OR b.n_tokens > 400 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(pd.mx AS DOUBLE) / pd.tot > 0.2 THEN 4 ELSE 0 END
+            + CASE WHEN b.dup_word_frac > 0.3 THEN 2 ELSE 0 END
+            + CASE WHEN b.sw < 0.02 THEN 8 ELSE 0 END
+            + CASE WHEN b.atl < 3.0 OR b.atl > 10.0 THEN 16 ELSE 0 END) AS r
+    FROM base b JOIN pd USING (doc_id)
+)
+SELECT doc_id, CAST(r AS INT) AS reasons,
+       CAST(CASE WHEN r = 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM scored
+"""
+
+
+def q_x10_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report (the data-mixing table a pretraining run
+    is weighted from): docs and exact token totals per (source, lang),
+    with each cell's share of all corpus tokens.
+
+    One partial+final agg shuffle; the share is a window over the
+    ALREADY-AGGREGATED |sources|x|langs| table, so the unpartitioned
+    window touches dozens of rows regardless of input scale."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double")
+         ).alias("token_share"),
+    )
+
+
+SQL_X10 = """
+WITH g AS (
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+           AS token_share
+FROM g
+"""
+
+
 QUERIES: list[Query] = [
     Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
     Query("x6_tfidf", q_x6_tfidf, SQL_X6, "TF-IDF keyword extraction"),
@@ -368,6 +479,10 @@ QUERIES: list[Query] = [
     Query("x7_repetition", q_x7_repetition, SQL_X7,
           "Gopher-style repetition quality signals"),
     Query("x8_pii_scrub", q_x8_pii_scrub, SQL_X8, "PII email redaction"),
+    Query("x9_quality_cascade", q_x9_quality_cascade, SQL_X9,
+          "composite keep/drop filter with reason bitmask"),
+    Query("x10_source_mix", q_x10_source_mix, SQL_X10,
+          "corpus composition / data-mixing report"),
     Query("m1_multimodal_features", q_m1_multimodal_features, SQL_M1, "binary payload features (mapInPandas)"),
     Query("m2_frame_sampling", q_m2_frame_sampling, SQL_M2, "frame-sample fan-out (mapInPandas)"),
     Query("m3_label_centroids", q_m3_label_centroids, SQL_M3, "grouped centroids (applyInPandas)"),

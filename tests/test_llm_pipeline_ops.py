@@ -1,0 +1,102 @@
+"""Behavioral tests for the round-3 LLM-pipeline additions beyond oracle
+parity: chunk-level dedup detects partial span copies that whole-document
+signatures dilute away (d8), the cohort-retention matrix obeys its
+structural invariants (e6), and the quality-cascade bitmask decodes to
+the individual filter verdicts (x9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_power_bi_dashboard_spark.operators import dedup
+from etl_power_bi_dashboard_spark.plans.events_plans import q_e6_retention_cohorts
+from etl_power_bi_dashboard_spark.plans.text_plans import q_x9_quality_cascade
+
+from .conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_table_positions_and_stride(spark):
+    # 12 tokens, n=8, stride=4 -> starts at 1 and 5: exactly 2 chunks.
+    text = " ".join(f"w{i}" for i in range(12))
+    out = dedup.chunk_table(_docs(spark, [(1, text)]), n=8, stride=4).collect()
+    assert len(out) == 2
+    # A short doc (< n tokens) still yields exactly one (whole-doc) chunk.
+    short = dedup.chunk_table(_docs(spark, [(2, "a b c")]), n=8, stride=4).collect()
+    assert len(short) == 1
+
+
+def test_chunk_dedup_catches_partial_span_copy(spark):
+    """Doc 2 copies an 8-token span from doc 1 but differs everywhere
+    else; doc 3 is unrelated. The shared span must collide chunk-wise
+    while doc 3 stays clean — the partial-overlap case MinHash-style
+    whole-document signatures are explicitly bad at."""
+    span = " ".join(f"s{i}" for i in range(8))
+    d1 = span + " " + " ".join(f"a{i}" for i in range(16))
+    d2 = " ".join(f"b{i}" for i in range(4)) + " " + span  # span at offset 5
+    d3 = " ".join(f"c{i}" for i in range(24))
+    # stride=1 so the copied span aligns regardless of offset
+    ch = dedup.chunk_table(_docs(spark, [(1, d1), (2, d2), (3, d3)]), n=8, stride=1)
+    freq = ch.groupBy("chunk_h").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = (
+        ch.join(freq, "chunk_h")
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("dup"))
+    )
+    got = {r["doc_id"]: r["dup"] for r in dup.collect()}
+    assert got[1] >= 1 and got[2] >= 1, got
+    assert got[3] == 0, got
+
+
+def test_chunk_internal_repetition_counts_per_position(spark):
+    """One row per POSITION, not per distinct hash: a doc that is one
+    phrase repeated verbatim yields multiple identical chunk hashes."""
+    text = " ".join(["x"] * 20)
+    out = dedup.chunk_table(_docs(spark, [(1, text)]), n=8, stride=4)
+    assert out.count() == 4  # starts 1,5,9,13
+    assert out.select("chunk_h").distinct().count() == 1
+
+
+def test_retention_cohort_invariants(spark):
+    """Structural invariants of the weekly retention matrix: every cohort
+    retains 100% at offset 0 (first event IS activity in the cohort
+    week), offsets are non-negative, and total offset-0 users equals the
+    number of distinct users in the corpus."""
+    m = q_e6_retention_cohorts(spark, SF_DIR)
+    rows = m.collect()
+    assert all(r["week_offset"] >= 0 for r in rows)
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r["n_users"]
+    for cohort, cells in by_cohort.items():
+        assert 0 in cells, f"cohort {cohort} missing offset 0"
+        assert cells[0] == max(cells.values()), (
+            f"cohort {cohort}: offset-0 {cells[0]} < a later cell {max(cells.values())}"
+        )
+    from etl_power_bi_dashboard_spark.plans.base import load_events
+
+    n_users = load_events(spark, SF_DIR).select("user_id").distinct().count()
+    assert sum(c[0] for c in by_cohort.values()) == n_users
+
+
+def test_quality_cascade_bitmask_decodes(spark):
+    """keep=1 iff reasons==0, and each bit corresponds to its documented
+    filter: re-derive bit 1 (token count outside [20, 400]) independently
+    and check it against the mask."""
+    out = q_x9_quality_cascade(spark, SF_DIR)
+    assert out.filter((F.col("keep") == 1) != (F.col("reasons") == 0)).count() == 0
+    from etl_power_bi_dashboard_spark.operators.text import token_count
+    from etl_power_bi_dashboard_spark.plans.base import load
+
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("nt")
+    )
+    j = out.join(docs, "doc_id")
+    bad = j.filter(
+        (F.col("reasons").bitwiseAND(1) > 0)
+        != ((F.col("nt") < 20) | (F.col("nt") > 400))
+    )
+    assert bad.count() == 0

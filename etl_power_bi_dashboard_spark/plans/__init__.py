@@ -21,10 +21,12 @@ oracle-less ones (driver records rows-only checks for those) take the
 front of the window; the remaining ~32 slots re-check round-1 core
 entries (regression evidence on the golden-pinned §2 surface). After
 round 3 every entry that existed at rotation time has a driver row;
-queries added later in round 3 (x7/x8/x9/x10, d8/d9, e6 — repetition
-filters, PII scrub, quality cascade, source mix, chunk dedup,
-decontamination, cohort retention) sit behind the window with local
-sf0.001/sf0.01 parity and rotate in next round.
+queries added later in round 3 (x7-x11, d8/d9/d10, e6, p10, ax4 —
+repetition filters, PII scrub, quality cascade, source mix,
+mixing-weight solver, chunk dedup, decontamination, cross-source
+contamination, cohort retention, quality-weighted sampling, count-min
+sketch) sit behind the window with local sf0.001/sf0.01 parity and
+rotate in next round.
 
 Every query keeps its local sf0.001 DuckDB parity test regardless of
 position (tests/test_oracle_parity.py covers the whole registry).

@@ -331,6 +331,72 @@ GROUP BY doc_id
 """
 
 
+def q_d10_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source chunk containment: for each ``src0`` document, the
+    fraction of its distinct 8-token chunks (stride 1) that also appear
+    anywhere in the OTHER sources — the corpus-release question "how much
+    of this source is already covered elsewhere", at span granularity.
+
+    Shape: two chunk expansions (expression-only explodes, no shuffle),
+    distinct + aggregate the reference side to its chunk SET, then one
+    hash join on chunk_h and a per-doc agg. Cost is linear in corpus
+    chunks; the reference set is the big side and stays partitioned by
+    chunk_h — nothing is collected or broadcast by assumption, so the
+    plan survives an arbitrarily large reference corpus (AQE may still
+    choose to broadcast when the reference is genuinely small)."""
+    docs = load(spark, sf_dir, "documents")
+    target = dedup.ensure_parallelism(
+        dedup.chunk_table(docs.filter(F.col("source") == "src0"), n=8, stride=1)
+    ).distinct()
+    ref = (
+        dedup.ensure_parallelism(
+            dedup.chunk_table(docs.filter(F.col("source") != "src0"), n=8, stride=1)
+        )
+        .select("chunk_h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        target.join(ref, "chunk_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int")
+            .alias("contaminated_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "contaminated_chunks",
+            (F.col("contaminated_chunks").cast("double")
+             / F.col("n_chunks").cast("double")).alias("containment"),
+        )
+    )
+
+
+SQL_D10 = """
+WITH ch AS (
+    SELECT doc_id, source,
+           unnest(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 7, 1) + 1),
+               i -> md5(array_to_string(
+                   array_slice(string_split(text, ' '), i, i + 7), ' '))))
+               AS chunk_h
+    FROM documents
+),
+target AS (SELECT DISTINCT doc_id, chunk_h FROM ch WHERE source = 'src0'),
+ref AS (SELECT DISTINCT chunk_h FROM ch WHERE source <> 'src0')
+SELECT t.doc_id,
+       CAST(COUNT(*) AS INT) AS n_chunks,
+       CAST(SUM(CASE WHEN r.chunk_h IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+           AS contaminated_chunks,
+       CAST(SUM(CASE WHEN r.chunk_h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS containment
+FROM target t LEFT JOIN ref r USING (chunk_h)
+GROUP BY t.doc_id
+"""
+
+
 def q_d9_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus documents (doc_id ≥ 20)
     sharing at least one word 4-gram with the held-out eval set
@@ -388,4 +454,6 @@ QUERIES: list[Query] = [
           "benchmark decontamination (n-gram overlap vs eval set)"),
     Query("d8_chunk_dedup", q_d8_chunk_dedup, SQL_D8,
           "chunk-level partial-overlap dedup profile"),
+    Query("d10_cross_source_contamination", q_d10_cross_source_contamination,
+          SQL_D10, "cross-source chunk containment"),
 ]

@@ -138,6 +138,50 @@ def q_ax3_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ax4_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimates over corpus tokens
+    (d=4 rows × w=256 buckets), probed at the exact top-10 tokens so the
+    result carries its own ground truth.
+
+    The sketch build is the 100 TB form of a wide-domain frequency
+    count: explode tokens, fan out each occurrence to d (seed, bucket)
+    cells via xxhash64 (JVM-side, no UDF), and partial-aggregate — the
+    shuffle carries at most d·w = 1,024 cell rows regardless of corpus
+    size, where an exact token groupBy would shuffle the whole token
+    domain. Estimates are min-over-seeds of the probed cells; the CM
+    guarantee (estimate ≥ true count; overestimate ≤ εN w.h.p.) is
+    pinned in tests/test_stats.py. No oracle: bucket layouts are
+    xxhash64-specific, hence engine-specific.
+    """
+    d, w = 4, 256
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    seeds = F.array([F.lit(i) for i in range(d)])
+    cells = (
+        toks.select("token", F.explode(seeds).alias("seed"))
+        .groupBy(
+            "seed",
+            F.pmod(F.xxhash64("seed", "token"), F.lit(w)).alias("bucket"),
+        )
+        .agg(F.count("*").alias("cell_count"))
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "token")
+        .limit(10)
+    )
+    probes = top.select(
+        "token", "exact_count", F.explode(seeds).alias("seed")
+    ).withColumn("bucket", F.pmod(F.xxhash64("seed", "token"), F.lit(w)))
+    return (
+        probes.join(cells, ["seed", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("cell_count").alias("cm_estimate"))
+        .orderBy(F.desc("exact_count"), "token")
+    )
+
+
 QUERIES: list[Query] = [
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
     Query("a14_percentiles_disc", q_a14_percentiles_disc, SQL_A14,
@@ -148,4 +192,6 @@ QUERIES: list[Query] = [
           "approximate percentiles (sketch; accuracy-tested)"),
     Query("ax3_freq_items", q_ax3_freq_items, None,
           "approximate heavy hitters (no-false-negative; accuracy-tested)"),
+    Query("ax4_countmin", q_ax4_countmin, None,
+          "count-min sketch token frequency estimates (accuracy-tested)"),
 ]

@@ -469,6 +469,58 @@ FROM g
 """
 
 
+def q_x11_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weight solver: per-source sampling rates that equalize
+    source token shares by downsampling every source to the smallest
+    source's token budget (the classic pretraining-mix rebalance),
+    preserving the language mix within each source.
+
+    ``sample_rate = min_source_tokens / source_tokens`` is an exact
+    int/int division and ``expected_tokens`` multiplies that rate by the
+    cell's exact token count — both engine-portable IEEE ops. The windows
+    run over the already-aggregated |sources|×|langs| table (dozens of
+    rows at any input scale), so the only real shuffle is the one
+    partial+final token aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(
+        F.sum(text.token_count(F.col("text"))).alias("n_tokens")
+    )
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    g = g.withColumn("src_tokens", F.sum("n_tokens").over(ws)).withColumn(
+        "min_src_tokens", F.min("src_tokens").over(wall)
+    )
+    rate = F.col("min_src_tokens").cast("double") / F.col("src_tokens").cast("double")
+    return g.select(
+        "source",
+        "lang",
+        "n_tokens",
+        "src_tokens",
+        rate.alias("sample_rate"),
+        (rate * F.col("n_tokens").cast("double")).alias("expected_tokens"),
+    )
+
+
+SQL_X11 = """
+WITH g AS (
+    SELECT source, lang,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1, 2
+),
+s AS (
+    SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+               AS src_tokens
+    FROM g
+),
+m AS (SELECT *, MIN(src_tokens) OVER () AS min_src FROM s)
+SELECT source, lang, n_tokens, src_tokens,
+       CAST(min_src AS DOUBLE) / CAST(src_tokens AS DOUBLE) AS sample_rate,
+       (CAST(min_src AS DOUBLE) / CAST(src_tokens AS DOUBLE))
+           * CAST(n_tokens AS DOUBLE) AS expected_tokens
+FROM m
+"""
+
+
 QUERIES: list[Query] = [
     Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
     Query("x6_tfidf", q_x6_tfidf, SQL_X6, "TF-IDF keyword extraction"),
@@ -483,6 +535,8 @@ QUERIES: list[Query] = [
           "composite keep/drop filter with reason bitmask"),
     Query("x10_source_mix", q_x10_source_mix, SQL_X10,
           "corpus composition / data-mixing report"),
+    Query("x11_mixing_weights", q_x11_mixing_weights, SQL_X11,
+          "data-mixing weight solver (equalize source token shares)"),
     Query("m1_multimodal_features", q_m1_multimodal_features, SQL_M1, "binary payload features (mapInPandas)"),
     Query("m2_frame_sampling", q_m2_frame_sampling, SQL_M2, "frame-sample fan-out (mapInPandas)"),
     Query("m3_label_centroids", q_m3_label_centroids, SQL_M3, "grouped centroids (applyInPandas)"),

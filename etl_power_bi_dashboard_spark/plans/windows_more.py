@@ -314,6 +314,51 @@ WHERE rk <= CEIL(stratum_size * 0.2)
 """
 
 
+def q_p10_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: per-document keep/drop
+    where the acceptance RATE depends on a quality tier (token count ≥
+    100 → keep 100%, ≥ 40 → 50%, else 10%) and the acceptance DECISION is
+    the p8 content-hash bucket — so higher-quality strata are oversampled
+    (the usual corpus-weighting move) while the decision stays stable
+    across engines, runs, repartitions, and incremental ingests.
+
+    Everything is integer comparisons on exact values (token counts,
+    md5-prefix bucket), so verdicts are bit-portable; the plan is a pure
+    map over the scan — no shuffle at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), " "))
+    tier = F.when(nt >= 100, "high").when(nt >= 40, "mid").otherwise("low")
+    pct = F.when(nt >= 100, 100).when(nt >= 40, 50).otherwise(10)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10).cast("int") % 100
+    )
+    return docs.select(
+        "doc_id",
+        tier.alias("tier"),
+        bucket.alias("bucket"),
+        F.when(bucket < pct, 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
+SQL_P10 = """
+WITH b AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS nt,
+           CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100
+                AS INT) AS bucket
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN nt >= 100 THEN 'high'
+            WHEN nt >= 40 THEN 'mid' ELSE 'low' END AS tier,
+       bucket,
+       CAST(CASE WHEN bucket < (CASE WHEN nt >= 100 THEN 100
+                                     WHEN nt >= 40 THEN 50 ELSE 10 END)
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM b
+"""
+
+
 QUERIES: list[Query] = [
     Query("w4_moving_avg", q_w4_moving_avg, SQL_W4, "ROWS-frame moving average"),
     Query("w5_distribution", q_w5_distribution, SQL_W5, "ntile/percent_rank/cume_dist"),
@@ -326,4 +371,6 @@ QUERIES: list[Query] = [
           "RANGE-frame trailing 7-day revenue"),
     Query("p9_stratified_sample", q_p9_stratified_sample, SQL_P9,
           "exact-rate stratified sampling"),
+    Query("p10_quality_weighted_sample", q_p10_quality_weighted_sample, SQL_P10,
+          "quality-weighted deterministic sampling"),
 ]

@@ -80,3 +80,23 @@ def test_freq_items_no_false_negatives(spark):
     }
     assert true_heavy, "fixture should contain at least one heavy language"
     assert true_heavy <= got
+
+
+def test_countmin_bounds(spark):
+    """Count-min contract: the estimate never undercounts, and the
+    overestimate is bounded by the colliding mass — at w=256 buckets use
+    the standard eps*N bound with eps = e/w and N = total token
+    occurrences (d=4 rows make exceeding it astronomically unlikely)."""
+    rows = REGISTRY["ax4_countmin"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    docs = load(spark, SF_DIR, "documents")
+    n_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).collect()[0]["n"]
+    eps = 2.718281828 / 256
+    for r in rows:
+        assert r["cm_estimate"] >= r["exact_count"], r
+        assert r["cm_estimate"] <= r["exact_count"] + eps * n_tokens, (
+            r,
+            n_tokens,
+        )

@@ -57,6 +57,9 @@ TAIL = [
     "d3_minhash_lsh_fast",
     "d6_dup_clusters",
     "ml1_kmeans",
+    "d8_chunk_dedup",
+    "d10_cross_source_contamination",
+    "e6_retention_cohorts",
 ]
 
 

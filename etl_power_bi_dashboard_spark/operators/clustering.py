@@ -5,9 +5,13 @@ IVF index construction for `similarity.ivf_topk`, diversity sampling).
 The reference has no clustering (its analytics stop at groupbys,
 SURVEY §2.4); this is a §7.4 extension. Spark-first design:
 
-- assignment is `similarity.assign_clusters` — a broadcast cross join of
-  K centroids against the corpus with JVM-side `zip_with`/`aggregate`
-  array math (no Python in the loop), one narrow pass per iteration;
+- assignment is a PURE MAP: between iterations the K centroids are
+  driver-side rows anyway (K·dim doubles), so they re-enter the plan as
+  a literal `array<struct<cid, zv>>` and each vector picks
+  `array_min(transform(centroids, …))` — JVM-side `zip_with`/`aggregate`
+  array math, no join, no window sort, NO SHUFFLE per iteration (the
+  broadcast-join formulation for DataFrame-resident centroids lives on
+  in `similarity.assign_clusters`, used by IVF index builds);
 - centroid recomputation is posexplode → per-(cluster, dim) avg →
   re-assembled array: two shuffles keyed by (cluster_id, pos), both
   tiny (K·dim rows);
@@ -27,7 +31,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .similarity import as_double, assign_clusters, sq_dist
+from pyspark.sql import Column, Row
+
+from .similarity import as_double, sq_dist
 
 
 def init_centroids(
@@ -40,6 +46,49 @@ def init_centroids(
     w_id = F.row_number().over(Window.orderBy(id_col))
     return seeds.select(
         (w_id - F.lit(1)).alias("centroid_id"), "embedding"
+    )
+
+
+def _centroid_literal(cent_rows: list[Row]) -> Column:
+    """K centroids as a literal ``array<struct<cid, zv>>`` expression —
+    the between-iteration centroid state is K·dim doubles on the driver,
+    so embedding it in the plan costs nothing and buys a shuffle-free
+    assignment pass."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r["centroid_id"])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["embedding"]]).alias("zv"),
+            )
+            for r in sorted(cent_rows, key=lambda r: r["centroid_id"])
+        ]
+    )
+
+
+def assign_clusters_literal(
+    corpus: DataFrame,
+    cent_rows: list[Row],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment as a pure map over the corpus scan:
+    per row, ``array_min`` over struct(d2, cid) — field-order comparison
+    gives the same (distance, centroid-id) tie-break as a window sort,
+    with no join, no window, no shuffle. Returns (vec_id, cv, cluster_id,
+    d2) where d2 is the rounded L2² to the chosen centroid."""
+    cv = as_double(F.col(vec_col))
+    scored = F.transform(
+        _centroid_literal(cent_rows),
+        lambda s: F.struct(
+            F.round(sq_dist(cv, s["zv"]), 6).alias("d2"), s["cid"].alias("cid")
+        ),
+    )
+    best = F.array_min(scored)
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        cv.alias("cv"),
+        best["cid"].alias("cluster_id"),
+        best["d2"].alias("d2"),
     )
 
 
@@ -76,25 +125,22 @@ def kmeans(
     embedding); sse_history: within-cluster sum of squared distances per
     iteration (non-increasing up to rounding — pinned by tests).
     """
-    cents = init_centroids(corpus, k, id_col, vec_col)
+    cent_rows = init_centroids(corpus, k, id_col, vec_col).collect()
     sse_history: list[float] = []
     assigned = None
     for _ in range(iters):
-        assigned = assign_clusters(corpus, cents, id_col, vec_col)
-        with_d = assigned.join(
-            cents.select(
-                F.col("centroid_id").alias("cluster_id"),
-                F.col("embedding").alias("zv"),
-            ),
-            "cluster_id",
-        ).select(sq_dist(F.col("cv"), F.col("zv")).alias("d2"))
-        sse_history.append(with_d.agg(F.sum("d2")).first()[0])
+        # pure-map assignment: SSE against the CURRENT centroids is the
+        # sum of the chosen d2 — no re-join needed
+        assigned = assign_clusters_literal(corpus, cent_rows, id_col, vec_col)
+        sse_history.append(assigned.agg(F.sum("d2")).first()[0])
         # collect K·dim doubles to the driver: truncates lineage so the
         # plan depth is constant in the iteration count
-        rows = recompute_centroids(assigned).collect()
-        cents = spark.createDataFrame(rows, "centroid_id INT, embedding ARRAY<DOUBLE>")
+        cent_rows = recompute_centroids(assigned).collect()
+    cents = spark.createDataFrame(
+        cent_rows, "centroid_id INT, embedding ARRAY<DOUBLE>"
+    )
     return (
-        assigned.select(id_col, "cluster_id"),
+        assigned.select(F.col("vec_id").alias(id_col), "cluster_id"),
         cents,
         sse_history,
     )

@@ -173,6 +173,15 @@ def verify_candidate_jaccard(
     work is restricted to what the bucketing surfaced.
     """
     sets_ = shingled.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+    return verify_candidate_jaccard_sets(candidates, sets_, threshold)
+
+
+def verify_candidate_jaccard_sets(
+    candidates: DataFrame, sets_: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification against per-doc shingle ARRAYS
+    (doc_id, sh) — the zero-extra-shuffle form when the set
+    representation already exists (see :func:`shingle_sets`)."""
     sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -188,6 +197,47 @@ def verify_candidate_jaccard(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sh: array<string>) — each document's DISTINCT shingle set
+    as one array row. A pure map over the scan (no explode, no shuffle):
+    the per-doc set representation every signature/verification stage
+    downstream consumes."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+
+
+def _minhash_sig_expr(ts: Column, k: int, hasher: str) -> Column:
+    """Signature expression over a shingle-array column: for each of the
+    k permutations, the min of hash(i, shingle) — entirely JVM
+    expression-level (`transform` × `array_min`), so signatures are
+    computed in a single narrow pass with no explode and no shuffle."""
+    if hasher == "md5":
+        # lexicographic min over hex strings (engine-portable)
+        def mh(i: Column) -> Column:
+            return F.array_min(
+                F.transform(
+                    ts,
+                    lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
+                )
+            )
+    elif hasher == "xxhash64":
+        # NUMERIC min over native 64-bit hashes, stringified afterwards
+        def mh(i: Column) -> Column:
+            return F.array_min(
+                F.transform(ts, lambda s: F.xxhash64(i, s))
+            ).cast("string")
+    else:
+        raise ValueError(f"unknown hasher: {hasher!r}")
+    return F.transform(F.sequence(F.lit(0), F.lit(k - 1)), mh)
 
 
 def minhash_signatures(
@@ -210,24 +260,13 @@ def minhash_signatures(
       candidates surface, not in correctness — verification is exact
       Jaccard either way.
     """
-    exploded = ensure_parallelism(shingled, "doc_id").select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
-        F.col("shingle"),
+    sig = _minhash_sig_expr(F.col("sh"), k, hasher)  # validate hasher eagerly
+    sets_ = (
+        ensure_parallelism(shingled, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
     )
-    if hasher == "md5":
-        h = F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle")))
-    elif hasher == "xxhash64":
-        h = F.xxhash64(F.col("i"), F.col("shingle"))
-    else:
-        raise ValueError(f"unknown hasher: {hasher!r}")
-    hashed = exploded.select("doc_id", "i", h.alias("h"))
-    per_i = hashed.groupBy("doc_id", "i").agg(F.min("h").cast("string").alias("mh"))
-    return per_i.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("i", "mh")))
-        .getField("mh")
-        .alias("sig")
-    )
+    return sets_.select("doc_id", sig.alias("sig"))
 
 
 def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
@@ -279,20 +318,28 @@ def minhash_lsh_dedup_pairs(
     pairs → exact Jaccard verification ≥ threshold.
 
     Verification is candidate-restricted: the Jaccard join touches ONLY
-    the pairs LSH surfaced (``verify_candidate_jaccard``), never the full
-    shingle self-join — at 10⁹ docs the all-sharing-pairs join would
+    the pairs LSH surfaced (``verify_candidate_jaccard_sets``), never the
+    full shingle self-join — at 10⁹ docs the all-sharing-pairs join would
     dwarf the LSH pass it's meant to avoid.
+
+    Plan shape: shingle sets and signatures are PURE MAPS over the scan
+    (array expressions, no explode, no shuffle — the old formulation
+    shuffled k×shingle rows twice); the only shuffles left are the LSH
+    band self-join and the candidate→set verification joins.
 
     ``hasher="xxhash64"`` swaps the signature hash for Spark's native
     codegen'd hash (see :func:`minhash_signatures`) — the production
     choice when DuckDB-reproducible signatures aren't needed; output
     pairs are still exact-Jaccard-verified.
     """
-    shingled = shingle_table(df, text_col, n=n)
-    candidates = lsh_candidate_pairs(
-        lsh_bands(minhash_signatures(shingled, k, hasher=hasher), rows_per_band)
+    sets_ = ensure_parallelism(df, "doc_id").transform(
+        lambda d: shingle_sets(d, text_col, n=n)
     )
-    return verify_candidate_jaccard(candidates, shingled, threshold)
+    sigs = sets_.select(
+        "doc_id", _minhash_sig_expr(F.col("sh"), k, hasher).alias("sig")
+    )
+    candidates = lsh_candidate_pairs(lsh_bands(sigs, rows_per_band))
+    return verify_candidate_jaccard_sets(candidates, sets_, threshold)
 
 
 def simhash_fingerprints(

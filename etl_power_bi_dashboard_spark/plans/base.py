@@ -68,8 +68,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # TIMESTAMP(MICROS) without timezone annotation reads as NTZ under
+        # Spark 4's inferTimestampNTZ; with the session pinned to UTC the
+        # cast is a pure re-tag of the same wall-clock instant, matching
+        # DuckDB's TZ-naive read. Downstream operators (unix_micros,
+        # window(), watermarks) require TimestampType.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -41,6 +41,8 @@ HEADLINE = [
     "d3_minhash_lsh",
     "v1_cosine_topk",
     "x2_quality",
+    "x12_unigram_score",
+    "p11_sequence_pack",
     "m1_multimodal_features",
 ]
 

@@ -21,12 +21,13 @@ oracle-less ones (driver records rows-only checks for those) take the
 front of the window; the remaining ~32 slots re-check round-1 core
 entries (regression evidence on the golden-pinned §2 surface). After
 round 3 every entry that existed at rotation time has a driver row;
-queries added later in round 3 (x7-x11, d8/d9/d10, e6, p10, ax4 —
-repetition filters, PII scrub, quality cascade, source mix,
-mixing-weight solver, chunk dedup, decontamination, cross-source
-contamination, cohort retention, quality-weighted sampling, count-min
-sketch) sit behind the window with local sf0.001/sf0.01 parity and
-rotate in next round.
+queries added later in round 3 (x7-x13, d8-d11, e6/e7, p10/p11, ax4,
+a15, sc1/sc2 — repetition filters, PII scrub, quality cascade, source
+mix, mixing-weight solver, unigram LM score, token budgeting, chunk
+dedup, decontamination, cross-source contamination, incremental dedup,
+cohort retention, z-score outliers, quality-weighted sampling, sequence
+packing, count-min sketch, group mode, salted join/agg) sit behind the
+window with local sf0.001/sf0.01 parity and rotate in next round.
 
 Every query keeps its local sf0.001 DuckDB parity test regardless of
 position (tests/test_oracle_parity.py covers the whole registry).
@@ -42,6 +43,7 @@ from . import (
     expressions,
     groupings,
     merge_plans,
+    scale_plans,
     similarity_plans,
     stats_plans,
     temporal_plans,
@@ -69,6 +71,7 @@ _MODULES = [
     dedup_plans,
     similarity_plans,
     stats_plans,
+    scale_plans,
 ]
 
 # Driver-window priority (see module docstring). Names listed here come

@@ -196,30 +196,34 @@ def q_d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    tok = dedup.ensure_parallelism(docs, "doc_id").select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    ts = F.array_distinct(F.split("text", " "))
+    tok = (
+        dedup.ensure_parallelism(docs, "doc_id")
+        .select("doc_id", F.size(ts).alias("n"), F.explode(ts).alias("term"))
     )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = tok.select(F.col("doc_id").alias("i"), "term")
-    b = tok.select(F.col("doc_id").alias("j"), "term")
+    a = tok.select(F.col("doc_id").alias("i"), F.col("n").alias("ni"), "term")
+    b = tok.select(F.col("doc_id").alias("j"), F.col("n").alias("nj"), "term")
+    # Length filter (PPJoin-style, LOSSLESS at this threshold): J(A,B) ≤
+    # min(|A|,|B|)/max(|A|,|B|), so J ≥ 0.95 forces sizes within 5% —
+    # pruned INSIDE the join condition, before the pair-count shuffle.
     inter = (
-        a.join(b, ["term"])
-        .filter(F.col("i") < F.col("j"))
-        .groupBy("i", "j")
+        a.join(
+            b,
+            (a["term"] == b["term"])
+            & (F.col("i") < F.col("j"))
+            & (
+                F.least("ni", "nj").cast("double")
+                / F.greatest("ni", "nj").cast("double")
+                >= 0.95
+            ),
+        )
+        .groupBy("i", "j", "ni", "nj")
         .agg(F.count("*").alias("c"))
     )
-    si = sizes.select(F.col("doc_id").alias("i"), F.col("n").alias("ni"))
-    sj = sizes.select(F.col("doc_id").alias("j"), F.col("n").alias("nj"))
-    edges = (
-        inter.join(si, "i")
-        .join(sj, "j")
-        .filter(
-            F.col("c").cast("double") / (F.col("ni") + F.col("nj") - F.col("c"))
-            >= 0.95
-        )
-        .select(F.col("i").alias("src"), F.col("j").alias("dst"))
-    )
+    edges = inter.filter(
+        F.col("c").cast("double") / (F.col("ni") + F.col("nj") - F.col("c"))
+        >= 0.95
+    ).select(F.col("i").alias("src"), F.col("j").alias("dst"))
     labels = connected_components(
         docs.select("doc_id"), edges, node_col="doc_id"
     )
@@ -439,6 +443,53 @@ GROUP BY 1, 2
 """
 
 
+def q_d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch (doc_id ≥ 400) checked
+    against the already-ingested corpus (doc_id < 400) by exact content
+    hash — every continuously-built corpus runs this on each ingest
+    instead of re-deduping the world.
+
+    Shape: hash both sides (pure map), aggregate the existing side to one
+    row per hash (min doc_id — the canonical owner), LEFT join the batch
+    on the hash. Cost is linear in batch + corpus with one shuffle on the
+    hash key; at 100 TB the corpus side is the pre-existing dedup index
+    you keep partitioned by hash, so each ingest touches only the batch's
+    hash partitions. ``dup_of`` = owning doc (null ⇒ genuinely new).
+    """
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    existing = (
+        docs.filter(F.col("doc_id") < 400)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    return (
+        batch.join(existing, "h", "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("int")
+            .alias("is_new"),
+        )
+    )
+
+
+SQL_D11 = """
+WITH batch AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400
+),
+existing AS (
+    SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS dup_of
+    FROM documents WHERE doc_id < 400 GROUP BY 1
+)
+SELECT b.doc_id, e.dup_of,
+       CAST(CASE WHEN e.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS is_new
+FROM batch b LEFT JOIN existing e USING (h)
+"""
+
+
 QUERIES: list[Query] = [
     Query("d1_dedup_exact", q_d1_dedup_exact, SQL_D1, "exact dedup"),
     Query("d6_dup_clusters", q_d6_dup_clusters, SQL_D6,
@@ -456,4 +507,6 @@ QUERIES: list[Query] = [
           "chunk-level partial-overlap dedup profile"),
     Query("d10_cross_source_contamination", q_d10_cross_source_contamination,
           SQL_D10, "cross-source chunk containment"),
+    Query("d11_incremental_dedup", q_d11_incremental_dedup, SQL_D11,
+          "incremental-ingest dedup vs existing corpus"),
 ]

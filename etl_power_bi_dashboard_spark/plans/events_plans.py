@@ -11,7 +11,7 @@ natural partitioning key for clickstream data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import Query, load_events
@@ -239,6 +239,61 @@ GROUP BY 1, 2
 """
 
 
+def q_e7_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly detection: events whose value is > 2 sample
+    standard deviations from that user's mean — the metric-monitoring /
+    data-validation staple.
+
+    Moments come from DECIMAL power sums over a per-user window (the a12
+    trick: var = (n·Σx² − (Σx)²)/(n·(n−1)) with Σx, Σx² exact), so
+    partial-aggregation order can't perturb them; the z-score is then a
+    handful of identical IEEE ops on both engines. One shuffle on
+    user_id — the window and the verdict share it; users with < 2 events
+    or zero variance are excluded (z undefined).
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    x = _value_dec()
+    stats = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count("*").over(w).alias("n"),
+        F.sum(x).over(w).cast("double").alias("s1"),
+        F.sum(x * x).over(w).cast("double").alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    var = (n * F.col("s2") - F.col("s1") * F.col("s1")) / (n * (n - F.lit(1.0)))
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        stats.filter((F.col("n") > 1))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select("user_id", "event_id", "value", "z")
+    )
+
+
+SQL_E7 = """
+WITH s AS (
+    SELECT user_id, event_id, value,
+           COUNT(*) OVER w AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+), z AS (
+    SELECT user_id, event_id, value,
+           (value - s1 / CAST(n AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS z
+    FROM s WHERE n > 1
+)
+SELECT user_id, event_id, value, z FROM z WHERE ABS(z) > 2.0
+"""
+
+
 QUERIES: list[Query] = [
     Query("e1_tumbling_hourly", q_e1_tumbling_hourly, SQL_E1, "tumbling window agg"),
     Query("e5_funnel", q_e5_funnel, SQL_E5, "sequenced conversion funnel"),
@@ -246,4 +301,6 @@ QUERIES: list[Query] = [
     Query("e3_session_windows", q_e3_session_windows, SQL_E3, "session window agg"),
     Query("e6_retention_cohorts", q_e6_retention_cohorts, SQL_E6,
           "weekly cohort retention matrix"),
+    Query("e7_value_outliers", q_e7_value_outliers, SQL_E7,
+          "per-user z-score anomaly detection"),
 ]

@@ -1,0 +1,88 @@
+"""Skew-mitigation plans: the operators/scale.py toolkit under the
+driver's correctness gate.
+
+Salting rewrites a plan's SHAPE (extra key, replicated small side, 2-level
+aggregation) without changing its RESULT — exactly the kind of rewrite
+that deserves differential testing, so both entries' oracles are the
+PLAIN (unsalted) SQL: the driver hash-compare proves the rewrite is
+semantics-preserving on real data, not just on the unit-test fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import scale
+from .base import SQL_PRICE, Query, load
+
+
+def q_sc1_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⨝dim join: lineitem (big, potentially hot-keyed)
+    joined to supplier through an 8-way salt — the big side salts on
+    within-key-varying columns (partkey, linenumber), the 100-row dim is
+    replicated across salt values — then revenue per supplier nation.
+
+    Row-for-row equivalent to the plain join (the oracle IS the plain
+    join); at 100 TB this is the shape for a hot supplier key that AQE's
+    skew splitting can't fix (e.g. when the output of the join feeds a
+    same-key aggregation and must stay co-partitioned).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = scale.salted_join(
+        li, supp, "l_suppkey", salt_buckets=8,
+        salt_cols=["l_partkey", "l_linenumber"],
+    )
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+SQL_SC1 = f"""
+SELECT s.s_nationkey, COUNT(*) AS n_items,
+       CAST(SUM({SQL_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+"""
+
+
+def q_sc2_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted aggregation: quantity totals per return flag computed
+    as partial sums on (flag, salt) then finalized on flag — the rewrite
+    for a group key so hot a single task would overflow.
+
+    Sums are DECIMAL at both levels, so the extra aggregation level
+    cannot perturb the value (floats would differ by association order);
+    the oracle is the plain one-level SUM.
+    """
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(12,2)")
+    )
+    out = scale.salted_sum(li, key="l_returnflag", value="qty_dec", salt_buckets=16)
+    return out.select(
+        "l_returnflag", F.col("sum_qty_dec").cast("double").alias("total_qty")
+    )
+
+
+SQL_SC2 = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES: list[Query] = [
+    Query("sc1_salted_join", q_sc1_salted_join, SQL_SC1,
+          "skew-salted join (semantics-preserving rewrite)"),
+    Query("sc2_salted_agg", q_sc2_salted_agg, SQL_SC2,
+          "skew-salted two-level aggregation"),
+]

@@ -182,8 +182,47 @@ def q_ax4_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a15_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode: most frequent order priority per order
+    status (count per pair → row_number with a value tiebreak). Two
+    shuffles, both on aggregated cardinalities (|status|×|priority|
+    rows), regardless of input scale."""
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+SQL_A15 = """
+WITH c AS (
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY n DESC, o_orderpriority) AS rk
+      FROM c)
+WHERE rk = 1
+"""
+
+
 QUERIES: list[Query] = [
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
+    Query("a15_group_mode", q_a15_group_mode, SQL_A15, "exact per-group mode"),
     Query("a14_percentiles_disc", q_a14_percentiles_disc, SQL_A14,
           "exact rank-based percentiles"),
     Query("ax1_approx_distinct", q_ax1_approx_distinct, None,

@@ -521,8 +521,124 @@ FROM m
 """
 
 
+def q_x12_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model familiarity score — the engine-portable
+    stand-in for the CCNet/KenLM perplexity filter: documents made of
+    corpus-common tokens score high, documents of rare tokens score low.
+
+    Instead of mean log-probability (transcendental — last-bit libm
+    differences across engines), the score is the *integer* corpus
+    frequency mass: ``sum_freq = Σ_positions corpus_count(token)`` (exact
+    BIGINT), surfaced as ``avg_token_freq = sum_freq / n_tokens`` (one
+    IEEE division). ``rare_tokens`` counts occurrences of tokens seen ≤ 2
+    times corpus-wide — the OOV-ish tail a filter would flag. Ranking
+    monotonicity matches the log form; every value hashes bit-identically.
+
+    Plan shape: x6's single tokenize+explode produces per-(doc,term)
+    counts; corpus term counts RE-AGGREGATE those partials (no second
+    scan); the join back to docs is on the term key. At 100 TB the term
+    table is the Zipf-light side — orders of magnitude smaller than the
+    corpus — so AQE broadcasts it; per-doc integer sums are one final
+    shuffle on doc_id.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy(F.col("term").alias("c_term")).agg(
+        F.sum("tf").alias("corpus_count")
+    )
+    return (
+        tf.join(cnt, tf["term"] == F.col("c_term"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("corpus_count"))
+            .cast("bigint")
+            .alias("sum_freq"),
+            F.sum(
+                F.when(F.col("corpus_count") <= 2, F.col("tf")).otherwise(0)
+            ).cast("bigint").alias("rare_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            (F.col("sum_freq").cast("double") / F.col("n_tokens").cast("double")
+             ).alias("avg_token_freq"),
+            "rare_tokens",
+        )
+    )
+
+
+SQL_X12 = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), toks_f AS (
+    SELECT doc_id, term FROM toks WHERE length(term) > 0
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks_f GROUP BY doc_id, term
+), cnt AS (
+    SELECT term, SUM(tf) AS corpus_count FROM tf GROUP BY term
+)
+SELECT t.doc_id,
+       CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(t.tf * c.corpus_count) AS BIGINT) AS sum_freq,
+       CAST(SUM(t.tf * c.corpus_count) AS DOUBLE)
+           / CAST(SUM(t.tf) AS DOUBLE) AS avg_token_freq,
+       CAST(SUM(CASE WHEN c.corpus_count <= 2 THEN t.tf ELSE 0 END) AS BIGINT)
+           AS rare_tokens
+FROM tf t JOIN cnt c ON t.term = c.term
+GROUP BY t.doc_id
+"""
+
+
+def q_x13_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length budgeting: per document, exact whitespace tokens,
+    a fixed-width subword estimate (Σ ceil(len(word)/4) — the BPE-ish
+    upper bound used to budget sequences before the real tokenizer runs),
+    and the chars-per-subword ratio.
+
+    All integer arithmetic ((len+3) DIV 4 summed via a higher-order
+    array fold — no explode, no shuffle, pure map over the scan) plus one
+    final IEEE division, so values hash identically on any engine.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    est = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.floor((F.length(t) + F.lit(3)) / F.lit(4)),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        est.cast("bigint").alias("est_subwords"),
+        (F.length("text").cast("double") / est.cast("double")).alias(
+            "chars_per_subword"
+        ),
+    )
+
+
+SQL_X13 = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                                    t -> (length(t) + 3) // 4)) AS BIGINT)
+           AS est_subwords,
+       CAST(length(text) AS DOUBLE)
+           / CAST(list_sum(list_transform(string_split(text, ' '),
+                                          t -> (length(t) + 3) // 4)) AS DOUBLE)
+           AS chars_per_subword
+FROM documents
+"""
+
+
 QUERIES: list[Query] = [
     Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
+    Query("x13_token_budget", q_x13_token_budget, SQL_X13,
+          "context-length budgeting (subword estimate)"),
     Query("x6_tfidf", q_x6_tfidf, SQL_X6, "TF-IDF keyword extraction"),
     Query("x5_top_terms", q_x5_top_terms, SQL_X5, "corpus term frequency top-k"),
     Query("x2_quality", q_x2_quality, SQL_X2, "quality scoring"),
@@ -537,6 +653,8 @@ QUERIES: list[Query] = [
           "corpus composition / data-mixing report"),
     Query("x11_mixing_weights", q_x11_mixing_weights, SQL_X11,
           "data-mixing weight solver (equalize source token shares)"),
+    Query("x12_unigram_score", q_x12_unigram_score, SQL_X12,
+          "unigram LM familiarity score (perplexity-filter proxy)"),
     Query("m1_multimodal_features", q_m1_multimodal_features, SQL_M1, "binary payload features (mapInPandas)"),
     Query("m2_frame_sampling", q_m2_frame_sampling, SQL_M2, "frame-sample fan-out (mapInPandas)"),
     Query("m3_label_centroids", q_m3_label_centroids, SQL_M3, "grouped centroids (applyInPandas)"),

@@ -359,6 +359,47 @@ FROM b
 """
 
 
+def q_p11_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing, GPT-style concatenate-then-chunk:
+    documents are concatenated in deterministic content-hash order within
+    8 hash buckets and the token stream is cut into 512-token sequences;
+    each document reports where it lands ((bucket, seq_no) + seq_offset).
+
+    The step between a filtered corpus and a pretraining dataloader. One
+    per-bucket window sort (no global ORDER BY — bucket count is the
+    parallelism knob at 100 TB); cumulative sums are exact integer
+    arithmetic, so the layout is bit-identical on any engine and any
+    partitioning (operators/packing.py:pack_concat_chunk).
+    """
+    from ..operators import packing
+
+    return packing.pack_concat_chunk(
+        load(spark, sf_dir, "documents"), ctx_len=512, n_buckets=8
+    )
+
+
+SQL_P11 = """
+WITH d AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5(text) AS h,
+           CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 8
+                AS INT) AS bucket
+    FROM documents
+), c AS (
+    SELECT doc_id, bucket, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS start
+    FROM d
+)
+SELECT doc_id, bucket, n_tokens,
+       CAST(FLOOR(start / 512) AS INT) AS seq_no,
+       CAST(start % 512 AS INT) AS seq_offset
+FROM c
+"""
+
+
 QUERIES: list[Query] = [
     Query("w4_moving_avg", q_w4_moving_avg, SQL_W4, "ROWS-frame moving average"),
     Query("w5_distribution", q_w5_distribution, SQL_W5, "ntile/percent_rank/cume_dist"),
@@ -373,4 +414,6 @@ QUERIES: list[Query] = [
           "exact-rate stratified sampling"),
     Query("p10_quality_weighted_sample", q_p10_quality_weighted_sample, SQL_P10,
           "quality-weighted deterministic sampling"),
+    Query("p11_sequence_pack", q_p11_sequence_pack, SQL_P11,
+          "training-sequence packing (concatenate-then-chunk)"),
 ]

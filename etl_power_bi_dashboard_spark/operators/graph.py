@@ -31,6 +31,76 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    damping: float = 0.85,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list — the classic
+    link-graph quality signal (the web-scale ancestor of per-document
+    quality weighting in corpus builds).
+
+    Per iteration: each node splits its rank across its out-edges (the
+    static (edge, out-degree) table is built once and checkpointed), the
+    contributions aggregate on dst (one keyed shuffle — the same
+    join+groupBy rendezvous as connected_components), and dangling-node
+    mass (no out-edges) redistributes uniformly. Only two scalars cross
+    to the driver per iteration (dangling mass; nothing else), and
+    ``localCheckpoint`` truncates lineage so plan depth stays constant —
+    the k-means/components iteration pattern.
+
+    Returns (node, rank) with Σ rank = 1 up to float rounding.
+    Deterministic given the graph: the fixpoint doesn't depend on
+    partitioning (sums are doubles, so last-bit associativity wiggle
+    exists run-to-run — callers needing bit-stable output should round).
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col(node_col).alias("node"), F.lit(0.0).alias("rank")
+        )
+    base_nodes = nodes.select(F.col(node_col).alias("node")).localCheckpoint(
+        eager=True
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = (
+        edges.join(deg, "src")
+        .select("src", "dst", "deg")
+        .localCheckpoint(eager=True)
+    )
+    ranks = base_nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    src_nodes = ed.select(F.col("src").alias("node")).distinct()
+    for _ in range(max_iter):
+        contribs = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        dangling = (
+            ranks.join(src_nodes, "node", "anti").agg(F.sum("rank")).first()[0]
+            or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            base_nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Undirected edge list → both directions (the propagation joins are
     directional)."""

@@ -26,8 +26,9 @@ a15, sc1/sc2 — repetition filters, PII scrub, quality cascade, source
 mix, mixing-weight solver, unigram LM score, token budgeting, chunk
 dedup, decontamination, cross-source contamination, incremental dedup,
 cohort retention, z-score outliers, quality-weighted sampling, sequence
-packing, count-min sketch, group mode, salted join/agg) sit behind the
-window with local sf0.001/sf0.01 parity and rotate in next round.
+packing, count-min sketch, group mode, salted join/agg, and the
+oracle-less ml2 PageRank) sit behind the window with local
+sf0.001/sf0.01 parity and rotate in next round.
 
 Every query keeps its local sf0.001 DuckDB parity test regardless of
 position (tests/test_oracle_parity.py covers the whole registry).

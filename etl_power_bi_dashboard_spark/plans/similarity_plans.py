@@ -229,9 +229,48 @@ def q_ml1_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster_id").agg(F.count("*").alias("n_vectors"))
 
 
+def q_ml2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier trade graph (edge = customer
+    ordered from supplier, via lineitem⨝orders): the link-graph quality
+    signal, here ranking suppliers by how much well-connected demand
+    flows to them. Top-20 by rank (rounded to 12 so the float power
+    iteration's last-bit wiggle can't reorder hash comparisons).
+
+    Iterative power method — no single SQL equivalent, so no oracle (the
+    driver records the rows-only check); mass conservation, star-graph
+    ordering, and determinism are pinned in tests/test_graph_ops.py.
+    Node ids are namespaced ("c:…"/"s:…") so the two key spaces can't
+    collide.
+    """
+    from ..operators.graph import pagerank
+    from .base import fact_sales
+
+    fact = fact_sales(spark, sf_dir)
+    edges = (
+        fact.select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    ranks = pagerank(nodes, edges, node_col="id", damping=0.85, max_iter=8)
+    return (
+        ranks.select("node", F.round("rank", 12).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
+
+
 QUERIES: list[Query] = [
     Query("ml1_kmeans", q_ml1_kmeans, None,
           "iterative k-means (oracle-less; convergence-tested)"),
+    Query("ml2_pagerank", q_ml2_pagerank, None,
+          "trade-graph PageRank (oracle-less; mass-conservation-tested)"),
     Query("v1_cosine_topk", q_v1_cosine_topk, SQL_V1, "brute-force cosine top-k"),
     Query("v2_ann_ivf", q_v2_ann_ivf, SQL_V2, "IVF approximate top-k"),
     Query("v3_lsh_neardup", q_v3_lsh_neardup, _sql_v3(), "LSH-bucketed near-dup"),

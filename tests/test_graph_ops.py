@@ -1,0 +1,78 @@
+"""PageRank contracts (operators/graph.py:pagerank): probability-mass
+conservation, known orderings on constructed graphs, dangling-node
+handling, and partitioning invariance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rank_map(df):
+    return {r.node: r.rank for r in df.collect()}
+
+
+def test_pagerank_mass_conserved(spark):
+    # simple 4-node cycle + a chord
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], ["id"])
+    from etl_power_bi_dashboard_spark.operators.graph import pagerank
+
+    ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=15))
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert all(v > 0 for v in ranks.values())
+
+
+def test_pagerank_star_center_ranks_highest(spark):
+    # 5 leaves all pointing at node 0; leaves get only teleport mass
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 6)], ["src", "dst"])
+    nodes = spark.createDataFrame([(i,) for i in range(0, 6)], ["id"])
+    from etl_power_bi_dashboard_spark.operators.graph import pagerank
+
+    ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=15))
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    center = ranks[0]
+    for leaf in range(1, 6):
+        assert center > ranks[leaf]
+    # all leaves symmetric → identical rank
+    leaf_ranks = {round(ranks[i], 12) for i in range(1, 6)}
+    assert len(leaf_ranks) == 1
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # 1 -> 2, 2 dangles: without dangling handling mass would leak
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    nodes = spark.createDataFrame([(1,), (2,)], ["id"])
+    from etl_power_bi_dashboard_spark.operators.graph import pagerank
+
+    ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=20))
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks[2] > ranks[1]  # 2 receives 1's mass plus teleport
+
+
+def test_pagerank_isolated_nodes_get_teleport_share(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    from etl_power_bi_dashboard_spark.operators.graph import pagerank
+
+    ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=15))
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks[3] > 0
+    assert ranks[3] < ranks[1]
+
+
+def test_pagerank_partitioning_invariant(spark):
+    edges = [(i, (i * 7) % 23) for i in range(23)] + [(i, 0) for i in range(23)]
+    edf = spark.createDataFrame(edges, ["src", "dst"]).filter("src != dst")
+    nodes = spark.createDataFrame([(i,) for i in range(23)], ["id"])
+    from etl_power_bi_dashboard_spark.operators.graph import pagerank
+
+    a = _rank_map(pagerank(nodes, edf, node_col="id", max_iter=8))
+    b = _rank_map(
+        pagerank(nodes.repartition(7), edf.repartition(5), node_col="id", max_iter=8)
+    )
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)

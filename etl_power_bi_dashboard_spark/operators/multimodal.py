@@ -20,6 +20,7 @@ from pyspark.sql.types import (
     BinaryType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -104,6 +105,38 @@ def explode_sampled_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_len", IntegerType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def resize_payloads(df: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas resize pass: decode → resize to (width × height) →
+    fingerprint, one row per payload — the image-normalization shape a
+    vision-data pipeline runs before embedding. Schema, Arrow batching,
+    and per-batch vectorization are real; the codec is the deterministic
+    fake (tile-and-truncate), so the output is oracle-checkable."""
+    import hashlib
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "out_len": [], "resized_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = resize_image(
+                    decode_image(payload, codec="fake"), width, height, codec="fake"
+                )
+                out["doc_id"].append(doc_id)
+                out["out_len"].append(len(px))
+                out["resized_md5"].append(hashlib.md5(px).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(resize, RESIZE_SCHEMA)
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -177,6 +177,29 @@ GROUP BY label, dim
 """
 
 
+def q_m4_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-normalization plumbing: payload → decode → resize to a fixed
+    24×16 'pixel' buffer → fingerprint, through an Arrow-batched
+    mapInPandas pass (operators/multimodal.py:resize_payloads). The fake
+    codec tiles-and-truncates deterministically, so the DuckDB oracle
+    recomputes the identical buffer with repeat+substr (payload bytes ==
+    ASCII text here)."""
+    docs = load(spark, sf_dir, "documents")
+    return multimodal.resize_payloads(
+        multimodal.with_binary_payload(docs), width=24, height=16
+    )
+
+
+# fake resize: (payload * (n // len + 1))[:n] with n = 24*16 = 384
+SQL_M4 = """
+SELECT doc_id,
+       CAST(384 AS INT) AS out_len,
+       md5(substr(repeat(text, CAST(384 // length(text) AS INT) + 1), 1, 384))
+           AS resized_md5
+FROM documents
+"""
+
+
 def q_x5_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency: tokenize → explode → count → top-20.
 
@@ -658,4 +681,6 @@ QUERIES: list[Query] = [
     Query("m1_multimodal_features", q_m1_multimodal_features, SQL_M1, "binary payload features (mapInPandas)"),
     Query("m2_frame_sampling", q_m2_frame_sampling, SQL_M2, "frame-sample fan-out (mapInPandas)"),
     Query("m3_label_centroids", q_m3_label_centroids, SQL_M3, "grouped centroids (applyInPandas)"),
+    Query("m4_resize", q_m4_resize, SQL_M4,
+          "image-resize plumbing (mapInPandas, deterministic fake codec)"),
 ]

@@ -71,7 +71,12 @@ def test_whole_stage_codegen(spark):
     assert "* HashAggregate" in plan and "* BroadcastHashJoin" in plan
 
 
-_PANDAS_PLANS = {"m1_multimodal_features", "m2_frame_sampling", "m3_label_centroids"}
+_PANDAS_PLANS = {
+    "m1_multimodal_features",
+    "m2_frame_sampling",
+    "m3_label_centroids",
+    "m4_resize",
+}
 
 
 @pytest.mark.parametrize("name", sorted(n for n in REGISTRY if n not in _PANDAS_PLANS))

@@ -251,8 +251,56 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF approximate top-k: probe the n_probe nearest clusters per query,
-    rank candidates within them by cosine."""
+    rank candidates within them by cosine. Assigns the corpus inline; for
+    repeated querying, build the assignment once with
+    :func:`ivf_write_index` and probe it with :func:`ivf_topk_indexed`.
+    """
     assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    return ivf_probe_topk(assigned, centroids, queries, k, n_probe, id_col, vec_col)
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF assignment partitioned by ``cluster_id`` — the
+    one-time index build. Probing a persisted index scans only the
+    probed clusters' directories (partition pruning via dynamic pruning
+    on the equi-join), which is the 100 TB posture: the per-query cost is
+    n_probe/n_clusters of the corpus in IO, not just in filtering."""
+    assign_clusters(corpus, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cluster_id").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a persisted IVF index (see :func:`ivf_write_index`)."""
+    assigned = spark.read.parquet(index_path)
+    return ivf_probe_topk(assigned, centroids, queries, k, n_probe, id_col, vec_col)
+
+
+def ivf_probe_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe stage over an existing (vec_id, cv, cluster_id) assignment."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )

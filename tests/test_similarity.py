@@ -105,3 +105,36 @@ def test_ivf_recall_vs_brute_force(spark):
     # less than half of the true neighborhood — assert the floor that
     # distinguishes "working ANN" from "broken bucketing"
     assert recall >= 0.3, f"IVF recall suspiciously low: {recall}"
+
+
+def test_ivf_persisted_index_matches_inline(spark, tmp_path):
+    """ivf_write_index + ivf_topk_indexed return exactly the inline
+    ivf_topk results, and the probe scan is pruned to the probed
+    clusters' partitions (dynamic partition pruning on the equi-join),
+    not a full-index filter scan."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_write_index(emb, centroids, path)
+
+    inline = {
+        tuple(r)
+        for r in similarity.ivf_topk(emb, centroids, queries, k=3, n_probe=2).collect()
+    }
+    indexed_df = similarity.ivf_topk_indexed(
+        spark, path, centroids, queries, k=3, n_probe=2
+    )
+    indexed = {tuple(r) for r in indexed_df.collect()}
+    assert indexed == inline and len(indexed) > 0
+
+    # layout: one directory per cluster (hive-partitioned by cluster_id)
+    import os
+
+    parts = [d for d in os.listdir(path) if d.startswith("cluster_id=")]
+    assert len(parts) >= 2
+
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(cluster_id" in plan

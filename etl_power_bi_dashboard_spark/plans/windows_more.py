@@ -400,6 +400,38 @@ FROM c
 """
 
 
+def q_p12_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit packing efficiency report: documents packed into
+    512-token bins that never split a document
+    (operators/packing.py:pack_greedy, per-bucket applyInPandas), then
+    per-bucket bin count, docs, and mean fill — the dataloader-prep
+    summary that tells you how much padding a no-split policy costs.
+
+    The packer is sequential per bucket (bin state carries across rows),
+    hence non-SQL-expressible — no oracle; capacity/determinism laws are
+    pinned by tests/test_packing.py and the driver records rows-only.
+    """
+    from ..operators import packing
+
+    packed = packing.pack_greedy(
+        load(spark, sf_dir, "documents"), ctx_len=512, n_buckets=8
+    )
+    bins = packed.groupBy("bucket", "bin_no").agg(
+        F.max("bin_fill").alias("fill"), F.count("*").alias("docs")
+    )
+    return (
+        bins.groupBy("bucket")
+        .agg(
+            F.count("*").cast("int").alias("n_bins"),
+            F.sum("docs").cast("int").alias("n_docs"),
+            (F.sum("fill").cast("double") / (F.count("*") * 512)).alias(
+                "mean_utilization"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES: list[Query] = [
     Query("w4_moving_avg", q_w4_moving_avg, SQL_W4, "ROWS-frame moving average"),
     Query("w5_distribution", q_w5_distribution, SQL_W5, "ntile/percent_rank/cume_dist"),
@@ -416,4 +448,6 @@ QUERIES: list[Query] = [
           "quality-weighted deterministic sampling"),
     Query("p11_sequence_pack", q_p11_sequence_pack, SQL_P11,
           "training-sequence packing (concatenate-then-chunk)"),
+    Query("p12_greedy_pack", q_p12_greedy_pack, None,
+          "greedy no-split packing efficiency (oracle-less; law-tested)"),
 ]

@@ -121,3 +121,88 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         candidates = [(s2, v) for k2, s2, v in right if k2 == k and s2 <= s]
         want = max(candidates)[1] if candidates else None
         assert got[(k, to_ts(s))] == want, (k, s, candidates)
+
+
+@given(
+    lens=st.lists(st.integers(1, 40), min_size=1, max_size=30),
+    ctx=st.integers(8, 64),
+)
+@_settings
+def test_greedy_pack_laws_arbitrary_docs(spark, lens, ctx):
+    """pack_greedy on arbitrary documents (including ones LONGER than the
+    context): every doc placed once; a bin exceeds ctx only when it holds
+    a single oversized doc; bins number contiguously from 0 per bucket."""
+    from etl_power_bi_dashboard_spark.operators.packing import pack_greedy
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(n))) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    rows = pack_greedy(docs, ctx_len=ctx, n_buckets=2).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(lens)))
+    fills: dict[tuple, int] = {}
+    members: dict[tuple, int] = {}
+    for r in rows:
+        assert r.n_tokens == lens[r.doc_id]
+        key = (r.bucket, r.bin_no)
+        fills[key] = fills.get(key, 0) + r.n_tokens
+        members[key] = members.get(key, 0) + 1
+    for key, tot in fills.items():
+        assert tot <= ctx or members[key] == 1, (key, tot, members[key])
+    by_bucket: dict[int, set] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, set()).add(r.bin_no)
+    for bins in by_bucket.values():
+        assert bins == set(range(len(bins)))
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8),
+        min_size=2,
+        max_size=10,
+    )
+)
+@_settings
+def test_d6_length_filter_lossless(spark, docs):
+    """The PPJoin length filter in the duplicate-cluster edge join is
+    LOSSLESS at θ=0.95: edges from the filtered inverted-index join equal
+    the brute-force pairwise Jaccard edges on arbitrary corpora."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sets_ = {i: set(toks) for i, toks in enumerate(docs)}
+    expected = set()
+    for i in sets_:
+        for j in sets_:
+            if i < j:
+                inter = len(sets_[i] & sets_[j])
+                union = len(sets_[i] | sets_[j])
+                if union and inter / union >= 0.95:
+                    expected.add((i, j))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ts = F.array_distinct(F.split("text", " "))
+    tok = df.select("doc_id", F.size(ts).alias("n"), F.explode(ts).alias("term"))
+    a = tok.select(F.col("doc_id").alias("i"), F.col("n").alias("ni"), "term")
+    b = tok.select(F.col("doc_id").alias("j"), F.col("n").alias("nj"), "term")
+    inter = (
+        a.join(
+            b,
+            (a["term"] == b["term"])
+            & (F.col("i") < F.col("j"))
+            & (
+                F.least("ni", "nj").cast("double")
+                / F.greatest("ni", "nj").cast("double")
+                >= 0.95
+            ),
+        )
+        .groupBy("i", "j", "ni", "nj")
+        .agg(F.count("*").alias("c"))
+    )
+    got = {
+        (r.i, r.j)
+        for r in inter.filter(
+            F.col("c").cast("double") / (F.col("ni") + F.col("nj") - F.col("c"))
+            >= 0.95
+        ).collect()
+    }
+    assert got == expected

@@ -182,6 +182,39 @@ def q_ax4_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ax5_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup: per-source distinct-token sketches
+    (``hll_sketch_agg``) whose BINARY sketches re-aggregate to the global
+    estimate via ``hll_union_agg`` — never rescanning the corpus.
+
+    This is the 100 TB incremental-analytics pattern the plain
+    ``approx_count_distinct`` (ax1) can't do: persist one sketch per
+    partition/day, answer "distinct over any source subset / rolling
+    window" by unioning a handful of kilobyte sketches. The per-source
+    row carries its own estimate; the ``__all__`` row is the union of the
+    per-source sketches (NOT a second scan). Oracle-less (sketch binaries
+    are engine-specific); union-vs-direct agreement and error bounds are
+    pinned in tests/test_stats.py.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    per_source = toks.groupBy("source").agg(
+        F.hll_sketch_agg("term").alias("sk")
+    )
+    source_rows = per_source.select(
+        "source", F.hll_sketch_estimate("sk").alias("est_distinct_terms")
+    )
+    global_row = per_source.agg(
+        F.hll_union_agg("sk").alias("sk")
+    ).select(
+        F.lit("__all__").alias("source"),
+        F.hll_sketch_estimate("sk").alias("est_distinct_terms"),
+    )
+    return source_rows.unionByName(global_row)
+
+
 def q_a15_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group mode: most frequent order priority per order
     status (count per pair → row_number with a value tiebreak). Two
@@ -233,4 +266,6 @@ QUERIES: list[Query] = [
           "approximate heavy hitters (no-false-negative; accuracy-tested)"),
     Query("ax4_countmin", q_ax4_countmin, None,
           "count-min sketch token frequency estimates (accuracy-tested)"),
+    Query("ax5_hll_merge", q_ax5_hll_merge, None,
+          "mergeable HLL sketch rollup (union-vs-direct tested)"),
 ]

@@ -159,6 +159,26 @@ def click_purchase_join(
     )
 
 
+def enrich_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each streaming event picks up its
+    user's dimension attributes — the canonical "enrich the stream with a
+    dim table" shape (the streaming twin of the batch star join J1).
+
+    The static side is joined per micro-batch with no streaming state at
+    all (unlike stream-stream joins): Spark broadcasts/hash-joins the dim
+    against each batch, and the dim is re-resolved every batch, so a
+    slowly-changing dim picks up updates without restarting the query.
+    Left join keeps events whose user is missing from the dim (null
+    attributes), matching the batch twin's semantics.
+    """
+    dim = user_dim.select(
+        F.col("user_id").alias("dim_user_id"), "user_tier"
+    )
+    return events.join(
+        dim, events["user_id"] == dim["dim_user_id"], "left"
+    ).select("event_id", "ts", "user_id", "event_type", "value", "user_tier")
+
+
 def idempotent_parquet_sink(
     stream_df: DataFrame,
     target_path: str,

@@ -100,3 +100,32 @@ def test_countmin_bounds(spark):
             r,
             n_tokens,
         )
+
+
+def test_hll_merge_union_matches_direct_and_exact(spark):
+    """ax5 contract: (a) every per-source estimate is within HLL error of
+    the exact distinct count; (b) the __all__ row (union of per-source
+    sketches) equals the estimate of ONE sketch built over the whole
+    corpus — sketch merge must be lossless vs direct construction."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    out = {
+        r.source: r.est_distinct_terms
+        for r in REGISTRY["ax5_hll_merge"].spark(spark, SF_DIR).collect()
+    }
+    docs = load(spark, SF_DIR, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    exact = {
+        r.source: r.n
+        for r in toks.groupBy("source")
+        .agg(F.countDistinct("term").alias("n"))
+        .collect()
+    }
+    for src, n in exact.items():
+        assert abs(out[src] - n) / n <= 0.05, (src, out[src], n)
+    direct = toks.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("term")).alias("e")
+    ).first()["e"]
+    assert out["__all__"] == direct

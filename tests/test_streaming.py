@@ -131,3 +131,28 @@ def test_foreachbatch_idempotent_sink(spark, event_dir, tmp_path):
     spark.catalog.refreshByPath(out)
     again = spark.read.parquet(out).filter(F.col("epoch") == last)
     assert again.count() == n_final
+
+
+def test_enrich_stream_matches_batch(spark, event_dir):
+    """Stream-static join: the streamed enrichment equals the same left
+    join over the static frame, including events whose user is absent
+    from the dim (null tier survives)."""
+    ev = load_events(spark, SF_DIR)
+    user_dim = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 3 != 0)  # leave some users unmatched
+        .withColumn(
+            "user_tier",
+            F.when(F.col("user_id") % 2 == 0, "premium").otherwise("basic"),
+        )
+    )
+    stream = se.enrich_stream(se.read_event_stream(spark, event_dir), user_dim)
+    _drain(se.run_to_memory(stream, "t_enriched", mode="append"))
+    got = {
+        (r.event_id, r.user_tier) for r in spark.table("t_enriched").collect()
+    }
+    want = {(r.event_id, r.user_tier) for r in se.enrich_stream(ev, user_dim).collect()}
+    assert got == want
+    assert any(t is None for _, t in got)  # unmatched users kept with null tier
+    assert len(got) == ev.count()

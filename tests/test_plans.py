@@ -76,6 +76,7 @@ _PANDAS_PLANS = {
     "m2_frame_sampling",
     "m3_label_centroids",
     "m4_resize",
+    "p12_greedy_pack",
 }
 
 

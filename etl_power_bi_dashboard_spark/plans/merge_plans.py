@@ -163,10 +163,50 @@ WHERE rk = 1
 """
 
 
+def q_u4_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history built from a changelog:
+    per user, each recorded value opens a validity interval that the next
+    record closes — ``effective_from``/``effective_to`` half-open
+    intervals with the newest row left open (``is_current``).
+
+    u1 is the type-1 overwrite; this is the other warehouse staple, the
+    versioned dim a point-in-time (as-of, r1) lookup joins against. One
+    shuffle on the entity key; the interval close is a single ``lead``
+    over the same sort, so history construction is one window pass at any
+    scale.
+    """
+    from .base import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
+SQL_U4 = """
+SELECT user_id, event_id, value,
+       ts AS effective_from,
+       LEAD(ts) OVER w AS effective_to,
+       CAST(CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+           AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES: list[Query] = [
     Query("u1_scd1_merge", q_u1_scd1_merge, SQL_U1, "SCD-1 MERGE upsert"),
     Query("u2_delete_detect", q_u2_delete_detect, SQL_U2,
           "CDC insert/update/unchanged audit"),
     Query("u3_latest_per_key", q_u3_latest_per_key, SQL_U3,
           "CDC latest-record-per-key compaction"),
+    Query("u4_scd2_history", q_u4_scd2_history, SQL_U4,
+          "SCD-2 validity-interval history from a changelog"),
 ]

@@ -64,14 +64,24 @@ def pagerank(
     base_nodes = nodes.select(F.col(node_col).alias("node")).localCheckpoint(
         eager=True
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Mass conservation requires every edge endpoint to be a known node:
+    # an edge toward an id absent from ``nodes`` would send rank into the
+    # void (the final left join drops it) and Σrank would silently decay.
+    # Restrict edges to the node set up front — a dropped edge's source
+    # then correctly counts as dangling (or keeps its other edges' split).
+    known_src = base_nodes.select(F.col("node").alias("src"))
+    known_dst = base_nodes.select(F.col("node").alias("dst"))
+    kept = edges.join(known_src, "src", "semi").join(known_dst, "dst", "semi")
+    deg = kept.groupBy("src").agg(F.count("*").alias("deg"))
     ed = (
-        edges.join(deg, "src")
+        kept.join(deg, "src")
         .select("src", "dst", "deg")
         .localCheckpoint(eager=True)
     )
     ranks = base_nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    src_nodes = ed.select(F.col("src").alias("node")).distinct()
+    src_nodes = (
+        ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         contribs = (
             ed.join(ranks, ed["src"] == ranks["node"])

@@ -10,10 +10,11 @@ Two packing disciplines, matching the two in common use:
   boundary. Pure window arithmetic (cumulative sums), fully
   oracle-checkable in SQL.
 - :func:`pack_greedy` — first-fit bin packing that never splits a
-  document: within each bucket, documents are taken in hash order and a
-  document opens a new bin when it would overflow the current one.
-  Inherently sequential per bucket (bin state carries across rows), so it
-  runs as an Arrow-batched ``applyInPandas`` over buckets.
+  document: within each bucket, documents are taken in hash order and
+  each goes into the lowest-numbered bin that still has room, opening a
+  new bin only when none fits. Inherently sequential per bucket (bin
+  state carries across rows), so it runs as an Arrow-batched
+  ``applyInPandas`` over buckets.
 
 Scale design: both operators first salt documents into ``n_buckets``
 content-hash buckets and pack WITHIN a bucket, so the window sort /
@@ -80,9 +81,10 @@ def pack_greedy(
 ) -> DataFrame:
     """First-fit greedy packing (documents never split across sequences).
 
-    Within each bucket, documents are visited in (md5(text), doc_id) order;
-    a document joins the current bin unless it would push the bin past
-    ``ctx_len`` tokens, in which case it opens the next bin. Documents
+    Within each bucket, documents are visited in (md5(text), doc_id)
+    order; each joins the lowest-numbered bin whose fill + n_tokens still
+    fits ``ctx_len`` (earlier bins remain candidates — true first-fit,
+    not next-fit), opening a new bin only when no bin has room. Documents
     longer than ``ctx_len`` get a bin of their own (the caller decides
     whether to truncate or drop them).
 
@@ -101,15 +103,24 @@ def pack_greedy(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["h", "doc_id"]).reset_index(drop=True)
-        bin_no, fill = 0, 0
+        # true first-fit: each doc goes into the LOWEST-numbered bin with
+        # room (closed bins stay candidates), opening a new bin only when
+        # none fits; an oversized doc gets a bin of its own
+        open_fills: list[int] = []
         bins, fills = [], []
         for nt in pdf["n_tokens"]:
-            if fill > 0 and fill + nt > ctx_len:
-                bin_no += 1
-                fill = 0
-            fill += int(nt)
-            bins.append(bin_no)
-            fills.append(fill)
+            nt = int(nt)
+            target = None
+            for b, f in enumerate(open_fills):
+                if f + nt <= ctx_len:
+                    target = b
+                    break
+            if target is None:
+                open_fills.append(0)
+                target = len(open_fills) - 1
+            open_fills[target] += nt
+            bins.append(target)
+            fills.append(open_fills[target])
         pdf["bin_no"] = bins
         pdf["bin_fill"] = fills
         return pdf[["doc_id", "bucket", "n_tokens", "bin_no", "bin_fill"]]

@@ -21,14 +21,16 @@ oracle-less ones (driver records rows-only checks for those) take the
 front of the window; the remaining ~32 slots re-check round-1 core
 entries (regression evidence on the golden-pinned §2 surface). After
 round 3 every entry that existed at rotation time has a driver row;
-queries added later in round 3 (x7-x13, d8-d11, e6/e7, p10/p11, ax4,
-a15, sc1/sc2 — repetition filters, PII scrub, quality cascade, source
-mix, mixing-weight solver, unigram LM score, token budgeting, chunk
-dedup, decontamination, cross-source contamination, incremental dedup,
-cohort retention, z-score outliers, quality-weighted sampling, sequence
-packing, count-min sketch, group mode, salted join/agg, and the
-oracle-less ml2 PageRank) sit behind the window with local
-sf0.001/sf0.01 parity and rotate in next round.
+queries added later in round 3 (x7-x13, d8-d11, e6/e7, p10-p12,
+ax4/ax5, a15, sc1/sc2, ml2, m4, u4 — repetition filters, PII scrub,
+quality cascade, source mix, mixing-weight solver, unigram LM score,
+token budgeting, chunk dedup, decontamination, cross-source
+contamination, incremental dedup, cohort retention, z-score outliers,
+quality-weighted sampling, sequence packing (+ greedy report),
+count-min sketch, mergeable HLL rollup, group mode, salted join/agg,
+PageRank, resize plumbing, SCD-2 history) sit behind the window with
+local sf0.001/sf0.01 parity and rotate in next round; COVERAGE.md
+records the authoritative round-4 rotation list.
 
 Every query keeps its local sf0.001 DuckDB parity test regardless of
 position (tests/test_oracle_parity.py covers the whole registry).

@@ -180,11 +180,18 @@ GROUP BY label, dim
 def q_m4_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-normalization plumbing: payload → decode → resize to a fixed
     24×16 'pixel' buffer → fingerprint, through an Arrow-batched
-    mapInPandas pass (operators/multimodal.py:resize_payloads). The fake
-    codec tiles-and-truncates deterministically, so the DuckDB oracle
-    recomputes the identical buffer with repeat+substr (payload bytes ==
-    ASCII text here)."""
-    docs = load(spark, sf_dir, "documents")
+    mapInPandas pass (operators/multimodal.py:resize_payloads).
+
+    The operator is byte-based; DuckDB can only repeat/slice/md5
+    CHARACTER strings, so the oracle contract restricts both sides —
+    identically — to non-empty documents whose byte and character lengths
+    coincide (ASCII). The current corpus is entirely ASCII so nothing is
+    dropped today, but a regenerated non-ASCII corpus degrades to a
+    smaller verified subset instead of a hash mismatch."""
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0)
+        & (F.octet_length(F.col("text")) == F.length("text"))
+    )
     return multimodal.resize_payloads(
         multimodal.with_binary_payload(docs), width=24, height=16
     )
@@ -197,6 +204,7 @@ SELECT doc_id,
        md5(substr(repeat(text, CAST(384 // length(text) AS INT) + 1), 1, 384))
            AS resized_md5
 FROM documents
+WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
 """
 
 

@@ -76,3 +76,16 @@ def test_pagerank_partitioning_invariant(spark):
     assert set(a) == set(b)
     for k in a:
         assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_pagerank_edges_to_unknown_nodes_conserve_mass(spark):
+    """Edges pointing at ids absent from the node set must not leak rank
+    mass: they are excluded up front, and their source's remaining mass
+    is handled as dangling/teleport."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])  # 3 unknown
+    nodes = spark.createDataFrame([(1,), (2,)], ["id"])
+    from etl_power_bi_dashboard_spark.operators.graph import pagerank
+
+    ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=15))
+    assert set(ranks) == {1, 2}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9

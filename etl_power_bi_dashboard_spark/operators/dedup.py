@@ -23,7 +23,7 @@ would be faster but is not portable for differential testing; swap via the
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens, word_shingles
@@ -158,6 +158,57 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def prefix_postings(sets_: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered inverted-index postings for a Jaccard self-join at
+    ``threshold`` — the PPJoin prefix principle, the provably lossless
+    form of hot-term pruning.
+
+    Order every document's distinct-token set by a single global order
+    (ascending document frequency, ties by term — rarest first) and post
+    only the first ``p = n - ceil(t·n) + 1`` tokens. Theorem: if
+    J(A,B) ≥ t, the prefixes of A and B intersect — let ``a`` be the
+    order-minimal shared token; if ``a`` were outside either prefix, that
+    document's intersection would fit inside its suffix of size
+    ``ceil(t·n) - 1 < t·n``, contradicting |A∩B| ≥ t·|A∪B| ≥ t·n. So
+    joining PREFIX postings only loses NO true pair, at any corpus scale
+    and any token-frequency distribution — unlike an absolute df-cap,
+    which silently drops every edge on a corpus whose vocabulary is
+    globally hot (a df≤120 cap on a 31-term/500-doc corpus drops all 31
+    terms). At t = 0.95 a 30-token doc posts 2 tokens instead of 30, and
+    df-ascending ordering sends candidates through the RAREST tokens, so
+    a ubiquitous term rendezvouses only the few docs where it is locally
+    rarest — the df-cap's intent, achieved losslessly.
+
+    ``p`` uses exact integer arithmetic (``(num·n + num) DIV den`` for
+    ``ceil(num·n/den)``): IEEE ``ceil(0.95·n)`` can overshoot an integer
+    product (0.95·20 → 19.000…004 → 20) and shrink the prefix below the
+    theorem's bound.
+
+    Cost: one vocabulary-sized df aggregation, one term-keyed join to
+    rank tokens, one doc-keyed window for the per-doc order — all linear;
+    the quadratic pair join downstream then runs on ~(1-t)·|tokens|
+    postings. Returns (doc_id, n, term) for the prefix tokens only.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    tok = sets_.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("term")
+    )
+    df_tab = tok.groupBy("term").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy("_df", "term")
+    return (
+        tok.join(df_tab, "term")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(
+            F.col("_rk")
+            <= F.col("n") - F.expr(f"({num} * n + {den - 1}) DIV {den}") + 1
+        )
+        .select("doc_id", "n", "term")
     )
 
 

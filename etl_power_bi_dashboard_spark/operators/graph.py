@@ -13,8 +13,10 @@ src + groupBy dst), and ``localCheckpoint`` truncates the lineage so the
 plan doesn't grow with iterations.
 
 At 100 TB: candidate edges come from LSH buckets (operators/dedup.py),
-never all-pairs; ubiquitous tokens should be document-frequency-capped
-before the inverted-index join or every document joins every other.
+never all-pairs; when they come from an inverted-index join instead,
+the posting lists must be prefix-filtered (dedup.prefix_postings —
+lossless by the PPJoin prefix theorem, unlike an absolute df-cap) or
+every document joins every other through ubiquitous tokens.
 The per-round shuffle is keyed by node id — AQE handles the skew that a
 giant component's hub nodes create; the large-star/small-star variant
 (alternating min over neighbors vs min over neighbors-of-label) halves
@@ -46,10 +48,14 @@ def pagerank(
     static (edge, out-degree) table is built once and checkpointed), the
     contributions aggregate on dst (one keyed shuffle — the same
     join+groupBy rendezvous as connected_components), and dangling-node
-    mass (no out-edges) redistributes uniformly. Only two scalars cross
-    to the driver per iteration (dangling mass; nothing else), and
-    ``localCheckpoint`` truncates lineage so plan depth stays constant —
-    the k-means/components iteration pattern.
+    mass (no out-edges) redistributes uniformly. The dangling mass rides
+    along INSIDE the plan as a broadcast 1-row aggregate over the static
+    dangling-node set (computed once, not an anti-join per round), so no
+    scalar crosses to the driver during iteration and each round is
+    exactly ONE materializing job — the eager ``localCheckpoint`` that
+    truncates lineage so plan depth stays constant (the
+    k-means/components iteration pattern, minus their per-round driver
+    sync).
 
     Returns (node, rank) with Σ rank = 1 up to float rounding.
     Deterministic given the graph: the fixpoint doesn't depend on
@@ -82,6 +88,11 @@ def pagerank(
     src_nodes = (
         ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     )
+    # static: nodes with no out-edges (their rank mass redistributes
+    # uniformly each round) — computed once, not an anti-join per round
+    dang_nodes = base_nodes.join(src_nodes, "node", "anti").localCheckpoint(
+        eager=True
+    )
     for _ in range(max_iter):
         contribs = (
             ed.join(ranks, ed["src"] == ranks["node"])
@@ -92,17 +103,17 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        dangling = (
-            ranks.join(src_nodes, "node", "anti").agg(F.sum("rank")).first()[0]
-            or 0.0
+        dang = dang_nodes.join(ranks, "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             base_nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("dm") / F.lit(float(n))
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )

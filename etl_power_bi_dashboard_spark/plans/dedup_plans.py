@@ -181,32 +181,57 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
-def q_d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters: unigram-Jaccard ≥ 0.95 edges (inverted-index
-    join, not all-pairs) → connected components (iterative min-label
-    propagation, operators/graph.py) → (doc_id, cluster) where cluster is
-    the component's min doc_id.
+def q_d6_dup_clusters(
+    spark: SparkSession, sf_dir: str, prefix_filter: bool = True
+) -> DataFrame:
+    """Duplicate clusters: unigram-Jaccard ≥ 0.95 edges (prefix-filtered
+    inverted-index candidate generation + exact candidate-restricted
+    verification, never all-pairs) → connected components (iterative
+    min-label propagation, operators/graph.py) → (doc_id, cluster) where
+    cluster is the component's min doc_id.
 
-    This is the transitive-closure step after candidate generation that
-    actual dedup pipelines need: A≈B and B≈C must collapse A,B,C into one
-    group even when A≉C. Non-SQL-expressible in one query on the Spark
-    side (iterative fixpoint); the oracle is DuckDB's recursive CTE
-    computing the same unique min-label fixpoint.
+    Scale guards on the edge builder, in order:
+
+    - **prefix filter** (``dedup.prefix_postings`` — PPJoin's prefix
+      principle): each doc posts only its ``n - ceil(0.95·n) + 1``
+      globally-rarest tokens (~2 of 30 here), and any pair with true
+      J ≥ 0.95 provably collides on prefixes (see the operator's
+      docstring for the theorem). This subsumes the df-cap idea — a hot
+      term rendezvouses only docs where it is locally rarest — but is
+      LOSSLESS by construction on every corpus, where an absolute df-cap
+      (d2's ``max_df``) silently drops all edges on this corpus (31-term
+      vocabulary, every term's df ≈ 390 » any sane cap). Pinned by
+      tests/test_dedup.py::test_d6_prefix_filter_is_lossless.
+    - **length filter** (LOSSLESS at this threshold): J(A,B) ≤
+      min(|A|,|B|)/max(|A|,|B|), so J ≥ 0.95 forces sizes within 5% —
+      pruned INSIDE the join condition, before the candidate shuffle.
+    - **candidate-restricted verification**: exact Jaccard via
+      ``verify_candidate_jaccard_sets`` touches only surfaced pairs
+      (array_intersect on per-doc full sets) — so found edges carry
+      EXACT Jaccard values regardless of what candidate generation
+      pruned, and the uncapped DuckDB oracle hash-matches.
+
+    The transitive-closure step after candidate generation is what
+    actual dedup pipelines need: A≈B and B≈C must collapse A,B,C into
+    one group even when A≉C. Non-SQL-expressible in one query on the
+    Spark side (iterative fixpoint); the oracle is DuckDB's recursive
+    CTE computing the same unique min-label fixpoint over the FULL
+    posting join (the hash gate thus re-proves the prefix filter
+    lossless at the driver's SF).
     """
     from ..operators.graph import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    ts = F.array_distinct(F.split("text", " "))
-    tok = (
-        dedup.ensure_parallelism(docs, "doc_id")
-        .select("doc_id", F.size(ts).alias("n"), F.explode(ts).alias("term"))
-    )
+    sets_ = dedup.shingle_sets(dedup.ensure_parallelism(docs, "doc_id"), n=1)
+    if prefix_filter:
+        tok = dedup.prefix_postings(sets_, 0.95)
+    else:
+        tok = sets_.select(
+            "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("term")
+        )
     a = tok.select(F.col("doc_id").alias("i"), F.col("n").alias("ni"), "term")
     b = tok.select(F.col("doc_id").alias("j"), F.col("n").alias("nj"), "term")
-    # Length filter (PPJoin-style, LOSSLESS at this threshold): J(A,B) ≤
-    # min(|A|,|B|)/max(|A|,|B|), so J ≥ 0.95 forces sizes within 5% —
-    # pruned INSIDE the join condition, before the pair-count shuffle.
-    inter = (
+    cand = (
         a.join(
             b,
             (a["term"] == b["term"])
@@ -217,13 +242,12 @@ def q_d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= 0.95
             ),
         )
-        .groupBy("i", "j", "ni", "nj")
-        .agg(F.count("*").alias("c"))
+        .select(F.col("i").alias("doc_a"), F.col("j").alias("doc_b"))
+        .distinct()
     )
-    edges = inter.filter(
-        F.col("c").cast("double") / (F.col("ni") + F.col("nj") - F.col("c"))
-        >= 0.95
-    ).select(F.col("i").alias("src"), F.col("j").alias("dst"))
+    edges = dedup.verify_candidate_jaccard_sets(cand, sets_, 0.95).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
     labels = connected_components(
         docs.select("doc_id"), edges, node_col="doc_id"
     )

@@ -178,3 +178,50 @@ def test_connected_components_isolated_singleton(spark):
         for r in connected_components(nodes, edges, node_col="id").collect()
     }
     assert got == {(10, 10), (20, 20), (30, 20)}
+
+
+def test_d6_prefix_filter_is_lossless(spark):
+    """d6's prefix-filtered candidate generation must produce exactly the
+    cluster assignment of the full-posting join: the PPJoin prefix
+    theorem guarantees every true J>=0.95 pair collides on prefixes, and
+    verification recomputes exact Jaccard over full token sets."""
+    from etl_power_bi_dashboard_spark.plans.dedup_plans import q_d6_dup_clusters
+
+    filtered = {
+        (r.doc_id, r.cluster)
+        for r in q_d6_dup_clusters(spark, SF_DIR, prefix_filter=True).collect()
+    }
+    full = {
+        (r.doc_id, r.cluster)
+        for r in q_d6_dup_clusters(spark, SF_DIR, prefix_filter=False).collect()
+    }
+    assert filtered == full and len(filtered) > 0
+    # the corpus must actually contain non-trivial clusters for this to
+    # be a meaningful losslessness statement
+    assert any(d != c for d, c in filtered)
+
+
+def test_prefix_postings_bound_and_coverage(spark):
+    """prefix_postings posts exactly n - ceil(t*n) + 1 tokens per doc
+    (integer arithmetic — no FP ceil overshoot), and identical docs keep
+    identical prefixes (so true duplicates always collide)."""
+    import math
+
+    from etl_power_bi_dashboard_spark.operators import dedup
+
+    texts = [
+        (0, "a b c d e f g h i j k l m n o p q r s t"),  # n=20 -> p=2
+        (1, "a b c d e f g h i j k l m n o p q r s t"),  # dup of 0
+        (2, "z y x w v u"),  # n=6 -> p=6-ceil(5.7)+1=1
+        (3, "q"),  # n=1 -> p=1
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    pref = dedup.prefix_postings(dedup.shingle_sets(docs, n=1), 0.95)
+    got = {}
+    for r in pref.collect():
+        got.setdefault(r.doc_id, set()).add(r.term)
+    for doc_id, text in texts:
+        n = len(set(text.split()))
+        expect_p = n - math.ceil(19 * n / 20) + 1
+        assert len(got[doc_id]) == expect_p, (doc_id, got[doc_id])
+    assert got[0] == got[1]  # identical docs -> identical prefixes

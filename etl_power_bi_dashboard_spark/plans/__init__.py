@@ -16,21 +16,18 @@ rotates not-yet-driver-verified queries to the front:
   oracle-less ones (ml1, ax1–ax3 — rows-only checks) sit just behind
   the window and rotate in next round.
 
-Round 3 rotation: the 14 deferred oracle-backed queries plus the 4
-oracle-less ones (driver records rows-only checks for those) take the
-front of the window; the remaining ~32 slots re-check round-1 core
-entries (regression evidence on the golden-pinned §2 surface). After
-round 3 every entry that existed at rotation time has a driver row;
-queries added later in round 3 (x7-x13, d8-d11, e6/e7, p10-p12,
-ax4/ax5, a15, sc1/sc2, ml2, m4, u4 — repetition filters, PII scrub,
-quality cascade, source mix, mixing-weight solver, unigram LM score,
-token budgeting, chunk dedup, decontamination, cross-source
-contamination, incremental dedup, cohort retention, z-score outliers,
-quality-weighted sampling, sequence packing (+ greedy report),
-count-min sketch, mergeable HLL rollup, group mode, salted join/agg,
-PageRank, resize plumbing, SCD-2 history) sit behind the window with
-local sf0.001/sf0.01 parity and rotate in next round; COVERAGE.md
-records the authoritative round-4 rotation list.
+Round 4 rotation (current): slots 1-25 are the only entries with no
+clean driver row — the 24 queries added during round 3 (recomputed
+from CORRECTNESS_r01-r03 as COVERAGE.md instructs: x7-x13, d8-d11,
+e6/e7, p10-p12, u4, a15, ax4/ax5, sc1/sc2, ml2, m4; of which
+p12/ax4/ax5/ml2 are oracle-less rows-only) plus ax2_approx_quantiles,
+whose round-3 row ERRORED on its array<double> column (now three
+scalar doubles — must re-record). Slots 26-50 are round-2 re-checks:
+d6/d7 FIRST (their edge builder gains a max_df cap this round — the
+re-check proves the cap is lossless under the driver's hash gate),
+then the TPC-H heavies + merge/events/temporal families per the
+round-3 verdict. After round 4 every registry entry has a driver row
+and each earlier window has been re-checked at least once.
 
 Every query keeps its local sf0.001 DuckDB parity test regardless of
 position (tests/test_oracle_parity.py covers the whole registry).
@@ -80,63 +77,66 @@ _MODULES = [
 # Driver-window priority (see module docstring). Names listed here come
 # first, in this order; everything else follows in module order.
 _PRIORITY = [
-    # --- round-3 window, slots 1-18: the last entries without a driver
-    # row (14 oracle-backed + 4 oracle-less rows-only) ------------------
-    "h12_priority_case",
-    "h13_custdist",
-    "h16_supplier_count",
-    "h19_disjunctive",
-    "d1b_dedup_prefix",
-    "x5_top_terms",
-    "f16_string_ops",
-    "f17_conditionals",
-    "f18_null_safe_eq",
-    "pv2_unpivot",
-    "g3_grouping_sets",
-    "pv1_pivot",
-    "a13_histogram",
-    "a14_percentiles_disc",
+    # --- round-4 window, slots 1-24: the round-3 additions with no
+    # driver row yet (recomputed from CORRECTNESS_r01-r03) --------------
+    "x7_repetition",
+    "x8_pii_scrub",
+    "x9_quality_cascade",
+    "x10_source_mix",
+    "x11_mixing_weights",
+    "x12_unigram_score",
+    "x13_token_budget",
+    "d8_chunk_dedup",
+    "d9_contamination",
+    "d10_cross_source_contamination",
+    "d11_incremental_dedup",
+    "e6_retention_cohorts",
+    "e7_value_outliers",
+    "u4_scd2_history",
+    "p10_quality_weighted_sample",
+    "p11_sequence_pack",
+    "a15_group_mode",
+    "sc1_salted_join",
+    "sc2_salted_agg",
     # oracle-less (driver records rows-only checks)
-    "ml1_kmeans",
-    "ax1_approx_distinct",
+    "p12_greedy_pack",
+    "ax4_countmin",
+    "ax5_hll_merge",
+    "ml2_pagerank",
+    "m4_resize",
+    # slot 25: round-3 row ERRORED (array column); re-record now that the
+    # output is three scalar doubles
     "ax2_approx_quantiles",
-    "ax3_freq_items",
-    # --- slots 19-50: round-1 re-checks (golden-pinned §2 core; green in
-    # CORRECTNESS_r01.json — re-driven for regression evidence) ---------
-    "s1_scan",
-    "p1_projection",
-    "p2_filter_eq",
-    "p3_filter_range",
-    "p4_filter_in",
-    "p5_rename",
-    "j1_left_broadcast",
-    "j2_inner_fact",
-    "j3_left_fillzero",
-    "a1_sales_by_date",
-    "a2_sales_by_month",
-    "a3_sales_by_category",
-    "a4_sales_by_state",
-    "a5_sales_by_city",
-    "a6_sales_by_seller",
-    "a7_review_distribution",
-    "a8_global_minmax",
-    "a9_nps",
-    "a10_count_by_value",
-    "a11_distinct",
-    "f1_to_timestamp",
-    "f2_median_impute",
-    "f3_string_impute",
-    "f4_date_parts",
-    "f5_days_between",
-    "f6_flag_coalesce",
-    "f15_date_dim",
-    "t1_topk",
-    "t2_limit",
-    "dax_measures",
-    "q1_fk_orphans",
-    "w2_running_total",
+    # --- slots 26-51: round-2 re-checks. d6/d7 first: their edge builder
+    # gains a df-cap this round, so the hash gate must re-prove them ----
+    "d6_dup_clusters",
+    "d7_cluster_representatives",
+    "d2_ngram_jaccard",
+    "h1_pricing_summary",
+    "h2_min_cost_supplier",
+    "h3_shipping_priority",
+    "h5_region_volume",
+    "h7_volume_shipping",
+    "h8_market_share",
+    "h9_product_profit",
+    "h17_small_qty_revenue",
+    "h18_large_volume",
+    "h20_excess_suppliers",
+    "h21_waiting_supplier",
+    "h22_idle_customers",
+    "a12_stats_exact",
+    "u1_scd1_merge",
+    "u2_delete_detect",
+    "u3_latest_per_key",
+    "e1_tumbling_hourly",
+    "e2_sliding_windows",
+    "e3_session_windows",
+    "e5_funnel",
+    "r1_asof_join",
+    "r2_range_join",
     # --- behind the window: everything already driver-verified in
-    # CORRECTNESS_r01/r02 follows in module order -----------------------
+    # CORRECTNESS_r01/r02/r03 follows in module order (r3_hierarchical_
+    # rollup, next in line, keeps its r2 row) ---------------------------
 ]
 
 

@@ -53,6 +53,13 @@ def q_a14_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no interpolation, so engines cannot disagree in the last bit the
     way interpolating percentile implementations do. One window sort per
     event_type partition, parallel across types.
+
+    SCALE CAVEAT: each event_type's rank window serializes that type's
+    rows into ONE task — parallel across types but single-reducer within
+    a type. Fine at 3 event types with bounded per-type volume; a 100 TB
+    pipeline with billions of rows per group must use ax2's
+    ``approx_percentile`` sketch (distributed, mergeable) instead —
+    this query is the exact parity twin, not the scale path.
     """
     ev = load_events(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
@@ -110,10 +117,18 @@ def q_ax2_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) per event type — the
     streaming/100 TB twin of a14's exact rank percentiles. Accuracy
     bound pinned in tests/test_stats.py; no oracle (sketch-specific).
+
+    Output is three SCALAR double columns (p50/p90/p99), not one
+    array<double> — driver/BI canonicalizers sort on column values and
+    cannot hash or order list cells (round-3 driver row errored on
+    exactly that), and scalar columns are what a dashboard binds to.
     """
     ev = load_events(spark, sf_dir)
+    pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
+        pcts[0].alias("p50"),
+        pcts[1].alias("p90"),
+        pcts[2].alias("p99"),
     )
 
 

@@ -39,7 +39,7 @@ def test_approx_distinct_within_bound(spark):
 
 def test_approx_quantiles_within_bound(spark):
     approx = {
-        r["event_type"]: r["approx_pcts"]
+        r["event_type"]: r
         for r in REGISTRY["ax2_approx_quantiles"].spark(spark, SF_DIR).collect()
     }
     exact = {
@@ -48,10 +48,10 @@ def test_approx_quantiles_within_bound(spark):
     }
     assert set(approx) == set(exact)
     for etype, row in exact.items():
-        for i, col in enumerate(["p50", "p90", "p99"]):
+        for col in ["p50", "p90", "p99"]:
             # GK sketch with accuracy 10000 on ~10^2-10^5 rows/group is
             # near-exact; allow one rank's worth of slack via 2% of range
-            assert abs(approx[etype][i] - row[col]) <= max(0.02 * row[col], 1e-9)
+            assert abs(approx[etype][col] - row[col]) <= max(0.02 * row[col], 1e-9)
 
 
 def test_exact_percentiles_are_order_insensitive(spark):

@@ -53,8 +53,12 @@ def pack_concat_chunk(
     sequence its first token lands in (``seq_no``) and its starting
     ``seq_offset`` inside that sequence.
 
-    One shuffle (the per-bucket window sort); cumulative sums are exact
-    integer arithmetic, so the layout is bit-identical on any engine.
+    One shuffle (the per-bucket window sort); cumulative sums AND the
+    chunk assignment (``start DIV ctx_len`` — integer division, not
+    FLOOR over an IEEE divide) are exact integer arithmetic, so the
+    layout is bit-identical on any engine at any stream length (a double
+    divide would lose exactness once a bucket's cumulative token count
+    passed 2^53).
     """
     w = Window.partitionBy("bucket").orderBy("h", "doc_id")
     laid = (
@@ -71,7 +75,7 @@ def pack_concat_chunk(
         "doc_id",
         "bucket",
         "n_tokens",
-        F.floor(F.col("start") / ctx_len).cast("int").alias("seq_no"),
+        F.expr(f"start DIV {int(ctx_len)}").cast("int").alias("seq_no"),
         (F.col("start") % ctx_len).cast("int").alias("seq_offset"),
     )
 

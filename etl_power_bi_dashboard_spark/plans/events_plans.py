@@ -249,7 +249,12 @@ def q_e7_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregation order can't perturb them; the z-score is then a
     handful of identical IEEE ops on both engines. One shuffle on
     user_id — the window and the verdict share it; users with < 2 events
-    or zero variance are excluded (z undefined).
+    or zero variance are excluded (z undefined). The zero-variance
+    exclusion is an EXPLICIT ``n·s2 − s1² > 0`` filter on both engines —
+    relying on 0/0 → NULL division semantics would break under DuckDB
+    builds with ``ieee_floating_point_ops=true`` (0/0 → NaN, and DuckDB
+    orders NaN above every value, so |z| > 2 would pass oracle-side
+    only).
     """
     ev = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id")
@@ -267,7 +272,10 @@ def q_e7_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (n * F.col("s2") - F.col("s1") * F.col("s1")) / (n * (n - F.lit(1.0)))
     z = (F.col("value") - mean) / F.sqrt(var)
     return (
-        stats.filter((F.col("n") > 1))
+        stats.filter(
+            (F.col("n") > 1)
+            & (n * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+        )
         .withColumn("z", z)
         .filter(F.abs(F.col("z")) > 2.0)
         .select("user_id", "event_id", "value", "z")
@@ -288,7 +296,9 @@ WITH s AS (
            (value - s1 / CAST(n AS DOUBLE))
                / SQRT((CAST(n AS DOUBLE) * s2 - s1 * s1)
                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS z
-    FROM s WHERE n > 1
+    FROM s
+    WHERE n > 1
+      AND CAST(n AS DOUBLE) * s2 - s1 * s1 > 0
 )
 SELECT user_id, event_id, value, z FROM z WHERE ABS(z) > 2.0
 """

@@ -394,7 +394,7 @@ WITH d AS (
     FROM d
 )
 SELECT doc_id, bucket, n_tokens,
-       CAST(FLOOR(start / 512) AS INT) AS seq_no,
+       CAST(start // 512 AS INT) AS seq_no,
        CAST(start % 512 AS INT) AS seq_offset
 FROM c
 """

@@ -163,31 +163,47 @@ WHERE rk = 1
 """
 
 
-def q_u4_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Type-2 slowly-changing-dimension history built from a changelog:
-    per user, each recorded value opens a validity interval that the next
-    record closes — ``effective_from``/``effective_to`` half-open
-    intervals with the newest row left open (``is_current``).
+def scd2_history(
+    changelog: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    carry_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """SCD-2 validity intervals from a changelog: per key, each record
+    opens a half-open interval ``[effective_from, effective_to)`` that
+    the next record (by ``(ts, tiebreak)``) closes; the newest row stays
+    open (``effective_to`` null, ``is_current`` = 1).
 
-    u1 is the type-1 overwrite; this is the other warehouse staple, the
-    versioned dim a point-in-time (as-of, r1) lookup joins against. One
-    shuffle on the entity key; the interval close is a single ``lead``
-    over the same sort, so history construction is one window pass at any
-    scale.
+    Interval laws (pinned by tests/test_properties.py::
+    test_scd2_intervals_partition_timeline): per key, intervals are
+    pairwise disjoint, chain exactly (each ``effective_to`` equals the
+    next ``effective_from``), and exactly one row is current. One
+    shuffle on the key; the close is a single ``lead`` over the same
+    sort — one window pass at any scale.
     """
-    from .base import load_events
-
-    ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    nxt = F.lead("ts").over(w)
-    return ev.select(
-        "user_id",
-        "event_id",
-        "value",
-        F.col("ts").alias("effective_from"),
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    nxt = F.lead(ts_col).over(w)
+    return changelog.select(
+        key_col,
+        tiebreak_col,
+        *carry_cols,
+        F.col(ts_col).alias("effective_from"),
         nxt.alias("effective_to"),
         F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     )
+
+
+def q_u4_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history built from a changelog
+    (see :func:`scd2_history` for the construction and its laws).
+
+    u1 is the type-1 overwrite; this is the other warehouse staple, the
+    versioned dim a point-in-time (as-of, r1) lookup joins against.
+    """
+    from .base import load_events
+
+    return scd2_history(load_events(spark, sf_dir))
 
 
 SQL_U4 = """

@@ -206,3 +206,49 @@ def test_d6_length_filter_lossless(spark, docs):
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    changelog=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # key
+            st.integers(0, 500),    # ts seconds
+            st.integers(-99, 99),   # value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_scd2_intervals_partition_timeline(spark, changelog):
+    """scd2_history laws on arbitrary changelogs: per key, intervals
+    ordered by effective_from chain exactly (each effective_to equals
+    the next effective_from — no overlaps, no gaps), exactly one row per
+    key is current (open-ended), and every changelog row appears exactly
+    once."""
+    import datetime as dt
+
+    from etl_power_bi_dashboard_spark.plans.merge_plans import scd2_history
+
+    base = dt.datetime(2000, 1, 1)
+    rows = [
+        (k, i, v, base + dt.timedelta(seconds=s))
+        for i, (k, s, v) in enumerate(changelog)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, event_id BIGINT, value BIGINT, ts TIMESTAMP"
+    )
+    out = scd2_history(df).collect()
+    assert len(out) == len(rows)  # every changelog row becomes one interval
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.user_id, []).append(r)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: (r.effective_from, r.event_id))
+        # exactly one open (current) interval per key, and it is the last
+        assert sum(r.is_current for r in ivs) == 1
+        assert ivs[-1].is_current == 1 and ivs[-1].effective_to is None
+        for prev, nxt in zip(ivs, ivs[1:]):
+            assert prev.effective_to == nxt.effective_from  # chain: no gap
+            # half-open intervals: [from, to) never overlaps the successor
+            assert prev.effective_from <= prev.effective_to

@@ -50,6 +50,14 @@ def fill_missing(df: DataFrame) -> DataFrame:
     One `agg` computing every column's exact median (Spark `percentile`
     interpolates like pandas), then a single `na.fill` — one job per
     table regardless of column count.
+
+    SCALE CAVEAT: exact `percentile` is a single-reducer aggregate —
+    every value of the column funnels through one task's sorted buffer.
+    Faithful to the reference's pandas median (the parity contract) and
+    fine at dim-table scale; a 100 TB fact pipeline must swap in
+    `approx_percentile(c, 0.5)` (Greenwald-Khanna sketch — distributed
+    and mergeable, see plans/stats_plans.py:q_ax2) at the cost of exact
+    parity.
     """
     num_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
     str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]

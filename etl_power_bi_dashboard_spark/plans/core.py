@@ -563,9 +563,17 @@ def q_f2_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pandas' exact median (linear interpolation between the two middle
     values) computed explicitly as avg of the middle one/two elements so
-    Spark and the oracle agree bit-for-bit. Global exact median is a
-    single-key sort at scale; production path would use
-    ``percentile`` / approx variants per partition-friendly column.
+    Spark and the oracle agree bit-for-bit.
+
+    SINGLE-REDUCER BY CONSTRUCTION — parity query, not the scale path:
+    the global ``Window.orderBy`` funnels every non-null value through
+    one task, which is the faithful mapping of pandas' interpolated
+    median (SURVEY §1.4.2) and fine at dashboard scale. At 100 TB swap
+    in the sketch: ``approx_percentile(col, 0.5)`` (ax2's
+    Greenwald-Khanna formulation — distributed, mergeable, error-bounded)
+    or, when exactness is mandatory per GROUP, a14's per-key rank window
+    (parallel across keys). Same caveat applies to the per-table
+    ``percentile(c, 0.5)`` in operators/transform.py:fill_missing.
     """
     t = _nullified_acctbal(spark, sf_dir)
     nn = t.filter(F.col("v").isNotNull())

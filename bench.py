@@ -8,9 +8,20 @@ collect). The headline set spans the engine's surface: scans+joins+aggs,
 top-k, windows, event windows, dedup (MinHash-LSH), similarity search,
 text profiling, and the multimodal pandas hop. The TAIL set adds the
 expensive families — multi-join TPC-H heavies, FULL-corpus near-dup
-(d2/d3 with no doc_id slice), iterative connected components, k-means —
-at one rep each so their regressions are visible without doubling wall
-time.
+(d2/d3 with no doc_id slice), iterative connected components, k-means,
+PageRank, MERGE, and inline-vs-persisted-index ANN — at one rep each so
+their regressions are visible without doubling wall time.
+
+ROUND-3→4 INFLATION ADJUDICATED (the uniform ~1.45x slowdown on
+unchanged queries in BENCH_r03): an A/B on the same host, run
+back-to-back in round 4, timed the 15-query common subset at 14.40s on
+HEAD and **14.42s on the round-2 tree itself** (git archive of the r2
+snapshot, its own bench.py) vs the 11.67s BENCH_r02 recorded. Identical
+code reproduces the inflated number, so the cause is host/session-level
+(co-tenant CPU), not any repo change — no plan regressed. Mitigation:
+HEADLINE is best-of-3 (was 2) so the min gets two chances at a quiet
+window; cross-round comparisons should use ratios within one bench run,
+not absolute seconds across rounds.
 """
 
 from __future__ import annotations
@@ -59,10 +70,37 @@ TAIL = [
     "d3_minhash_lsh_fast",
     "d6_dup_clusters",
     "ml1_kmeans",
+    "ml2_pagerank",
     "d8_chunk_dedup",
     "d10_cross_source_contamination",
     "e6_retention_cohorts",
+    "u1_scd1_merge",
+    "v2_ann_ivf",
+    "v2_ann_ivf_indexed",
 ]
+
+_IVF_INDEX_PATH = "/tmp/spark_graft_bench_ivf_index"
+
+
+def _ivf_parts(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return emb, centroids, queries
+
+
+def _prepare_ivf_index(spark, sf_dir: str) -> None:
+    """One-time index build (UNTIMED — it's the amortized cost the
+    persisted-index probe exists to avoid; the v2_ann_ivf row measures
+    the no-index path for comparison)."""
+    from etl_power_bi_dashboard_spark.operators import similarity
+
+    emb, centroids, _ = _ivf_parts(spark, sf_dir)
+    similarity.ivf_write_index(emb, centroids, _IVF_INDEX_PATH)
 
 
 def _tail_plan(name: str):
@@ -82,6 +120,19 @@ def _tail_plan(name: str):
         return lambda spark, sf_dir: q_d3_minhash_lsh(
             spark, sf_dir, max_doc=None, hasher="xxhash64"
         )
+    if name == "v2_ann_ivf_indexed":
+        # probe the persisted, cluster_id-partitioned index (built
+        # untimed in main) — proves the partition-pruned probe beats the
+        # inline assign-then-probe v2 row end-to-end
+        def indexed(spark, sf_dir):
+            from etl_power_bi_dashboard_spark.operators import similarity
+
+            _, centroids, queries = _ivf_parts(spark, sf_dir)
+            return similarity.ivf_topk_indexed(
+                spark, _IVF_INDEX_PATH, centroids, queries, k=3, n_probe=2
+            )
+
+        return indexed
     return REGISTRY[name].spark
 
 
@@ -102,19 +153,23 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # best-of-2 per query: this host shows intermittent co-tenant CPU
-    # spikes (same plan varies 3s→200s); the min reflects engine cost
+    # best-of-3 per query: this host shows intermittent co-tenant CPU
+    # spikes (same plan varies 3s→200s), and round 3's record showed a
+    # uniform ~1.45x inflation across UNCHANGED single-stage plans —
+    # best-of-2 didn't filter a session-long slow phase; three reps give
+    # the min two chances to land in a quiet window
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    _prepare_ivf_index(spark, sf_dir)
     for name in TAIL:
         plan = _tail_plan(name)
         t0 = time.perf_counter()

@@ -268,8 +268,99 @@ WHERE rk = 1
 """
 
 
+def q_a16_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report: the Gini coefficient of per-customer
+    order revenue plus the top-decile revenue share — the BI inequality
+    measures behind "what fraction of revenue comes from our biggest
+    customers".
+
+    Gini via the rank formula G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
+    revenues sorted ascending (ties broken by custkey — deterministic
+    total order). Both Σ i·xᵢ and Σxᵢ accumulate as DECIMAL (exact, so
+    partial-aggregation order can't perturb them); only the final
+    three-term expression is IEEE, identical on both engines.
+
+    SCALE CAVEAT: the global rank window serializes the per-customer
+    aggregate through one task — fine for a 1-row report over customer
+    cardinality (the fact table is already reduced by the first
+    groupBy); a billion-key variant would bucket revenues into a
+    fixed-width histogram (a13's shape) and compute Gini over the
+    histogram's trapezoids instead.
+    """
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = rev.select(
+        "rev",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rev").cast("decimal(28,2)").alias("s"),
+        F.sum(F.col("i") * F.col("rev")).cast("decimal(28,2)").alias("s1"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    s1 = F.col("s1").cast("double")
+    decile = F.ceil(F.col("n").cast("double") * F.lit(0.9)).cast("long")
+    # conditional sum, not filter+group: stays a 1-row aggregate on both
+    # engines even if the decile cut leaves nothing
+    top_share = (
+        ranked.crossJoin(F.broadcast(agg.select("n", "s")))
+        .agg(
+            (
+                F.sum(F.when(F.col("i") > decile, F.col("rev")))
+                .cast("decimal(28,2)")
+                .cast("double")
+                / F.max(F.col("s").cast("double"))
+            ).alias("top_decile_share")
+        )
+    )
+    gini = agg.select(
+        "n",
+        s.alias("total_revenue"),
+        ((F.lit(2.0) * s1 - (n + F.lit(1.0)) * s) / (n * s)).alias("gini"),
+    )
+    return gini.crossJoin(F.broadcast(top_share))
+
+
+SQL_A16 = """
+WITH rev AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT rev, CAST(ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS i
+    FROM rev
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(rev) AS DECIMAL(28,2)) AS s,
+           CAST(SUM(i * rev) AS DECIMAL(28,2)) AS s1
+    FROM ranked
+),
+top AS (
+    SELECT CAST(CAST(SUM(CASE WHEN i > CAST(CEIL(CAST(n AS DOUBLE) * 0.9)
+                                        AS BIGINT)
+                              THEN ranked.rev END) AS DECIMAL(28,2)) AS DOUBLE)
+               / MAX(CAST(agg.s AS DOUBLE)) AS top_decile_share
+    FROM ranked CROSS JOIN agg
+)
+SELECT n,
+       CAST(s AS DOUBLE) AS total_revenue,
+       (2.0 * CAST(s1 AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) AS gini,
+       top_decile_share
+FROM agg CROSS JOIN top
+"""
+
+
 QUERIES: list[Query] = [
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
+    Query("a16_gini_concentration", q_a16_gini_concentration, SQL_A16,
+          "revenue concentration (Gini + top-decile share)"),
     Query("a15_group_mode", q_a15_group_mode, SQL_A15, "exact per-group mode"),
     Query("a14_percentiles_disc", q_a14_percentiles_disc, SQL_A14,
           "exact rank-based percentiles"),

@@ -666,8 +666,102 @@ FROM documents
 """
 
 
+def q_x14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs — the
+    collocation-mining pass a corpus build runs to find multiword
+    expressions worth protecting from tokenization ("new york"-style
+    units).
+
+    PMI(x,y) = ln( p(x,y) / (p(x)p(y)) ) with p(x,y) over bigram slots
+    and p(x) over unigram occurrences. Every count is an exact BIGINT
+    (three linear explode→groupBy passes, all map-side-combined), and
+    the probability ratio is assembled as ONE integer numerator and ONE
+    integer denominator (c_xy·U·U vs N·c_x·c_y — bounded by ~2·10¹⁶ at
+    sf0.1, far inside BIGINT) so both engines take ln() of the SAME
+    IEEE double. ln() itself is NOT bit-portable (JDK Math.log and
+    libm disagree by 1 ulp on some inputs — observed on this corpus), so
+    the score is rounded to 9 decimals on both engines before ranking —
+    the repo's round-before-rank convention. Support filter c_xy ≥ 5
+    (PMI is noise below that), top-20 by (pmi, bigram) — deterministic
+    total order.
+
+    Scale shape: cost is linear in corpus tokens; the widest shuffle
+    carries distinct bigrams (vocabulary-sized, Zipf-light). The two
+    unigram joins rendezvous on single-token keys — broadcastable when
+    the unigram table is small; AQE decides.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    with_tk = docs.filter(F.size(tk) >= 2).select(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 2),"
+            " i -> struct(split(text, ' ')[i] AS x, split(text, ' ')[i+1] AS y))"
+        ).alias("bg")
+    )
+    bigrams = with_tk.select(F.explode("bg").alias("b")).select("b.x", "b.y")
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") > 0)
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    u_tot = uni.agg(F.sum("c").cast("bigint").alias("U"))
+    bg_counts = bigrams.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    n_tot = bg_counts.agg(F.sum("c_xy").cast("bigint").alias("N"))
+    cx = uni.select(F.col("t").alias("x"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("t").alias("y"), F.col("c").alias("c_y"))
+    num = F.col("c_xy") * F.col("U") * F.col("U")
+    den = F.col("N") * F.col("c_x") * F.col("c_y")
+    return (
+        bg_counts.filter(F.col("c_xy") >= 5)
+        .join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(u_tot))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            F.col("c_xy"),
+            F.round(F.ln(num.cast("double") / den.cast("double")), 9).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(20)
+    )
+
+
+SQL_X14 = """
+WITH d AS (SELECT string_split(text, ' ') AS ts FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+bg AS (
+    SELECT unnest(list_transform(range(1, len(ts)),
+                  i -> struct_pack(x := ts[i], y := ts[i+1]))) AS b
+    FROM d
+),
+bgc AS (SELECT b.x AS x, b.y AS y, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+uni AS (
+    SELECT t, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ) WHERE length(t) > 0 GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS U FROM uni),
+ntot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS N FROM bgc)
+SELECT x || ' ' || y AS bigram,
+       c_xy,
+       ROUND(ln(CAST(c_xy * U * U AS DOUBLE) / CAST(N * cx.c * cy.c AS DOUBLE)),
+             9) AS pmi
+FROM bgc
+JOIN uni cx ON cx.t = bgc.x
+JOIN uni cy ON cy.t = bgc.y
+CROSS JOIN tot CROSS JOIN ntot
+WHERE c_xy >= 5
+ORDER BY pmi DESC, bigram
+LIMIT 20
+"""
+
+
 QUERIES: list[Query] = [
     Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
+    Query("x14_pmi_collocations", q_x14_pmi_collocations, SQL_X14,
+          "PMI bigram collocation mining"),
     Query("x13_token_budget", q_x13_token_budget, SQL_X13,
           "context-length budgeting (subword estimate)"),
     Query("x6_tfidf", q_x6_tfidf, SQL_X6, "TF-IDF keyword extraction"),

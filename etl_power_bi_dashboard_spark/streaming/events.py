@@ -213,6 +213,79 @@ def idempotent_parquet_sink(
     )
 
 
+def upsert_parquet_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    key_cols: list[str],
+    order_cols: list[str],
+):
+    """Streaming MERGE (SCD-1 upsert) via ``foreachBatch`` — the
+    streaming twin of the batch u1/u3 plans: each micro-batch is first
+    compacted to its newest record per key (u3's row_number shape), then
+    merged into the target as a full-outer COALESCE against the current
+    table state (u1's shape), and the merged result atomically replaces
+    the target. ``order_cols`` must be a deterministic total order per
+    key (e.g. ``["ts", "event_id"]``) or replay idempotence is lost to
+    tie-breaking.
+
+    Replay-safe (exactly-once EFFECT, not exactly-once write): merging
+    the same batch twice is a no-op because the per-key winner is chosen
+    by ``order_cols`` (newest wins; on equal order the incoming batch
+    wins, which re-applies identical data idempotently). With a
+    transactional format (Delta/Iceberg) the inner merge becomes a real
+    ``MERGE INTO``; parquet's non-atomic directory swap is staged
+    through a ``_stage`` path then republished, which is the
+    batch-job-visible equivalent. At scale the target stays partitioned
+    and only batch-key partitions need rewriting (dynamic partition
+    overwrite); this single-table form keeps the recipe engine-minimal.
+    """
+    from pyspark.sql import Window
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        order = [F.desc(c) for c in order_cols]
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        compact = (
+            batch_df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        try:
+            current = spark.read.parquet(target_path)
+        except Exception:
+            current = None
+        if current is not None:
+            merged = (
+                current.withColumn("_src", F.lit(0))
+                .unionByName(compact.withColumn("_src", F.lit(1)))
+                .withColumn(
+                    "_rk",
+                    F.row_number().over(
+                        Window.partitionBy(*key_cols).orderBy(
+                            *order, F.desc("_src")
+                        )
+                    ),
+                )
+                .filter(F.col("_rk") == 1)
+                .drop("_rk", "_src")
+            )
+        else:
+            merged = compact
+        stage = f"{target_path}_stage"
+        merged.write.mode("overwrite").parquet(stage)
+        spark.read.parquet(stage).write.mode("overwrite").parquet(target_path)
+        spark.catalog.refreshByPath(target_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
     """Drain a streaming aggregation into an in-memory table (tests/demos);
     returns the query handle — caller awaits termination/processing."""

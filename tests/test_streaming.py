@@ -156,3 +156,56 @@ def test_enrich_stream_matches_batch(spark, event_dir):
     assert got == want
     assert any(t is None for _, t in got)  # unmatched users kept with null tier
     assert len(got) == ev.count()
+
+
+def test_upsert_sink_matches_latest_per_key_and_replays_clean(
+    spark, event_dir, tmp_path
+):
+    """The foreachBatch upsert sink must leave the target equal to the
+    batch latest-record-per-key compaction (u3's semantics keyed by
+    user_id), and re-running the whole stream over the same input (a
+    full replay) must leave the target byte-identical — the
+    exactly-once-EFFECT contract for a MERGE sink."""
+    out = str(tmp_path / "upsert_out")
+
+    def run(ckpt_name):
+        q = se.upsert_parquet_sink(
+            se.read_event_stream(spark, event_dir),
+            out,
+            str(tmp_path / ckpt_name),
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+        )
+        _drain(q)
+
+    run("ck1")
+    got = {
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(out)
+        .select("user_id", "event_id")
+        .collect()
+    }
+    ev = spark.read.parquet(event_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        (r.user_id, r.event_id)
+        for r in ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # full replay with a fresh checkpoint: merging identical data again
+    # must not change the target
+    run("ck2")
+    spark.catalog.refreshByPath(out)
+    again = {
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(out)
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert again == got

@@ -97,3 +97,29 @@ def test_no_cartesian_products(spark, name):
     1-row scalar broadcasts (a9 NPS, h22 global avg) must plan as
     BroadcastNestedLoopJoin over a 1-row side, never CartesianProduct."""
     assert "CartesianProduct" not in plan_of(spark, name), name
+
+
+def test_d12_blocking_is_hash_join(spark):
+    """The edit-distance ER query must plan its blocking join as a
+    hash-keyed equi-join on the block token (never a nested-loop over
+    all pairs), with levenshtein evaluated as a residual join condition
+    — i.e. only within hash-matched blocks."""
+    p = plan_of(spark, "d12_fuzzy_title_match")
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
+    join_cond = [
+        line for line in p.splitlines()
+        if "Join condition" in line and "levenshtein" in line
+    ]
+    assert join_cond, "levenshtein must be a join-condition residual"
+
+
+def test_x14_scalar_totals_broadcast(spark):
+    """x14's corpus totals (U, N) are 1-row aggregates and must attach
+    via broadcast nested-loop crosses, while the unigram count joins
+    stay hash-keyed equi-joins."""
+    p = plan_of(spark, "x14_pmi_collocations")
+    # the two 1-row totals (tree section lists each node as
+    # "BroadcastNestedLoopJoin Cross"; the detail section repeats the
+    # bare name, so count the tree form)
+    assert p.count("BroadcastNestedLoopJoin Cross") == 2
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)

@@ -77,6 +77,9 @@ TAIL = [
     "u1_scd1_merge",
     "v2_ann_ivf",
     "v2_ann_ivf_indexed",
+    "x14_pmi_collocations",
+    "d12_fuzzy_title_match",
+    "a16_gini_concentration",
 ]
 
 _IVF_INDEX_PATH = "/tmp/spark_graft_bench_ivf_index"

@@ -118,3 +118,59 @@ def test_partitioned_fact_sink(spark, tmp_path):
     assert len(parts) > 10
     back = spark.read.parquet(str(fact_dir))
     assert back.count() == fact.count()
+
+
+def test_aqe_skew_join_engages_and_preserves_results(spark):
+    """AQE's skew-join handling — the runtime answer to hot keys that
+    salting (sc1/sc2) solves statically — must actually engage on a
+    skewed shuffle join and must not change the join's result.
+
+    A 90%-hot-key left side is joined under thresholds scaled to the
+    fixture (the same knobs a 100 TB job sets in real units:
+    skewedPartitionFactor / ThresholdInBytes / advisoryPartitionSize);
+    the executed adaptive plan must show the skew split
+    (SortMergeJoin(skew=true) over a skewed AQEShuffleRead), and the
+    aggregate over the skew-split join must equal the broadcast-join
+    reference answer."""
+    from pyspark.sql import functions as F
+
+    knobs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in knobs}
+    left = spark.range(0, 2000000).select(
+        F.when(F.col("id") < 1800000, F.lit(0))
+        .otherwise((F.col("id") % 99) + 1)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(0, 10000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("w")
+    )
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        j = left.join(right, "k").select(
+            F.sum(F.col("v") + F.col("w")).alias("s")
+        )
+        skewed_sum = j.collect()[0][0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan  # the AQEShuffleRead split
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    ref = (
+        left.join(F.broadcast(right), "k")
+        .select(F.sum(F.col("v") + F.col("w")).alias("s"))
+        .collect()[0][0]
+    )
+    assert skewed_sum == ref

@@ -252,3 +252,42 @@ def test_scd2_intervals_partition_timeline(spark, changelog):
             assert prev.effective_to == nxt.effective_from  # chain: no gap
             # half-open intervals: [from, to) never overlaps the successor
             assert prev.effective_from <= prev.effective_to
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefghij"), min_size=1, max_size=12
+        ).map(lambda toks: " ".join(toks)),
+        min_size=2,
+        max_size=12,
+    ),
+    thresh=st.sampled_from([0.5, 0.7, 0.8, 0.95]),
+)
+@_settings
+def test_prefix_filter_theorem(spark, docs, thresh):
+    """PPJoin prefix theorem on arbitrary corpora: every pair of docs
+    with token-set Jaccard >= t must share at least one PREFIX token
+    (prefix_postings' losslessness guarantee), at several thresholds.
+    The token universe is deliberately tiny (10 single-letter tokens) to
+    force hot terms, shared prefixes, and degenerate overlaps."""
+    from etl_power_bi_dashboard_spark.operators import dedup
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    pref = dedup.prefix_postings(dedup.shingle_sets(sdf, n=1), thresh)
+    prefixes: dict[int, set] = {}
+    for r in pref.collect():
+        prefixes.setdefault(r.doc_id, set()).add(r.term)
+    sets_ = {i: set(t.split()) for i, t in enumerate(docs)}
+    for a in sets_:
+        for b in sets_:
+            if a >= b:
+                continue
+            inter = sets_[a] & sets_[b]
+            union = sets_[a] | sets_[b]
+            if len(inter) / len(union) >= thresh:
+                assert prefixes[a] & prefixes[b], (
+                    docs[a], docs[b], prefixes[a], prefixes[b], thresh,
+                )

@@ -173,11 +173,20 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     _prepare_ivf_index(spark, sf_dir)
+    # TAIL moved from 1 rep to best-of-2 in round 4: a single-rep d6 read
+    # 30.4s in-harness vs 12.7s best-of-2 in a fresh session on the same
+    # host — the co-tenant spike the HEADLINE min already filters can hit
+    # any one-shot tail row, and one spurious 2.5x reading costs more
+    # analysis than the extra rep costs wall time.
     for name in TAIL:
         plan = _tail_plan(name)
-        t0 = time.perf_counter()
-        plan(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            plan(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -691,12 +691,18 @@ def q_x14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unigram table is small; AQE decides.
     """
     docs = load(spark, sf_dir, "documents")
-    tk = F.split(F.col("text"), " ")
-    with_tk = docs.filter(F.size(tk) >= 2).select(
-        F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 2),"
-            " i -> struct(split(text, ' ')[i] AS x, split(text, ' ')[i+1] AS y))"
-        ).alias("bg")
+    # hoist the token array into a column BEFORE the lambda: transform's
+    # element accesses would otherwise re-run split(text) per element
+    # (no common-subexpression elimination inside higher-order lambdas)
+    with_tk = (
+        docs.select(F.split(F.col("text"), " ").alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.expr(
+                "transform(sequence(0, size(tk) - 2),"
+                " i -> struct(tk[i] AS x, tk[i+1] AS y))"
+            ).alias("bg")
+        )
     )
     bigrams = with_tk.select(F.explode("bg").alias("b")).select("b.x", "b.y")
     uni = (

@@ -102,6 +102,39 @@ def read_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
     return spark.read.csv(path, header=True, schema=SCHEMAS[table])
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv_quarantine(
+    spark: SparkSession, path: str, schema, header: bool = True
+) -> DataFrame:
+    """Robust CSV scan with corrupt-row quarantine — the CSV twin of
+    sources/jsonl.py's ``keep_corrupt`` read, for feeds the pipeline
+    does NOT control (partner drops, exports with encoding accidents).
+
+    PERMISSIVE mode parses what it can: rows whose cells fail the pinned
+    schema land with NULL cells and the raw line preserved in
+    ``_corrupt_record``; clean rows carry NULL there. The caller splits
+    on that column — load the clean subset, write the quarantine aside
+    for triage — so one bad row in a 100 TB feed costs one quarantined
+    line, not a failed job. Schema is caller-supplied (DDL string or
+    StructType): CSV inference, like JSON inference, would be a full
+    extra pass over the data.
+    """
+    from pyspark.sql.types import StructType
+
+    full = (
+        StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    ).add(CORRUPT_COL, "string")
+    return (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+
+
 def extract_data(spark: SparkSession, base_path: str) -> dict[str, DataFrame] | None:
     """S1-S3: load the raw tables; `category_translation` is optional
     (existence probe, ef:39-40); any missing *required* file → None

@@ -145,3 +145,30 @@ def test_compact_parquet_reduces_files_preserving_rows(spark, tmp_path):
     got = spark.read.parquet(dest)
     assert got.count() == 10_000
     assert got.agg({"k": "sum"}).first()[0] == df.agg({"k": "sum"}).first()[0]
+
+
+def test_csv_quarantine_read(spark, tmp_path):
+    """read_csv_quarantine must parse clean rows, null-out and preserve
+    the raw line for schema-violating rows, and never fail the job."""
+    from etl_power_bi_dashboard_spark.sources.olist import (
+        CORRUPT_COL,
+        read_csv_quarantine,
+    )
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,2,9.99\n"
+        "2,not_a_number,1.50\n"
+        "3,4,2.25\n"
+    )
+    df = read_csv_quarantine(
+        spark, str(p), "id INT, qty INT, price DOUBLE"
+    ).cache()
+    clean = df.filter(df[CORRUPT_COL].isNull())
+    bad = df.filter(df[CORRUPT_COL].isNotNull())
+    assert clean.count() == 2
+    assert {r.id for r in clean.collect()} == {1, 3}
+    assert bad.count() == 1
+    raw = bad.collect()[0][CORRUPT_COL]
+    assert "not_a_number" in raw

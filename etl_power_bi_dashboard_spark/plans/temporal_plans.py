@@ -83,8 +83,87 @@ GROUP BY 1
 """
 
 
+def q_r5_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + last-observation-carried-forward — the
+    hypertable resample (TimescaleDB's ``time_bucket_gapfill`` +
+    ``locf``) the r3 rollup can't answer: turn a sparse per-user event
+    log into a DENSE daily series where missing days carry the last
+    observed day's total, flagged as filled.
+
+    Shape: daily aggregate (one shuffle, DECIMAL-exact), per-user date
+    span (tiny agg), spine = ``sequence(d0, d1)`` exploded — generated,
+    never scanned, like dim_date — left join actuals back on
+    (user, day), then one ``last(ignorenulls)`` window over the same
+    per-user partitioning for the carry-forward. Spine size is
+    |users| × |days of that user's own span| (never the global span),
+    and every value is either an exact DECIMAL→DOUBLE daily total or
+    its exact copy — LOCF introduces no arithmetic, so the hash gate
+    holds.
+    """
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("day_value")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    joined = spine.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        # emitted as TIMESTAMP: DuckDB's pandas bridge widens DATE to
+        # Timestamp, so both engines publish the midnight instant (the
+        # e6 cohort_week convention)
+        F.col("d").cast("timestamp").alias("d"),
+        F.last("day_value", ignorenulls=True).over(w).alias("value_locf"),
+        F.when(F.col("day_value").isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("gap_filled"),
+    )
+
+
+SQL_R5 = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+    FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+spine AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                       CAST(d1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS d
+    FROM span
+)
+SELECT s.user_id, CAST(s.d AS TIMESTAMP) AS d,
+       LAST_VALUE(daily.day_value IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+       CAST(CASE WHEN daily.day_value IS NULL THEN 1 ELSE 0 END AS INT)
+           AS gap_filled
+FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+"""
+
+
 QUERIES: list[Query] = [
     Query("r1_asof_join", q_r1_asof_join, SQL_R1, "as-of join"),
     Query("r2_range_join", q_r2_range_join, SQL_R2, "bounded range join"),
     Query("r3_hierarchical_rollup", q_r3_hierarchical_rollup, SQL_R3, "hypertable rollup"),
+    Query("r5_gapfill_locf", q_r5_gapfill_locf, SQL_R5,
+          "time-series gap-fill + LOCF resample"),
 ]

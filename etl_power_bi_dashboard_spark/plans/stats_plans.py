@@ -357,8 +357,57 @@ FROM agg CROSS JOIN top
 """
 
 
+def q_a17_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct purchasers by day — the "total unique
+    customers to date" dashboard line. ``COUNT(DISTINCT) OVER`` is
+    unsupported as a window in Spark (and quadratic where engines do
+    allow it); the standard rewrite is first-purchase-day per user (one
+    groupBy) → new purchasers per day (one groupBy over |users| rows) →
+    running sum (one window over |days| rows). All counts are exact
+    BIGINTs; the widest shuffle carries one row per user, never
+    user×day, and the final window orders the |days|-row aggregate, not
+    the fact.
+    """
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d")
+    )
+    daily_new = first_seen.groupBy("d").agg(
+        F.count("*").alias("new_users")
+    )
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        F.col("d").cast("timestamp").alias("d"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_distinct_users"),
+    )
+
+
+SQL_A17 = """
+WITH first_seen AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events
+    WHERE event_type = 'purchase' GROUP BY 1
+),
+daily_new AS (SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY 1)
+SELECT CAST(d AS TIMESTAMP) AS d, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_distinct_users
+FROM daily_new
+"""
+
+
 QUERIES: list[Query] = [
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
+    Query("a17_cumulative_distinct", q_a17_cumulative_distinct, SQL_A17,
+          "cumulative distinct users by day"),
     Query("a16_gini_concentration", q_a16_gini_concentration, SQL_A16,
           "revenue concentration (Gini + top-decile share)"),
     Query("a15_group_mode", q_a15_group_mode, SQL_A15, "exact per-group mode"),

@@ -160,10 +160,121 @@ FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
 """
 
 
+def q_r6_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap-fill — r5's other resample mode
+    (TimescaleDB's ``interpolate``): a missing day gets
+    ``prev + (next − prev) · elapsed/gap`` between its surrounding
+    observations; days with no observation on one side stay NULL (no
+    extrapolation — deterministic and honest).
+
+    Same spine shape as r5 (per-user generated date span, one left
+    join); the carry columns come from two mirrored ignore-nulls
+    windows (last-preceding and first-following value+day), and the
+    interpolation is four IEEE double ops in the SAME textual order on
+    both engines — deterministic, so the hash gate holds without any
+    rounding escape hatch.
+    """
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("day_value")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    joined = spine.join(daily, ["user_id", "d"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("day_value").isNotNull(), F.col("d"))
+    prev_v = F.last("day_value", ignorenulls=True).over(back)
+    prev_d = F.last(obs_d, ignorenulls=True).over(back)
+    next_v = F.first("day_value", ignorenulls=True).over(fwd)
+    next_d = F.first(obs_d, ignorenulls=True).over(fwd)
+    gap = F.datediff(next_d, prev_d).cast("double")
+    elapsed = F.datediff(F.col("d"), prev_d).cast("double")
+    interp = F.when(
+        F.col("day_value").isNotNull(), F.col("day_value")
+    ).otherwise(
+        prev_v + (next_v - prev_v) * elapsed / gap
+    )
+    return joined.select(
+        "user_id",
+        F.col("d").cast("timestamp").alias("d"),
+        interp.alias("value_interp"),
+        F.when(F.col("day_value").isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("gap_filled"),
+    )
+
+
+SQL_R6 = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+    FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+spine AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                       CAST(d1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS d
+    FROM span
+),
+j AS (
+    SELECT s.user_id, s.d, daily.day_value
+    FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+),
+carried AS (
+    SELECT user_id, d, day_value,
+           LAST_VALUE(day_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+           LAST_VALUE(CASE WHEN day_value IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+           FIRST_VALUE(day_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+           FIRST_VALUE(CASE WHEN day_value IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+    FROM j
+)
+SELECT user_id, CAST(d AS TIMESTAMP) AS d,
+       CASE WHEN day_value IS NOT NULL THEN day_value
+            ELSE prev_v + (next_v - prev_v)
+                 * CAST(datediff('day', prev_d, d) AS DOUBLE)
+                 / CAST(datediff('day', prev_d, next_d) AS DOUBLE)
+       END AS value_interp,
+       CAST(CASE WHEN day_value IS NULL THEN 1 ELSE 0 END AS INT) AS gap_filled
+FROM carried
+"""
+
+
 QUERIES: list[Query] = [
     Query("r1_asof_join", q_r1_asof_join, SQL_R1, "as-of join"),
     Query("r2_range_join", q_r2_range_join, SQL_R2, "bounded range join"),
     Query("r3_hierarchical_rollup", q_r3_hierarchical_rollup, SQL_R3, "hypertable rollup"),
     Query("r5_gapfill_locf", q_r5_gapfill_locf, SQL_R5,
           "time-series gap-fill + LOCF resample"),
+    Query("r6_gapfill_interpolate", q_r6_gapfill_interpolate, SQL_R6,
+          "time-series gap-fill + linear interpolation"),
 ]

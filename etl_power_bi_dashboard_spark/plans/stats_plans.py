@@ -404,8 +404,83 @@ FROM daily_new
 """
 
 
+def q_q5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift check between corpus sources via the
+    population stability index — the monitoring staple that answers
+    "does src0's document-length profile still look like the rest of
+    the corpus" (same math monitors feature drift between a training
+    and a serving window).
+
+    Documents bucket by token-count decade (integer division — exact);
+    per bucket, PSI's term is (p_a − p_b)·ln(p_a/p_b) with p the
+    bucket's share of its source group. Counts are exact BIGINTs,
+    shares and the term are IEEE ops in identical textual order on both
+    engines, and ln() is rounded to 9 decimals (x14's convention — JDK
+    and libm differ by 1 ulp). Buckets empty on either side are
+    excluded (ln undefined) rather than epsilon-smoothed — exclusion is
+    deterministic, smoothing constants are a modeling choice. The
+    aggregate shuffles bucket-count rows only; totals attach as a
+    broadcast 1-row aggregate. Conventional reading: PSI < 0.1 stable,
+    0.1–0.25 moderate drift, > 0.25 action.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucketed = docs.select(
+        F.expr("size(split(text, ' ')) DIV 10").alias("bucket"),
+        (F.col("source") == "src0").alias("is_a"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    totals = counts.agg(
+        F.sum("n_a").cast("bigint").alias("t_a"),
+        F.sum("n_b").cast("bigint").alias("t_b"),
+    )
+    pa = F.col("n_a").cast("double") / F.col("t_a").cast("double")
+    pb = F.col("n_b").cast("double") / F.col("t_b").cast("double")
+    return (
+        counts.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.round((pa - pb) * F.ln(pa / pb), 9).alias("psi_term"),
+        )
+    )
+
+
+SQL_Q5 = """
+WITH b AS (
+    SELECT len(string_split(text, ' ')) // 10 AS bucket,
+           source = 'src0' AS is_a
+    FROM documents
+),
+counts AS (
+    SELECT bucket,
+           CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+    FROM b GROUP BY 1
+),
+totals AS (
+    SELECT CAST(SUM(n_a) AS BIGINT) AS t_a, CAST(SUM(n_b) AS BIGINT) AS t_b
+    FROM counts
+)
+SELECT bucket, n_a, n_b,
+       ROUND((CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE)
+              - CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE))
+             * ln((CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE))
+                  / (CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE))), 9)
+           AS psi_term
+FROM counts CROSS JOIN totals
+WHERE n_a > 0 AND n_b > 0
+"""
+
+
 QUERIES: list[Query] = [
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
+    Query("q5_drift_psi", q_q5_drift_psi, SQL_Q5,
+          "source-vs-corpus distribution drift (PSI)"),
     Query("a17_cumulative_distinct", q_a17_cumulative_distinct, SQL_A17,
           "cumulative distinct users by day"),
     Query("a16_gini_concentration", q_a16_gini_concentration, SQL_A16,

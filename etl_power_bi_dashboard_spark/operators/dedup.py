@@ -182,8 +182,8 @@ def prefix_postings(sets_: DataFrame, threshold: float) -> DataFrame:
     a ubiquitous term rendezvouses only the few docs where it is locally
     rarest — the df-cap's intent, achieved losslessly.
 
-    ``p`` uses exact integer arithmetic (``(num·n + num) DIV den`` for
-    ``ceil(num·n/den)``): IEEE ``ceil(0.95·n)`` can overshoot an integer
+    ``p`` uses exact integer arithmetic (``(num·n + den − 1) DIV den``
+    for ``ceil(num·n/den)``): IEEE ``ceil(0.95·n)`` can overshoot an integer
     product (0.95·20 → 19.000…004 → 20) and shrink the prefix below the
     theorem's bound.
 

@@ -16,18 +16,21 @@ rotates not-yet-driver-verified queries to the front:
   oracle-less ones (ml1, ax1–ax3 — rows-only checks) sit just behind
   the window and rotate in next round.
 
-Round 4 rotation (current): slots 1-25 are the only entries with no
-clean driver row — the 24 queries added during round 3 (recomputed
-from CORRECTNESS_r01-r03 as COVERAGE.md instructs: x7-x13, d8-d11,
-e6/e7, p10-p12, u4, a15, ax4/ax5, sc1/sc2, ml2, m4; of which
-p12/ax4/ax5/ml2 are oracle-less rows-only) plus ax2_approx_quantiles,
-whose round-3 row ERRORED on its array<double> column (now three
-scalar doubles — must re-record). Slots 26-50 are round-2 re-checks:
-d6/d7 FIRST (their edge builder gains a max_df cap this round — the
-re-check proves the cap is lossless under the driver's hash gate),
-then the TPC-H heavies + merge/events/temporal families per the
-round-3 verdict. After round 4 every registry entry has a driver row
-and each earlier window has been re-checked at least once.
+Round 5 rotation (current): slots 1-8 are the only entries with no
+clean driver row — the 7 queries added during round 4 (recomputed
+from CORRECTNESS_r01-r04 as COVERAGE.md instructs: r5/r6 gap-fill,
+x14 PMI, d12 edit-distance ER, q5 PSI drift, a16 Gini, a17
+cumulative-distinct — all oracle-backed) plus the new round-5
+composition r7_asof_against_scd2 (point-in-time lookup against u4's
+versioned dim, the verdict's requested shape). Slots 9+ backfill with
+round-1/round-3 re-checks per the round-4 verdict: windows w1-w7 +
+gap/islands + samplers, groupings/pivots g1-g3 + pv1/pv2, expression
+wrappers f16-f18, then the §2 core (scan/projection/filters, the
+j1-j3 joins, the a1-a11 aggregate family, f1/f2 coercions, top-k,
+DAX measures). Round 4's note for the record: d6/d7's edge builder
+gained a PPJoin PREFIX FILTER (not a df-cap — the repo's own builder
+proved an absolute cap lossy on this corpus) and the r4 hash gate
+re-proved it lossless against the uncapped oracle.
 
 Every query keeps its local sf0.001 DuckDB parity test regardless of
 position (tests/test_oracle_parity.py covers the whole registry).
@@ -77,66 +80,68 @@ _MODULES = [
 # Driver-window priority (see module docstring). Names listed here come
 # first, in this order; everything else follows in module order.
 _PRIORITY = [
-    # --- round-4 window, slots 1-24: the round-3 additions with no
-    # driver row yet (recomputed from CORRECTNESS_r01-r03) --------------
-    "x7_repetition",
-    "x8_pii_scrub",
-    "x9_quality_cascade",
-    "x10_source_mix",
-    "x11_mixing_weights",
-    "x12_unigram_score",
-    "x13_token_budget",
-    "d8_chunk_dedup",
-    "d9_contamination",
-    "d10_cross_source_contamination",
-    "d11_incremental_dedup",
-    "e6_retention_cohorts",
-    "e7_value_outliers",
-    "u4_scd2_history",
-    "p10_quality_weighted_sample",
-    "p11_sequence_pack",
-    "a15_group_mode",
-    "sc1_salted_join",
-    "sc2_salted_agg",
-    # oracle-less (driver records rows-only checks)
-    "p12_greedy_pack",
-    "ax4_countmin",
-    "ax5_hll_merge",
-    "ml2_pagerank",
-    "m4_resize",
-    # slot 25: round-3 row ERRORED (array column); re-record now that the
-    # output is three scalar doubles
-    "ax2_approx_quantiles",
-    # --- slots 26-51: round-2 re-checks. d6/d7 first: their edge builder
-    # gains a df-cap this round, so the hash gate must re-prove them ----
-    "d6_dup_clusters",
-    "d7_cluster_representatives",
-    "d2_ngram_jaccard",
-    "h1_pricing_summary",
-    "h2_min_cost_supplier",
-    "h3_shipping_priority",
-    "h5_region_volume",
-    "h7_volume_shipping",
-    "h8_market_share",
-    "h9_product_profit",
-    "h17_small_qty_revenue",
-    "h18_large_volume",
-    "h20_excess_suppliers",
-    "h21_waiting_supplier",
-    "h22_idle_customers",
-    "a12_stats_exact",
-    "u1_scd1_merge",
-    "u2_delete_detect",
-    "u3_latest_per_key",
-    "e1_tumbling_hourly",
-    "e2_sliding_windows",
-    "e3_session_windows",
-    "e5_funnel",
-    "r1_asof_join",
-    "r2_range_join",
+    # --- round-5 window, slots 1-8: the round-4 additions with no driver
+    # row yet (recomputed from CORRECTNESS_r01-r04) plus this round's new
+    # composition queries --------------------------------------------
+    "r5_gapfill_locf",
+    "r6_gapfill_interpolate",
+    "x14_pmi_collocations",
+    "d12_fuzzy_title_match",
+    "q5_drift_psi",
+    "a16_gini_concentration",
+    "a17_cumulative_distinct",
+    "r7_asof_against_scd2",
+    # --- slots 9-26: round-1/round-3 re-checks — window functions,
+    # samplers, groupings/pivots, expression wrappers ------------------
+    "w1_rank_per_group",
+    "w2_running_total",
+    "w3_lag_delta",
+    "w4_moving_avg",
+    "w5_distribution",
+    "w6_value_picks",
+    "w7_range_frame",
+    "r4_gap_islands",
+    "p7_sample_mod",
+    "p8_hash_split",
+    "p9_stratified_sample",
+    "g1_rollup",
+    "g2_cube",
+    "g3_grouping_sets",
+    "pv1_pivot",
+    "pv2_unpivot",
+    "f16_string_ops",
+    "f17_conditionals",
+    "f18_null_safe_eq",
+    # --- slots 27-50: §2 core re-checks (round-1 rows; golden suite pins
+    # them locally, but the driver hash gate should re-prove the flagship
+    # scan→join→aggregate path at least once post-round-1) --------------
+    "s1_scan",
+    "p1_projection",
+    "p2_filter_eq",
+    "p3_filter_range",
+    "p4_filter_in",
+    "p5_rename",
+    "j1_left_broadcast",
+    "j2_inner_fact",
+    "j3_left_fillzero",
+    "a1_sales_by_date",
+    "a2_sales_by_month",
+    "a3_sales_by_category",
+    "a4_sales_by_state",
+    "a5_sales_by_city",
+    "a6_sales_by_seller",
+    "a7_review_distribution",
+    "a8_global_minmax",
+    "a9_nps",
+    "a10_count_by_value",
+    "a11_distinct",
+    "f1_to_timestamp",
+    "f2_median_impute",
+    "t1_topk",
+    "dax_measures",
     # --- behind the window: everything already driver-verified in
-    # CORRECTNESS_r01/r02/r03 follows in module order (r3_hierarchical_
-    # rollup, next in line, keeps its r2 row) ---------------------------
+    # CORRECTNESS_r01-r04 follows in module order (f3_string_impute, next
+    # in line, keeps its r1 row and its golden pin) ---------------------
 ]
 
 

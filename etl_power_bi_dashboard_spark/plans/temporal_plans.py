@@ -269,6 +269,83 @@ FROM carried
 """
 
 
+def q_r7_asof_against_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against a versioned (SCD-2) dimension — the
+    composition a warehouse user actually runs: u4 builds the validity
+    intervals, r1 is the raw as-of; this query answers "which version of
+    the user's click profile was in effect when each purchase happened".
+
+    Dim = :func:`~..plans.merge_plans.scd2_history` over the click
+    changelog (half-open ``[effective_from, effective_to)`` intervals,
+    pairwise disjoint and chaining per key — the u4 interval laws).
+    Probe = purchase events, left-joined on the key plus interval
+    containment, so each probe matches AT MOST one version (zero-length
+    intervals from same-timestamp versions are empty under the half-open
+    convention and can never double-match) and probes before the first
+    version keep NULLs — no tie-break ambiguity, the hash gate holds.
+
+    Scale shape: one shuffle on ``user_id`` for the equi-join; the
+    interval predicates ride in the join condition so no V×P blowup
+    reaches the output, and the per-probe work is bounded by that key's
+    version count (dim-sized, small). If a key's version chain were
+    unbounded, the single-shuffle union+window as-of on
+    ``effective_from`` (r1's machinery — valid because the intervals
+    chain) replaces the interval join; this form keeps the materialized
+    dim, which is what the lookup exists to reuse.
+    """
+    from .merge_plans import scd2_history
+
+    ev = load_events(spark, sf_dir)
+    dim = scd2_history(ev.filter(F.col("event_type") == "click"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    v = dim.select(
+        F.col("user_id").alias("_vu"),
+        F.col("event_id").alias("version_id"),
+        F.col("value").alias("version_value"),
+        "effective_from",
+        "effective_to",
+        "is_current",
+    )
+    return purchases.join(
+        v,
+        (purchases["user_id"] == v["_vu"])
+        & (purchases["ts"] >= v["effective_from"])
+        & (v["effective_to"].isNull() | (purchases["ts"] < v["effective_to"])),
+        "left",
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "version_id",
+        "version_value",
+        "effective_from",
+        "is_current",
+    )
+
+
+SQL_R7 = """
+WITH dim AS (
+    SELECT user_id, event_id AS version_id, value AS version_value,
+           ts AS effective_from,
+           LEAD(ts) OVER w AS effective_to,
+           CAST(CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+               AS is_current
+    FROM events WHERE event_type = 'click'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p.user_id, p.event_id, p.ts,
+       d.version_id, d.version_value, d.effective_from, d.is_current
+FROM (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN dim d
+  ON p.user_id = d.user_id
+ AND p.ts >= d.effective_from
+ AND (d.effective_to IS NULL OR p.ts < d.effective_to)
+"""
+
+
 QUERIES: list[Query] = [
     Query("r1_asof_join", q_r1_asof_join, SQL_R1, "as-of join"),
     Query("r2_range_join", q_r2_range_join, SQL_R2, "bounded range join"),
@@ -277,4 +354,6 @@ QUERIES: list[Query] = [
           "time-series gap-fill + LOCF resample"),
     Query("r6_gapfill_interpolate", q_r6_gapfill_interpolate, SQL_R6,
           "time-series gap-fill + linear interpolation"),
+    Query("r7_asof_against_scd2", q_r7_asof_against_scd2, SQL_R7,
+          "point-in-time lookup against the SCD-2 versioned dim"),
 ]

@@ -674,11 +674,14 @@ def q_x14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     PMI(x,y) = ln( p(x,y) / (p(x)p(y)) ) with p(x,y) over bigram slots
     and p(x) over unigram occurrences. Every count is an exact BIGINT
-    (three linear explode→groupBy passes, all map-side-combined), and
-    the probability ratio is assembled as ONE integer numerator and ONE
-    integer denominator (c_xy·U·U vs N·c_x·c_y — bounded by ~2·10¹⁶ at
-    sf0.1, far inside BIGINT) so both engines take ln() of the SAME
-    IEEE double. ln() itself is NOT bit-portable (JDK Math.log and
+    (three linear explode→groupBy passes, all map-side-combined). The
+    probability-ratio factors are cast to double BEFORE multiplying:
+    an integer c_xy·U·U overflows BIGINT on a large corpus, where Spark
+    (non-ANSI) wraps silently while DuckDB raises — the engines would
+    diverge. Both engines run the same left-associated IEEE multiply
+    chain, so they still take ln() of the SAME double at any corpus
+    size, and PMI precision is bounded by the 9-dp round anyway.
+    ln() itself is NOT bit-portable (JDK Math.log and
     libm disagree by 1 ulp on some inputs — observed on this corpus), so
     the score is rounded to 9 decimals on both engines before ranking —
     the repo's round-before-rank convention. Support filter c_xy ≥ 5
@@ -716,8 +719,16 @@ def q_x14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tot = bg_counts.agg(F.sum("c_xy").cast("bigint").alias("N"))
     cx = uni.select(F.col("t").alias("x"), F.col("c").alias("c_x"))
     cy = uni.select(F.col("t").alias("y"), F.col("c").alias("c_y"))
-    num = F.col("c_xy") * F.col("U") * F.col("U")
-    den = F.col("N") * F.col("c_x") * F.col("c_y")
+    num = (
+        F.col("c_xy").cast("double")
+        * F.col("U").cast("double")
+        * F.col("U").cast("double")
+    )
+    den = (
+        F.col("N").cast("double")
+        * F.col("c_x").cast("double")
+        * F.col("c_y").cast("double")
+    )
     return (
         bg_counts.filter(F.col("c_xy") >= 5)
         .join(cx, "x")
@@ -727,7 +738,7 @@ def q_x14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.concat_ws(" ", "x", "y").alias("bigram"),
             F.col("c_xy"),
-            F.round(F.ln(num.cast("double") / den.cast("double")), 9).alias("pmi"),
+            F.round(F.ln(num / den), 9).alias("pmi"),
         )
         .orderBy(F.desc("pmi"), "bigram")
         .limit(20)
@@ -752,7 +763,9 @@ tot AS (SELECT CAST(SUM(c) AS BIGINT) AS U FROM uni),
 ntot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS N FROM bgc)
 SELECT x || ' ' || y AS bigram,
        c_xy,
-       ROUND(ln(CAST(c_xy * U * U AS DOUBLE) / CAST(N * cx.c * cy.c AS DOUBLE)),
+       ROUND(ln((CAST(c_xy AS DOUBLE) * CAST(U AS DOUBLE) * CAST(U AS DOUBLE))
+                / (CAST(N AS DOUBLE) * CAST(cx.c AS DOUBLE)
+                   * CAST(cy.c AS DOUBLE))),
              9) AS pmi
 FROM bgc
 JOIN uni cx ON cx.t = bgc.x

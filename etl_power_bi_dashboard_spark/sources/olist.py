@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -114,12 +115,20 @@ def read_csv_quarantine(
 
     PERMISSIVE mode parses what it can: rows whose cells fail the pinned
     schema land with NULL cells and the raw line preserved in
-    ``_corrupt_record``; clean rows carry NULL there. The caller splits
-    on that column — load the clean subset, write the quarantine aside
-    for triage — so one bad row in a 100 TB feed costs one quarantined
-    line, not a failed job. Schema is caller-supplied (DDL string or
-    StructType): CSV inference, like JSON inference, would be a full
-    extra pass over the data.
+    ``_corrupt_record``; clean rows carry NULL there. Split on that
+    column via ``split_quarantine`` — load the clean subset, write the
+    quarantine aside for triage — so one bad row in a 100 TB feed costs
+    one quarantined line, not a failed job. Schema is caller-supplied
+    (DDL string or StructType): CSV inference, like JSON inference,
+    would be a full extra pass over the data.
+
+    CAUTION — filtering this frame directly on ``_corrupt_record``
+    requires materializing the parse first: Spark raises
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN (or an
+    AnalysisException, version-dependent) for queries over a raw CSV
+    relation whose only referenced column is the corrupt-record column.
+    Use ``split_quarantine`` (which caches) rather than filtering the
+    raw relation yourself.
     """
     from pyspark.sql.types import StructType
 
@@ -132,6 +141,24 @@ def read_csv_quarantine(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .csv(path)
+    )
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a ``read_csv_quarantine`` frame into (clean, quarantine).
+
+    Caches the parsed frame first — Spark refuses predicates over a raw
+    CSV relation that reference only the corrupt-record column (see
+    ``read_csv_quarantine``). The cache is the documented escape hatch
+    for audit-sized feeds; at corpus scale, write the parsed frame to
+    parquet once and split the parquet instead. ``clean`` drops the
+    corrupt column; ``quarantine`` keeps the raw line for triage.
+    """
+    cached = df.cache()
+    c = F.col(CORRUPT_COL)
+    return (
+        cached.filter(c.isNull()).drop(CORRUPT_COL),
+        cached.filter(c.isNotNull()),
     )
 
 

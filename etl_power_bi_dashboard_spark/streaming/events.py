@@ -236,14 +236,39 @@ def upsert_parquet_sink(
     transactional format (Delta/Iceberg) the inner merge becomes a real
     ``MERGE INTO``; parquet's non-atomic directory swap is staged
     through a ``_stage`` path then republished, which is the
-    batch-job-visible equivalent. At scale the target stays partitioned
-    and only batch-key partitions need rewriting (dynamic partition
-    overwrite); this single-table form keeps the recipe engine-minimal.
+    batch-job-visible equivalent.
+
+    Crash recovery: the republish (overwrite of ``target_path``) is not
+    atomic, so both directories are gated on their ``_SUCCESS`` markers.
+    A crash mid-republish leaves the target partial (no ``_SUCCESS``)
+    while ``_stage`` still holds the complete merge; the next batch (or
+    replay) first finishes the interrupted republish from ``_stage``,
+    then merges normally. ``_stage`` is removed only after a successful
+    republish, so at every instant at least one complete copy exists.
+    At scale the target stays partitioned and only batch-key partitions
+    need rewriting (dynamic partition overwrite); this single-table form
+    keeps the recipe engine-minimal.
     """
     from pyspark.sql import Window
 
+    def _fs_and_path(spark: SparkSession, path: str):
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, hpath
+
+    def _is_complete(spark: SparkSession, path: str) -> bool:
+        """A parquet directory is trustworthy only once the committer has
+        dropped its _SUCCESS marker (overwrite deletes the dir first, so a
+        partial write never carries one)."""
+        fs, hpath = _fs_and_path(spark, path)
+        return fs.exists(
+            spark._jvm.org.apache.hadoop.fs.Path(hpath, "_SUCCESS")
+        )
+
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        stage = f"{target_path}_stage"
         order = [F.desc(c) for c in order_cols]
         w = Window.partitionBy(*key_cols).orderBy(*order)
         compact = (
@@ -251,10 +276,20 @@ def upsert_parquet_sink(
             .filter(F.col("_rk") == 1)
             .drop("_rk")
         )
-        try:
+        if _is_complete(spark, target_path):
             current = spark.read.parquet(target_path)
-        except Exception:
-            current = None
+        elif _is_complete(spark, stage):
+            # Crash window: the previous _merge finished its stage write
+            # but died during the republish. Finish that republish FIRST
+            # (never read `current` lazily out of the stage we are about
+            # to overwrite), then merge against the restored target.
+            spark.read.parquet(stage).write.mode("overwrite").parquet(
+                target_path
+            )
+            spark.catalog.refreshByPath(target_path)
+            current = spark.read.parquet(target_path)
+        else:
+            current = None  # genuinely the first batch ever
         if current is not None:
             merged = (
                 current.withColumn("_src", F.lit(0))
@@ -272,10 +307,13 @@ def upsert_parquet_sink(
             )
         else:
             merged = compact
-        stage = f"{target_path}_stage"
         merged.write.mode("overwrite").parquet(stage)
         spark.read.parquet(stage).write.mode("overwrite").parquet(target_path)
         spark.catalog.refreshByPath(target_path)
+        # Target republish is complete (its _SUCCESS is down) — only now
+        # is the stage copy redundant and safe to drop.
+        fs, stage_path = _fs_and_path(spark, stage)
+        fs.delete(stage_path, True)
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

@@ -153,6 +153,7 @@ def test_csv_quarantine_read(spark, tmp_path):
     from etl_power_bi_dashboard_spark.sources.olist import (
         CORRUPT_COL,
         read_csv_quarantine,
+        split_quarantine,
     )
 
     p = tmp_path / "feed.csv"
@@ -162,13 +163,14 @@ def test_csv_quarantine_read(spark, tmp_path):
         "2,not_a_number,1.50\n"
         "3,4,2.25\n"
     )
-    df = read_csv_quarantine(
-        spark, str(p), "id INT, qty INT, price DOUBLE"
-    ).cache()
-    clean = df.filter(df[CORRUPT_COL].isNull())
-    bad = df.filter(df[CORRUPT_COL].isNotNull())
+    # no manual .cache() here: split_quarantine must handle the
+    # corrupt-column-only-query restriction itself
+    clean, bad = split_quarantine(
+        read_csv_quarantine(spark, str(p), "id INT, qty INT, price DOUBLE")
+    )
     assert clean.count() == 2
     assert {r.id for r in clean.collect()} == {1, 3}
+    assert CORRUPT_COL not in clean.columns
     assert bad.count() == 1
     raw = bad.collect()[0][CORRUPT_COL]
     assert "not_a_number" in raw

@@ -209,3 +209,64 @@ def test_upsert_sink_matches_latest_per_key_and_replays_clean(
         .collect()
     }
     assert again == got
+
+    # the stage directory must not outlive a successful republish
+    import os
+
+    assert not os.path.exists(out + "_stage")
+
+
+def test_upsert_sink_recovers_from_crashed_republish(
+    spark, event_dir, tmp_path
+):
+    """Simulate a crash mid-republish: the stage directory holds the
+    complete previous merge (with _SUCCESS) while the target is gone.
+    The next run must restore the target from the stage FIRST, so keys
+    absent from the replayed batch survive — the round-4 recovery bug
+    rebuilt the table from the new batch alone."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "crash_out")
+
+    q = se.upsert_parquet_sink(
+        se.read_event_stream(spark, event_dir),
+        out,
+        str(tmp_path / "ck1"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    _drain(q)
+    spark.catalog.refreshByPath(out)
+    full_keys = {r.user_id for r in spark.read.parquet(out).select("user_id").collect()}
+    assert len(full_keys) > 1
+
+    # crash reconstruction: stage = the complete merge, target = destroyed
+    # mid-overwrite (no _SUCCESS ⇒ untrustworthy, here simply absent)
+    shutil.copytree(out, out + "_stage")
+    shutil.rmtree(out)
+
+    # next batch carries ONE user only
+    one_user = sorted(full_keys)[0]
+    nb_dir = str(tmp_path / "next_batch")
+    (
+        spark.read.parquet(event_dir)
+        .filter(F.col("user_id") == one_user)
+        .limit(5)
+        .write.mode("overwrite")
+        .parquet(nb_dir)
+    )
+    q = se.upsert_parquet_sink(
+        se.read_event_stream(spark, nb_dir),
+        out,
+        str(tmp_path / "ck2"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    _drain(q)
+    spark.catalog.refreshByPath(out)
+    recovered = {
+        r.user_id for r in spark.read.parquet(out).select("user_id").collect()
+    }
+    assert recovered == full_keys  # every key outside the batch survived
+    assert not os.path.exists(out + "_stage")

@@ -39,6 +39,7 @@ def pagerank(
     node_col: str = "id",
     damping: float = 0.85,
     max_iter: int = 10,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list — the classic
     link-graph quality signal (the web-scale ancestor of per-document
@@ -51,11 +52,20 @@ def pagerank(
     mass (no out-edges) redistributes uniformly. The dangling mass rides
     along INSIDE the plan as a broadcast 1-row aggregate over the static
     dangling-node set (computed once, not an anti-join per round), so no
-    scalar crosses to the driver during iteration and each round is
-    exactly ONE materializing job — the eager ``localCheckpoint`` that
-    truncates lineage so plan depth stays constant (the
-    k-means/components iteration pattern, minus their per-round driver
-    sync).
+    scalar crosses to the driver during iteration; an eager
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates
+    lineage so plan depth stays bounded (the k-means/components
+    iteration pattern, minus their per-round driver sync).
+
+    ``checkpoint_every`` trades plan depth for materialization count:
+    the checkpoint is the only thing forcing a job per round, so at
+    cadence 2 half the rounds run as pure lazy plan growth (two extra
+    joins of depth) and the materialization cost is paid every OTHER
+    round — the round-4 bench showed the 10-iteration run dominated by
+    per-round materialization, and cadence 2 cuts those jobs in half
+    without letting lineage grow past two rounds. Cadence 1 recovers
+    the strict one-job-per-round behavior. The fixpoint is cadence-
+    independent (pinned by test_pagerank_checkpoint_cadence_invariant).
 
     Returns (node, rank) with Σ rank = 1 up to float rounding.
     Deterministic given the graph: the fixpoint doesn't depend on
@@ -93,7 +103,7 @@ def pagerank(
     dang_nodes = base_nodes.join(src_nodes, "node", "anti").localCheckpoint(
         eager=True
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         contribs = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .select(
@@ -117,8 +127,9 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -78,6 +78,33 @@ def test_pagerank_partitioning_invariant(spark):
         assert a[k] == pytest.approx(b[k], abs=1e-12)
 
 
+def test_pagerank_checkpoint_cadence_invariant(spark):
+    """The lineage-truncation cadence is a physical knob only: ranks at
+    cadence 1 (checkpoint every round), cadence 2 (the default), and
+    cadence ≥ max_iter (never mid-loop) must agree bit-for-bit, and odd
+    iteration counts must not skip the final materialization."""
+    edges = [(i, (i * 7) % 23) for i in range(23)] + [(i, 0) for i in range(23)]
+    edf = spark.createDataFrame(edges, ["src", "dst"]).filter("src != dst")
+    nodes = spark.createDataFrame([(i,) for i in range(23)], ["id"])
+    from etl_power_bi_dashboard_spark.operators.graph import pagerank
+
+    for iters in (7, 8):  # odd count exercises the i == max_iter-1 tail
+        a = _rank_map(
+            pagerank(nodes, edf, node_col="id", max_iter=iters, checkpoint_every=1)
+        )
+        b = _rank_map(
+            pagerank(nodes, edf, node_col="id", max_iter=iters, checkpoint_every=2)
+        )
+        c = _rank_map(
+            pagerank(nodes, edf, node_col="id", max_iter=iters, checkpoint_every=99)
+        )
+        assert set(a) == set(b) == set(c)
+        for k in a:
+            assert a[k] == pytest.approx(b[k], abs=1e-12)
+            assert a[k] == pytest.approx(c[k], abs=1e-12)
+        assert abs(sum(b.values()) - 1.0) < 1e-9
+
+
 def test_pagerank_edges_to_unknown_nodes_conserve_mass(spark):
     """Edges pointing at ids absent from the node set must not leak rank
     mass: they are excluded up front, and their source's remaining mass

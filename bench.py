@@ -88,6 +88,13 @@ TAIL = [
     "r5_gapfill_locf",
     "r6_gapfill_interpolate",
     "r7_asof_against_scd2",
+    # round-5 additions
+    "x15_winnowing",
+    "x16_doc_entropy",
+    "a18_corr_matrix",
+    "r8_resample_ohlc",
+    "sc3_bloom_prune_join",
+    "ml3_triangle_count",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -180,3 +180,70 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts — exact, via the
+    degree-ordered node-iterator (the "compact-forward" algorithm):
+    orient every undirected edge from its (degree, id)-smaller endpoint
+    to the larger, enumerate wedges at each source, close them against
+    the oriented edge list.
+
+    Orientation is THE scale lever: out-degree under (degree, id) order
+    is bounded by O(√m) on any graph, so the wedge self-join fans out to
+    Σ C(outdeg,2) = O(m^1.5) candidates worst-case — versus a hub node of
+    degree d contributing C(d,2) wedges unoriented. The closing probe is
+    an equi-join on the (lo, hi) edge key; every shuffle is keyed and
+    partial-aggregated. Returns (node, n_triangles) for nodes in ≥1
+    triangle; each triangle credits all three corners.
+
+    Input may contain duplicates or both directions; it is canonicalized
+    to distinct undirected (lo, hi) pairs first.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    d_lo = deg.select(F.col("node").alias("lo"), F.col("deg").alias("deg_lo"))
+    d_hi = deg.select(F.col("node").alias("hi"), F.col("deg").alias("deg_hi"))
+    # orient u→v iff (deg(u), u) < (deg(v), v)
+    oriented = (
+        und.join(d_lo, "lo").join(d_hi, "hi")
+        .select(
+            F.when(
+                (F.col("deg_lo") < F.col("deg_hi"))
+                | ((F.col("deg_lo") == F.col("deg_hi"))
+                   & (F.col("lo") < F.col("hi"))),
+                F.struct(F.col("lo").alias("u"), F.col("hi").alias("v")),
+            ).otherwise(
+                F.struct(F.col("hi").alias("u"), F.col("lo").alias("v"))
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("a"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("b"))
+    wedges = e1.join(e2, "u").filter(F.col("a") < F.col("b"))
+    # the closing undirected edge (a,b) with a<b is exactly a row of `und`
+    tri = wedges.join(
+        und,
+        (F.col("a") == F.col("lo")) & (F.col("b") == F.col("hi")),
+    ).select("u", "a", "b")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("a").alias("node")))
+        .unionAll(tri.select(F.col("b").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )

@@ -93,3 +93,64 @@ def bucketed_join(
     """Join two tables bucketed on the same key with the same bucket count
     — planned with zero Exchange operators (bucket-aligned scan)."""
     return spark.table(left_table).join(spark.table(right_table), key, "inner")
+
+
+def bloom_build(keys: DataFrame, key: str, m_bits: int = 8192,
+                k_hashes: int = 4) -> DataFrame:
+    """Build a Bloom filter over ``keys[key]`` as a ONE-ROW DataFrame with
+    a ``_bloom`` map<bigint,bigint> column: word index → 64-bit word.
+
+    Each key sets ``k_hashes`` bits at ``xxhash64(key, seed) mod m_bits``
+    — all JVM expressions, partial-aggregated (``bit_or`` combines
+    map-side), so the build is one reduce to ≤ m_bits/64 rows and one
+    1-row map fold. The sketch never touches the driver: callers
+    ``broadcast``-crossJoin the row, the same plumbing Spark's own
+    runtime-filter injection uses (it stops at semi-join pushdown;
+    ``might_contain``/``bloom_filter_agg`` are not public SQL surface,
+    which is why this exists).
+    """
+    seeds = F.array(*[F.lit(i) for i in range(k_hashes)])
+    # shiftleft's bit-count arg must be a column here, so the mask goes
+    # through F.expr over a materialized _pos (the python API only takes
+    # an int literal)
+    words = (
+        keys.select(F.col(key), F.explode(seeds).alias("_seed"))
+        .select(
+            F.pmod(F.xxhash64(F.col(key), F.col("_seed")),
+                   F.lit(m_bits)).alias("_pos")
+        )
+        .select(
+            F.expr("_pos DIV 64").alias("_word"),
+            F.expr("shiftleft(1L, CAST(_pos % 64 AS INT))").alias("_mask"),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_mask").alias("_bits"))
+    )
+    return words.agg(
+        F.map_from_arrays(
+            F.collect_list("_word"), F.collect_list("_bits")
+        ).alias("_bloom")
+    )
+
+
+def bloom_prune(big: DataFrame, bloom: DataFrame, key: str,
+                m_bits: int = 8192, k_hashes: int = 4) -> DataFrame:
+    """Map-side Bloom pruning of ``big`` rows whose ``key`` cannot be in
+    the filter: broadcast the 1-row sketch, test all ``k_hashes`` bits.
+    No shuffle of ``big`` at all — the 100 TB win over a semi-join, whose
+    shuffle moves the full fact table when the build side isn't
+    broadcastable. False positives survive (callers follow with an exact
+    join — see q_sc3); false negatives are impossible, so pruning is
+    sound.
+    """
+    pruned = big.crossJoin(F.broadcast(bloom))
+    cond = F.lit(True)
+    for i in range(k_hashes):
+        pos = f"pmod(xxhash64({key}, {i}), {m_bits})"
+        word = F.coalesce(
+            F.element_at(F.col("_bloom"), F.expr(f"{pos} DIV 64")),
+            F.lit(0).cast("long"),
+        )
+        mask = F.expr(f"shiftleft(1L, CAST({pos} % 64 AS INT))")
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return pruned.filter(cond).drop("_bloom")

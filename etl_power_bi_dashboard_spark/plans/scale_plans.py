@@ -80,9 +80,56 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_sc3_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact⨝dim: revenue per supplier for one nation's
+    suppliers, with the fact side pre-filtered by a Bloom sketch of the
+    qualifying supplier keys (operators/scale.py: bloom_build/bloom_prune)
+    before the exact join kills the false positives.
+
+    This is the runtime-filter pattern for the case Spark's own injection
+    gives up on (build side behind an aggregate/non-broadcastable, or the
+    consumer is a shuffle join): the sketch is a fixed ≤1 KiB map — at ANY
+    build-side cardinality — broadcast to every scan task, so the fact
+    table drops non-qualifying rows BEFORE its shuffle. At 100 TB with a
+    1%-selective dim filter that's a ~99% shuffle-volume cut for one
+    extra map-side hash per probe. The oracle is the PLAIN join —
+    the driver hash gate proves prune+verify ≡ join (no-false-negative
+    soundness on real data), the same differential contract as sc1/sc2.
+    """
+    from ..operators.scale import bloom_build, bloom_prune
+
+    li = load(spark, sf_dir, "lineitem")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 3)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    bloom = bloom_build(supp, "l_suppkey")
+    candidates = bloom_prune(li, bloom, "l_suppkey")
+    exact = candidates.join(F.broadcast(supp), "l_suppkey")
+    return exact.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+SQL_SC3 = """
+SELECT l.l_suppkey, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = 3
+GROUP BY l.l_suppkey
+"""
+
+
 QUERIES: list[Query] = [
     Query("sc1_salted_join", q_sc1_salted_join, SQL_SC1,
           "skew-salted join (semantics-preserving rewrite)"),
     Query("sc2_salted_agg", q_sc2_salted_agg, SQL_SC2,
           "skew-salted two-level aggregation"),
+    Query("sc3_bloom_prune_join", q_sc3_bloom_prune_join, SQL_SC3,
+          "Bloom-filter runtime pruning + exact verify (≡ plain join)"),
 ]

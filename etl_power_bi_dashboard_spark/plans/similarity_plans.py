@@ -266,7 +266,59 @@ def q_ml2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ml3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts on the part co-purchase graph
+    (edge = two parts bought in the same order) — the clustering-
+    coefficient substrate for community detection and recommendation.
+
+    Unlike ml1/ml2 (iterative, oracle-less), triangle counting is a
+    finite join algebra, so this is the ml family's first HASH-PROVABLE
+    entry: the DuckDB oracle enumerates triangles with the textbook
+    a<b<c three-way self-join, while the Spark plan runs the degree-
+    ordered node-iterator (operators/graph.py:triangle_counts) whose
+    wedge fan-out is bounded by O(√m) out-degrees — the formulation that
+    survives hub skew at 100 TB. Same result set, different join order:
+    the driver hash gate proves the optimization semantics-preserving,
+    exactly like sc1/sc2's salted-vs-plain contract.
+    """
+    from ..operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_counts(edges).select(
+        F.col("node").cast("bigint").alias("node"), "n_triangles"
+    )
+
+
+SQL_ML3 = """
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM pairs e1
+    JOIN pairs e2 ON e2.u = e1.v
+    JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+"""
+
+
 QUERIES: list[Query] = [
+    Query("ml3_triangle_count", q_ml3_triangle_count, SQL_ML3,
+          "exact triangle counts (degree-ordered node-iterator vs naive oracle)"),
     Query("ml1_kmeans", q_ml1_kmeans, None,
           "iterative k-means (oracle-less; convergence-tested)"),
     Query("ml2_pagerank", q_ml2_pagerank, None,

@@ -477,8 +477,103 @@ WHERE n_a > 0 AND n_b > 0
 """
 
 
+def q_a18_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between the four lineitem measures —
+    the feature-redundancy screen a training pipeline runs before
+    selecting columns (|r|→1 pairs carry no extra signal).
+
+    Bit-exact across engines WITHOUT an epsilon: instead of each engine's
+    ``corr()`` (a float accumulation whose partial-aggregation order
+    differs between Spark and DuckDB), both sides aggregate the raw
+    moments Σx, Σx², Σxy as DECIMAL (the inputs have fixed 2-dp scale, so
+    every moment is exact), cast once to double, and evaluate the SAME
+    textbook expression ``(n·Σxy − Σx·Σy) / (√(n·Σx²−Σx²)·√(n·Σy²−Σy²))``
+    — a deterministic IEEE expression tree, identical in both engines.
+
+    Plan: ONE full-table pass, one partial-aggregated reduce to a single
+    row of 14 moments, then a 6-row stack — at 100 TB this is the
+    cheapest possible shape (map-side combine does all the work; nothing
+    shuffles but 14 decimals per partition).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cols = {
+        "quantity": F.col("l_quantity").cast("decimal(18,2)"),
+        "price": F.col("l_extendedprice").cast("decimal(18,2)"),
+        "discount": F.col("l_discount").cast("decimal(18,2)"),
+        "tax": F.col("l_tax").cast("decimal(18,2)"),
+    }
+    names = list(cols)
+    aggs = [F.count("*").alias("n")]
+    for a in names:
+        aggs.append(F.sum(cols[a]).cast("decimal(38,2)").alias(f"s_{a}"))
+        aggs.append(
+            F.sum((cols[a] * cols[a]).cast("decimal(38,4)"))
+            .cast("decimal(38,4)").alias(f"ss_{a}")
+        )
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum((cols[a] * cols[b]).cast("decimal(38,4)"))
+            .cast("decimal(38,4)").alias(f"sp_{a}_{b}")
+        )
+    m = li.agg(*aggs)
+
+    n = F.col("n").cast("double")
+
+    def corr(a: str, b: str) -> F.Column:
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        return (n * F.col(f"sp_{a}_{b}").cast("double") - sa * sb) / (
+            F.sqrt(n * F.col(f"ss_{a}").cast("double") - sa * sa)
+            * F.sqrt(n * F.col(f"ss_{b}").cast("double") - sb * sb)
+        )
+
+    rows = [
+        F.struct(F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+                 corr(a, b).alias("pearson_r"))
+        for a, b in pairs
+    ]
+    return (
+        m.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.col_x", "p.col_y", "p.pearson_r")
+    )
+
+
+def _sql_a18() -> str:
+    names = ["quantity", "price", "discount", "tax"]
+    src = {n: f"CAST(l_{'extendedprice' if n == 'price' else n} AS DECIMAL(18,2))"
+           for n in names}
+    moments = ["COUNT(*) AS n"]
+    for a in names:
+        moments.append(f"SUM({src[a]}) AS s_{a}")
+        moments.append(
+            f"SUM(CAST({src[a]} * {src[a]} AS DECIMAL(38,4))) AS ss_{a}")
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    for a, b in pairs:
+        moments.append(
+            f"SUM(CAST({src[a]} * {src[b]} AS DECIMAL(38,4))) AS sp_{a}_{b}")
+    sel = []
+    for a, b in pairs:
+        expr = (
+            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / (sqrt(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        sel.append(f"SELECT '{a}' AS col_x, '{b}' AS col_y, {expr} AS pearson_r FROM m")
+    return "WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem)\n" + \
+        "\nUNION ALL\n".join(sel)
+
+
+SQL_A18 = _sql_a18()
+
+
 QUERIES: list[Query] = [
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
+    Query("a18_corr_matrix", q_a18_corr_matrix, SQL_A18,
+          "pairwise Pearson correlations from exact DECIMAL moments"),
     Query("q5_drift_psi", q_q5_drift_psi, SQL_Q5,
           "source-vs-corpus distribution drift (PSI)"),
     Query("a17_cumulative_distinct", q_a17_cumulative_distinct, SQL_A17,

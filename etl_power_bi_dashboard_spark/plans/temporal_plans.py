@@ -346,6 +346,66 @@ LEFT JOIN dim d
 """
 
 
+def q_r8_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: 15-minute bars per event_type with open/high/low/
+    close of ``value`` plus count and exact sum — the downsampling shape
+    every time-series store exposes (candlesticks, metric rollups).
+
+    open/close are picked by ``min_by``/``max_by`` over the UNIQUE order
+    key (ts, event_id): ties on ts alone would make the pick
+    engine-dependent; the struct tiebreak makes both engines choose the
+    same row deterministically (the oracle expresses the identical pick
+    as a row_number window — DuckDB's arg_min can't order by a composite).
+    high/low are plain min/max (no float summation), the bar total is a
+    DECIMAL sum — everything hash-exact.
+
+    One shuffle on (bucket, event_type); min_by/max_by are partial-
+    aggregable JVM aggregates, so at 100 TB each map task emits one
+    candidate row per bar and the reduce side merges — no window, no
+    per-bar sort, unlike the naive row_number-then-filter plan the oracle
+    uses (fine for DuckDB, wasteful at scale).
+    """
+    ev = load_events(spark, sf_dir)
+    bar = F.window("ts", "15 minutes").start.alias("bar_start")
+    key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy(bar, "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("total_value"),
+        )
+    )
+
+
+SQL_R8 = """
+WITH b AS (
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bar_start,
+           event_type, ts, event_id, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY time_bucket(INTERVAL '15 minutes', ts), event_type
+               ORDER BY ts, event_id) AS rn_a,
+           ROW_NUMBER() OVER (
+               PARTITION BY time_bucket(INTERVAL '15 minutes', ts), event_type
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events
+)
+SELECT bar_start, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM b
+GROUP BY bar_start, event_type
+"""
+
+
 QUERIES: list[Query] = [
     Query("r1_asof_join", q_r1_asof_join, SQL_R1, "as-of join"),
     Query("r2_range_join", q_r2_range_join, SQL_R2, "bounded range join"),
@@ -356,4 +416,6 @@ QUERIES: list[Query] = [
           "time-series gap-fill + linear interpolation"),
     Query("r7_asof_against_scd2", q_r7_asof_against_scd2, SQL_R7,
           "point-in-time lookup against the SCD-2 versioned dim"),
+    Query("r8_resample_ohlc", q_r8_resample_ohlc, SQL_R8,
+          "15-minute OHLC bar resampling (min_by/max_by picks)"),
 ]

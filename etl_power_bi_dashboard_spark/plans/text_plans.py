@@ -777,6 +777,111 @@ LIMIT 20
 """
 
 
+def q_x15_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (SIGMOD'03 / MOSS): polynomial
+    k-gram hashes (k=8) over the char stream, window-of-4 minima, distinct
+    per doc, exploded into the (doc_id, fp) posting table a plagiarism /
+    near-dup index is built from. Complements x4 (whole-doc md5 + min-
+    shingle): winnowing guarantees any shared run of ≥ k+w−1 = 11 chars
+    yields a shared fingerprint, so it localizes partial overlap.
+
+    Row-shaped on purpose — explode gram start positions, hash each 8-char
+    substring with a constant-size JVM fold, take the min over a 4-row
+    per-doc window, distinct. See operators/text.py:gram_hash for why the
+    "natural" nested-array-lambda form is quadratic under Catalyst (no CSE
+    inside lambda bodies). One shuffle (window by doc_id; docs are bounded
+    size, so no skew); the DuckDB oracle runs the identical mod-arithmetic
+    fold, making the sketch hash-provable rather than trusted. Output is
+    ~n/w ints per doc (4-5× compression); downstream posting-table joins
+    are the same inverted-index shape as d2/d6.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return text.winnow(docs, "doc_id", "text", k=8, w=4)
+
+
+SQL_X15 = """
+WITH base AS (
+    SELECT doc_id, text, length(text) AS n FROM documents
+    WHERE length(text) >= 11
+),
+grams AS (
+    SELECT doc_id,
+           list_transform(range(1, n - 8 + 2), i ->
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(i, i + 8),
+                                      j -> CAST(ord(text[j]) AS BIGINT))),
+                   (acc, c) -> CAST((acc * 257 + c) % 1000000007 AS BIGINT)))
+               AS hs
+    FROM base
+),
+wins AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                         i -> list_min(list_slice(hs, i, i + 3)))) AS fps
+    FROM grams
+)
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM wins
+"""
+
+
+def q_x16_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy (nats) — the vocabulary-diversity
+    signal quality cascades use alongside x7's repetition ratios: spam
+    and template boilerplate sit near 0, natural prose near ln(n_tokens).
+
+    H = ln(n) − (Σ c·ln c)/n from exact integer token counts. ln() is not
+    bit-portable across JDK/libm, so each c·ln(c) term is rounded to 9 dp
+    and summed as DECIMAL(28,9) — the association-order-proof form of the
+    repo's ln-9dp convention (a double Σ would expose partial-agg order) —
+    then one deterministic IEEE divide/subtract and a final 9-dp round.
+
+    Plan: one explode → (doc,term) count → per-doc agg; both shuffles
+    partial-aggregated, vocabulary side never materialized globally.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    term = F.round(
+        F.col("c").cast("double") * F.ln(F.col("c").cast("double")), 9
+    ).cast("decimal(28,9)")
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(term).alias("_clnc"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.ln(n_d) - F.col("_clnc").cast("double") / n_d, 9
+        ).alias("entropy_nats"),
+    )
+
+
+SQL_X16 = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS c FROM toks
+    WHERE length(term) > 0 GROUP BY doc_id, term
+), agg AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+                    AS DECIMAL(28,9))) AS clnc
+    FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(ln(CAST(n_tokens AS DOUBLE))
+             - CAST(clnc AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)
+           AS entropy_nats
+FROM agg
+"""
+
+
 QUERIES: list[Query] = [
     Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
     Query("x14_pmi_collocations", q_x14_pmi_collocations, SQL_X14,
@@ -799,6 +904,10 @@ QUERIES: list[Query] = [
           "data-mixing weight solver (equalize source token shares)"),
     Query("x12_unigram_score", q_x12_unigram_score, SQL_X12,
           "unigram LM familiarity score (perplexity-filter proxy)"),
+    Query("x15_winnowing", q_x15_winnowing, SQL_X15,
+          "winnowing rolling-hash fingerprints (MOSS sketch)"),
+    Query("x16_doc_entropy", q_x16_doc_entropy, SQL_X16,
+          "per-doc unigram entropy (vocabulary-diversity signal)"),
     Query("m1_multimodal_features", q_m1_multimodal_features, SQL_M1, "binary payload features (mapInPandas)"),
     Query("m2_frame_sampling", q_m2_frame_sampling, SQL_M2, "frame-sample fan-out (mapInPandas)"),
     Query("m3_label_centroids", q_m3_label_centroids, SQL_M3, "grouped centroids (applyInPandas)"),

@@ -116,3 +116,45 @@ def test_pagerank_edges_to_unknown_nodes_conserve_mass(spark):
     ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=15))
     assert set(ranks) == {1, 2}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+# --- triangle counting ------------------------------------------------------
+
+
+def _tri(spark, edge_list):
+    from etl_power_bi_dashboard_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    return {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(edges).collect()
+    }
+
+
+def test_triangle_k4_every_node_in_three(spark):
+    # K4: every one of the 4 nodes sits in C(3,2)=3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert _tri(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_star_has_none(spark):
+    star = [(0, i) for i in range(1, 6)]
+    assert _tri(spark, star) == {}
+
+
+def test_triangle_input_canonicalization(spark):
+    # duplicates, reversed direction, and self-loops must not change counts
+    messy = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 2), (0, 1)]
+    assert _tri(spark, messy) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_hub_with_pendant_edges(spark):
+    # one triangle + pendant edges off a hub: pendants contribute nothing
+    g = [(0, 1), (1, 2), (0, 2), (0, 3), (0, 4), (0, 5)]
+    assert _tri(spark, g) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_two_sharing_an_edge(spark):
+    # triangles {0,1,2} and {0,1,3} share edge (0,1)
+    g = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)]
+    assert _tri(spark, g) == {0: 2, 1: 2, 2: 1, 3: 1}

@@ -100,3 +100,54 @@ def test_quality_cascade_bitmask_decodes(spark):
         != ((F.col("nt") < 20) | (F.col("nt") > 400))
     )
     assert bad.count() == 0
+
+
+# --- winnowing (x15) --------------------------------------------------------
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The SIGMOD'03 theorem: documents sharing a substring of length
+    ≥ k+w−1 share at least one fingerprint."""
+    from etl_power_bi_dashboard_spark.operators.text import winnow
+
+    shared = "the quick brown fox jumps"  # 25 chars >= 8+4-1
+    docs = _docs(
+        spark,
+        [
+            (1, "aaaa " + shared + " bbbb"),
+            (2, "cccccccc " + shared + " dddddddd"),
+        ],
+    )
+    fps = winnow(docs).collect()
+    s1 = {r["fp"] for r in fps if r["doc_id"] == 1}
+    s2 = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert s1 & s2
+
+
+def test_winnow_disjoint_docs_share_nothing(spark):
+    from etl_power_bi_dashboard_spark.operators.text import winnow
+
+    docs = _docs(
+        spark,
+        [
+            (1, "abcdefghijklmnopqrstuvwxyz"),
+            (2, "0123456789012345678901234567"),
+        ],
+    )
+    fps = winnow(docs).collect()
+    s1 = {r["fp"] for r in fps if r["doc_id"] == 1}
+    s2 = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert s1 and s2 and not (s1 & s2)
+
+
+def test_winnow_compresses_and_drops_short_docs(spark):
+    from etl_power_bi_dashboard_spark.operators.text import winnow
+
+    long_text = "x" * 10 + "abcdefghij" * 20
+    docs = _docs(spark, [(1, long_text), (2, "too short")])
+    fps = winnow(docs).collect()
+    by_doc = {r["doc_id"] for r in fps}
+    assert by_doc == {1}
+    # winnowing keeps ~1/w of gram hashes (dedup helps further)
+    n_grams = len(long_text) - 7
+    assert len(fps) < n_grams / 2

@@ -174,3 +174,55 @@ def test_aqe_skew_join_engages_and_preserves_results(spark):
         .collect()[0][0]
     )
     assert skewed_sum == ref
+
+
+# --- Bloom-filter runtime pruning ------------------------------------------
+
+
+def test_bloom_prune_has_no_false_negatives(spark):
+    from etl_power_bi_dashboard_spark.operators.scale import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    # build over 100 keys; probe with 1000 keys, 100 of which match
+    keys = spark.range(0, 1000, 10).withColumnRenamed("id", "k")
+    probe = spark.range(0, 1000).withColumnRenamed("id", "k")
+    bloom = bloom_build(keys, "k")
+    kept = {r["k"] for r in bloom_prune(probe, bloom, "k").collect()}
+    member = set(range(0, 1000, 10))
+    # soundness: every true member survives pruning
+    assert member <= kept
+
+
+def test_bloom_prune_plus_verify_equals_semi_join(spark):
+    from etl_power_bi_dashboard_spark.operators.scale import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    keys = spark.range(0, 500, 7).withColumnRenamed("id", "k")
+    probe = spark.range(0, 500).withColumnRenamed("id", "k")
+    bloom = bloom_build(keys, "k")
+    got = {
+        r["k"]
+        for r in bloom_prune(probe, bloom, "k")
+        .join(keys, "k", "left_semi")
+        .collect()
+    }
+    assert got == set(range(0, 500, 7))
+
+
+def test_bloom_prune_rate_is_useful(spark):
+    from etl_power_bi_dashboard_spark.operators.scale import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    # tiny member set, large disjoint probe: the sketch must prune the
+    # overwhelming majority (fp rate for m=8192, k=4, n=50 is ~1e-5)
+    keys = spark.range(0, 50).withColumnRenamed("id", "k")
+    probe = spark.range(10_000, 30_000).withColumnRenamed("id", "k")
+    bloom = bloom_build(keys, "k")
+    survivors = bloom_prune(probe, bloom, "k").count()
+    assert survivors <= 20  # 0.1% of 20k

@@ -137,11 +137,12 @@ _PRIORITY = [
     "a11_distinct",
     "f1_to_timestamp",
     "f2_median_impute",
-    "t1_topk",
     "dax_measures",
-    # --- behind the window: everything already driver-verified in
-    # CORRECTNESS_r01-r04 follows in module order (f3_string_impute, next
-    # in line, keeps its r1 row and its golden pin) ---------------------
+    # --- behind the window: t1_topk already carries r1+r3 rows, so
+    # dax_measures (the §2.10 surface) takes the 50th re-check slot
+    # instead and t1 follows in module order; everything already
+    # driver-verified in CORRECTNESS_r01-r04 follows likewise
+    # (f3_string_impute, next in line, keeps its r1 row + golden pin) ---
 ]
 
 

@@ -304,6 +304,132 @@ SELECT user_id, event_id, value, z FROM z WHERE ABS(z) > 2.0
 """
 
 
+def q_e8_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types — the
+    clickstream "what happens after X" analysis (and the bigram model a
+    sequence-data pipeline fits over user sessions).
+
+    Per user, events are totally ordered by (ts, event_id) and each
+    event paired with its successor via ``lead`` — ONE shuffle on
+    user_id, parallel across users, bounded per-user work. The
+    (from, to) pair counts are exact BIGINTs; the row-conditional
+    probability divides two of them as ONE IEEE division (numerator and
+    denominator both exact), so the engines agree bit-for-bit. The
+    final matrix is |event_types|² rows — driver-safe at any corpus
+    size.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / row_total.cast("double")
+        ).alias("p"),
+    )
+
+
+SQL_E8 = """
+WITH seq AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+), counts AS (
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+           / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+           AS p
+FROM counts
+"""
+
+
+def q_e9_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online anomaly detection: each event scored against the ROLLING
+    window of its user's 20 previous events (frame excludes the current
+    row, so the score is a genuine forecast residual — e7's twin with a
+    bounded trailing baseline instead of the full-history window).
+
+    Moments come from DECIMAL power sums over a bounded row frame
+    (exact, association-independent — DuckDB's segment-tree sliding
+    aggregation and Spark's running frame must agree because decimal
+    addition is associative); the z-score is then identical IEEE ops.
+    One shuffle on user_id; the frame is ≤20 rows per event, so per-row
+    cost is O(1) and the plan scales linearly with events. Warm-up rows
+    (fewer than 5 priors) and zero-variance baselines are excluded with
+    the explicit ``n·s2 − s1² > 0`` guard (see e7 on why relying on
+    0/0 semantics is not portable).
+    """
+    ev = load_events(spark, sf_dir)
+    x = _value_dec()
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    stats = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count("*").over(w).alias("n"),
+        F.sum(x).over(w).cast("double").alias("s1"),
+        F.sum(x * x).over(w).cast("double").alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    var = (n * F.col("s2") - F.col("s1") * F.col("s1")) / (n * (n - F.lit(1.0)))
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        stats.filter(
+            (F.col("n") >= 5)
+            & (n * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+        )
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("user_id", "event_id", "value", "z")
+    )
+
+
+SQL_E9 = """
+WITH s AS (
+    SELECT user_id, event_id, value,
+           COUNT(*) OVER w AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+), z AS (
+    SELECT user_id, event_id, value,
+           (value - s1 / CAST(n AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS z
+    FROM s
+    WHERE n >= 5
+      AND CAST(n AS DOUBLE) * s2 - s1 * s1 > 0
+)
+SELECT user_id, event_id, value, z FROM z WHERE ABS(z) > 3.0
+"""
+
+
 QUERIES: list[Query] = [
     Query("e1_tumbling_hourly", q_e1_tumbling_hourly, SQL_E1, "tumbling window agg"),
     Query("e5_funnel", q_e5_funnel, SQL_E5, "sequenced conversion funnel"),
@@ -313,4 +439,8 @@ QUERIES: list[Query] = [
           "weekly cohort retention matrix"),
     Query("e7_value_outliers", q_e7_value_outliers, SQL_E7,
           "per-user z-score anomaly detection"),
+    Query("e8_transition_matrix", q_e8_transition_matrix, SQL_E8,
+          "event-type Markov transition matrix"),
+    Query("e9_rolling_zscore", q_e9_rolling_zscore, SQL_E9,
+          "rolling-baseline online anomaly scores"),
 ]

@@ -4,7 +4,7 @@ brute-force cosine top-k (exact baseline) and IVF approximate search
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity
@@ -316,6 +316,72 @@ GROUP BY node
 """
 
 
+def q_ml4_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by retrieval: label the query vectors
+    (vec_id < 20, labels withheld) by majority vote of their 5 nearest
+    labeled neighbors — the "classify by ANN lookup" pattern a curation
+    pipeline uses to propagate a small seed taxonomy over a huge corpus.
+
+    Retrieval reuses the v1 operator (broadcast queries × corpus,
+    per-query top-k window, cosine rounded 6 dp); the vote is an exact
+    integer count with (votes DESC, label ASC) as the deterministic
+    tie-break. At scale the corpus side streams map-side against the
+    broadcast query batch — no shuffle touches the big table until the
+    per-query k-row candidate sets (and v2's IVF index replaces the
+    scan when the query batch is itself huge).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    topk = similarity.cosine_topk(corpus, queries, k=5)
+    labels = corpus.select("vec_id", F.col("label").cast("int").alias("label"))
+    votes = (
+        topk.join(labels, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), "label")
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted_label"),
+            "votes",
+        )
+    )
+
+
+SQL_ML4 = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id, CAST(label AS INT) AS label, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id >= 20),
+scored AS (
+    SELECT query_id, vec_id, label,
+           {_COS.format(a="qv", b="cv")} AS cosine
+    FROM q, c
+),
+topk AS (
+    SELECT query_id, label FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+),
+votes AS (
+    SELECT query_id, label, COUNT(*) AS votes
+    FROM topk GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, votes FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY votes DESC, label) AS rk
+    FROM votes
+) WHERE rk = 1
+"""
+
+
 QUERIES: list[Query] = [
     Query("ml3_triangle_count", q_ml3_triangle_count, SQL_ML3,
           "exact triangle counts (degree-ordered node-iterator vs naive oracle)"),
@@ -324,6 +390,8 @@ QUERIES: list[Query] = [
     Query("ml2_pagerank", q_ml2_pagerank, None,
           "trade-graph PageRank (oracle-less; mass-conservation-tested)"),
     Query("v1_cosine_topk", q_v1_cosine_topk, SQL_V1, "brute-force cosine top-k"),
+    Query("ml4_knn_classify", q_ml4_knn_classify, SQL_ML4,
+          "k-NN label propagation by cosine retrieval"),
     Query("v2_ann_ivf", q_v2_ann_ivf, SQL_V2, "IVF approximate top-k"),
     Query("v3_lsh_neardup", q_v3_lsh_neardup, _sql_v3(), "LSH-bucketed near-dup"),
     Query("d5_embedding_neardup", q_d5_embedding_neardup, SQL_D5, "embedding cosine near-dup"),

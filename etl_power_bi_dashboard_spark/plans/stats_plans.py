@@ -570,8 +570,76 @@ def _sql_a18() -> str:
 SQL_A18 = _sql_a18()
 
 
+def q_q6_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset profile of ``orders`` — row count, null count,
+    exact distinct count, numeric min/max — the schema-health report a
+    pipeline emits before accepting a new data drop (the q2 null audit's
+    grown-up sibling: one row PER COLUMN, ready to diff across drops and
+    feed q5's PSI drift gate).
+
+    ONE scan computes every statistic as a single wide aggregate (all
+    partial-aggregated map-side; the multi-column distinct uses Spark's
+    expand strategy, each distinct a hash partial); ``stack`` then
+    unpivots the 1-row result into the per-column report driver-side-free.
+    min/max are surfaced as DOUBLE for the numeric columns and NULL for
+    the rest, so the report schema is stable no matter the table. The
+    result is |columns| rows at any data scale.
+    """
+    o = load(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+        if c in numeric:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"mx_{c}"))
+    one = o.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        mn = f"mn_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        stack_args.append(f"'{c}', nn_{c}, nd_{c}, {mn}, {mx}")
+    stack = (
+        f"stack({len(cols)}, {', '.join(stack_args)}) AS "
+        "(col_name, n_nulls, n_distinct, min_num, max_num)"
+    )
+    return one.select(F.col("n_rows"), F.expr(stack))
+
+
+def _sql_q6() -> str:
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    picks = []
+    for c in cols:
+        mn = f"CAST(MIN({c}) AS DOUBLE)" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(MAX({c}) AS DOUBLE)" if c in numeric else "CAST(NULL AS DOUBLE)"
+        picks.append(
+            f"SELECT COUNT(*) AS n_rows, '{c}' AS col_name,\n"
+            f"       COUNT(*) - COUNT({c}) AS n_nulls,\n"
+            f"       COUNT(DISTINCT {c}) AS n_distinct,\n"
+            f"       {mn} AS min_num, {mx} AS max_num\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(picks)
+
+
+SQL_Q6 = _sql_q6()
+
+
 QUERIES: list[Query] = [
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
+    Query("q6_profile_summary", q_q6_profile_summary, SQL_Q6,
+          "per-column profile report (nulls/distinct/min/max)"),
     Query("a18_corr_matrix", q_a18_corr_matrix, SQL_A18,
           "pairwise Pearson correlations from exact DECIMAL moments"),
     Query("q5_drift_psi", q_q5_drift_psi, SQL_Q5,

@@ -882,8 +882,120 @@ FROM agg
 """
 
 
+_BM25_TERMS = ("join", "filter", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_x17_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: rank the corpus against a fixed 3-term
+    query — the lexical-retrieval baseline every RAG / data-curation
+    stack keeps next to its ANN index (v1/v2 are the dense twins).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5)), k1=1.2, b=0.75.
+
+    Exactness: every count (tf, df, dl, N, Σdl) is an exact BIGINT from
+    linear explode→groupBy passes; avgdl and each factor divide those
+    exact values through the SAME IEEE expression tree on both engines.
+    ln() is rounded to 9 dp (the x14 convention — JDK Math.log and libm
+    can differ by 1 ulp), and the per-term partial scores are summed as
+    9-dp DECIMAL so document totals are association-proof before the
+    final (score, doc_id) ranking.
+
+    Plan shape: tf is computed ONCE and reused for doc length (Σ tf per
+    doc) and for the query-term df (tf filtered to the 3 query terms —
+    df never materializes the full vocabulary). The corpus constants
+    (N, avgdl) and the ≤3-row df table ride as broadcasts, so the only
+    wide shuffle carries per-(doc,term) counts — linear in corpus
+    tokens at any scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    corpus = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        doc_len.agg(F.sum("dl").alias("total_tokens"))
+    )
+    tf_q = tf.filter(F.col("term").isin(*_BM25_TERMS))
+    df_t = tf_q.groupBy("term").agg(F.count("*").alias("df"))
+    nd = F.col("n_docs").cast("double")
+    avgdl = F.col("total_tokens").cast("double") / nd
+    idf = F.ln(
+        F.lit(1.0)
+        + (nd - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    tf_part = (tfd * F.lit(_BM25_K1 + 1.0)) / (
+        tfd
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * (dld / avgdl))
+    )
+    scored = (
+        tf_q.join(F.broadcast(df_t), "term")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(idf * tf_part, 9).cast("decimal(28,9)").alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+SQL_X17 = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), toks_f AS (
+    SELECT doc_id, term FROM toks WHERE length(term) > 0
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks_f GROUP BY doc_id, term
+), doc_len AS (
+    SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), corpus AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT SUM(dl) FROM doc_len) AS total_tokens
+), tf_q AS (
+    SELECT * FROM tf WHERE term IN ('join', 'filter', 'scan')
+), df_t AS (
+    SELECT term, COUNT(*) AS df FROM tf_q GROUP BY term
+), scored AS (
+    SELECT t.doc_id,
+           CAST(ROUND(
+               LN(1.0 + (CAST(c.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+                        / (CAST(f.df AS DOUBLE) + 0.5))
+               * ((CAST(t.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+                  / (CAST(t.tf AS DOUBLE)
+                     + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B}
+                        * (CAST(d.dl AS DOUBLE)
+                           / (CAST(c.total_tokens AS DOUBLE)
+                              / CAST(c.n_docs AS DOUBLE)))))),
+               9) AS DECIMAL(28,9)) AS s
+    FROM tf_q t
+    JOIN df_t f ON t.term = f.term
+    JOIN doc_len d ON t.doc_id = d.doc_id
+    CROSS JOIN corpus c
+)
+SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
 QUERIES: list[Query] = [
     Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
+    Query("x17_bm25", q_x17_bm25, SQL_X17,
+          "BM25 lexical retrieval (fixed 3-term query)"),
     Query("x14_pmi_collocations", q_x14_pmi_collocations, SQL_X14,
           "PMI bigram collocation mining"),
     Query("x13_token_budget", q_x13_token_budget, SQL_X13,

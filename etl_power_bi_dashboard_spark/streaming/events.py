@@ -251,21 +251,6 @@ def upsert_parquet_sink(
     """
     from pyspark.sql import Window
 
-    def _fs_and_path(spark: SparkSession, path: str):
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return fs, hpath
-
-    def _is_complete(spark: SparkSession, path: str) -> bool:
-        """A parquet directory is trustworthy only once the committer has
-        dropped its _SUCCESS marker (overwrite deletes the dir first, so a
-        partial write never carries one)."""
-        fs, hpath = _fs_and_path(spark, path)
-        return fs.exists(
-            spark._jvm.org.apache.hadoop.fs.Path(hpath, "_SUCCESS")
-        )
-
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         stage = f"{target_path}_stage"
@@ -276,20 +261,7 @@ def upsert_parquet_sink(
             .filter(F.col("_rk") == 1)
             .drop("_rk")
         )
-        if _is_complete(spark, target_path):
-            current = spark.read.parquet(target_path)
-        elif _is_complete(spark, stage):
-            # Crash window: the previous _merge finished its stage write
-            # but died during the republish. Finish that republish FIRST
-            # (never read `current` lazily out of the stage we are about
-            # to overwrite), then merge against the restored target.
-            spark.read.parquet(stage).write.mode("overwrite").parquet(
-                target_path
-            )
-            spark.catalog.refreshByPath(target_path)
-            current = spark.read.parquet(target_path)
-        else:
-            current = None  # genuinely the first batch ever
+        current = _read_current_or_recover(spark, target_path, stage)
         if current is not None:
             merged = (
                 current.withColumn("_src", F.lit(0))
@@ -307,13 +279,136 @@ def upsert_parquet_sink(
             )
         else:
             merged = compact
-        merged.write.mode("overwrite").parquet(stage)
+        _republish(merged, target_path, stage)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _is_complete(spark: SparkSession, path: str) -> bool:
+    """A parquet directory is trustworthy only once the committer has
+    dropped its _SUCCESS marker (overwrite deletes the dir first, so a
+    partial write never carries one)."""
+    fs, hpath = _fs_and_path(spark, path)
+    return fs.exists(spark._jvm.org.apache.hadoop.fs.Path(hpath, "_SUCCESS"))
+
+
+def _read_current_or_recover(
+    spark: SparkSession, target_path: str, stage: str
+) -> DataFrame | None:
+    """Current table state for a write-then-swap sink, honouring crash
+    recovery: a complete target wins; else a complete stage means the
+    previous merge died mid-republish — finish THAT republish first
+    (never read state lazily out of the stage about to be overwritten),
+    then read the restored target; else this is genuinely the first
+    batch ever (None)."""
+    if _is_complete(spark, target_path):
+        return spark.read.parquet(target_path)
+    if _is_complete(spark, stage):
         spark.read.parquet(stage).write.mode("overwrite").parquet(target_path)
         spark.catalog.refreshByPath(target_path)
-        # Target republish is complete (its _SUCCESS is down) — only now
-        # is the stage copy redundant and safe to drop.
-        fs, stage_path = _fs_and_path(spark, stage)
-        fs.delete(stage_path, True)
+        return spark.read.parquet(target_path)
+    return None
+
+
+def _republish(merged: DataFrame, target_path: str, stage: str) -> None:
+    """Stage → swap: write the merge to the stage dir, republish it over
+    the target, and only then (target _SUCCESS is down) drop the now-
+    redundant stage copy, so at every instant at least one complete copy
+    exists."""
+    spark = merged.sparkSession
+    merged.write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage).write.mode("overwrite").parquet(target_path)
+    spark.catalog.refreshByPath(target_path)
+    fs, stage_path = _fs_and_path(spark, stage)
+    fs.delete(stage_path, True)
+
+
+def scd2_parquet_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    carry_cols: tuple[str, ...] = ("value",),
+):
+    """Streaming SCD-2 dimension maintenance via ``foreachBatch`` — the
+    CDC-feed twin of the batch u4 plan: each micro-batch of changelog
+    records is folded into a versioned dimension whose validity
+    intervals always equal what :func:`plans.merge_plans.scd2_history`
+    would build over the full changelog seen so far.
+
+    Per batch: (1) the batch is deduplicated on the record identity
+    ``(key, tiebreak)`` — redelivered records are no-ops, which is what
+    makes a full replay idempotent; (2) only the AFFECTED keys' stored
+    intervals are re-opened into changelog form (``effective_from`` is
+    the original record timestamp, so the stored table IS a lossless
+    changelog of itself), unioned with the batch, and re-sectioned by
+    one window pass — late-arriving records therefore splice into the
+    middle of a key's history correctly, not just append; (3) untouched
+    keys pass through byte-identical. The merge publishes through the
+    same _SUCCESS-gated stage-then-swap as :func:`upsert_parquet_sink`,
+    with the same crash-recovery contract.
+
+    Scale shape: the per-batch cost is one shuffle of (batch ∪ affected
+    history), proportional to the keys that actually changed — never a
+    full-table rewrite of history for quiet keys (at 100 TB the target
+    would be key-bucketed so the left-semi/anti split is partition-
+    pruned; the republish then rewrites only affected buckets).
+    """
+    from ..plans.merge_plans import scd2_history
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stage = f"{target_path}_stage"
+        batch = batch_df.select(
+            key_col, tiebreak_col, ts_col, *carry_cols
+        ).dropDuplicates([key_col, tiebreak_col])
+        current = _read_current_or_recover(spark, target_path, stage)
+        if current is None:
+            combined = batch
+            untouched = None
+        else:
+            affected = batch.select(key_col).distinct()
+            touched_log = (
+                current.join(affected, key_col, "left_semi")
+                .select(
+                    key_col,
+                    tiebreak_col,
+                    F.col("effective_from").alias(ts_col),
+                    *carry_cols,
+                )
+            )
+            untouched = current.join(affected, key_col, "left_anti")
+            combined = touched_log.unionByName(batch).dropDuplicates(
+                [key_col, tiebreak_col]
+            )
+        rebuilt = scd2_history(
+            combined,
+            key_col=key_col,
+            ts_col=ts_col,
+            tiebreak_col=tiebreak_col,
+            carry_cols=tuple(carry_cols),
+        )
+        merged = (
+            rebuilt
+            if untouched is None
+            else untouched.select(*rebuilt.columns).unionByName(rebuilt)
+        )
+        _republish(merged, target_path, stage)
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

@@ -270,3 +270,59 @@ def test_upsert_sink_recovers_from_crashed_republish(
     }
     assert recovered == full_keys  # every key outside the batch survived
     assert not os.path.exists(out + "_stage")
+
+
+def test_scd2_sink_matches_batch_history_and_splices_late_data(
+    spark, event_dir, tmp_path
+):
+    """The streaming SCD-2 sink must leave the target equal to the batch
+    u4 construction over every record seen so far — including when a
+    whole tranche of LATE records (earlier event times) arrives after the
+    dimension already exists, which must splice into the middle of each
+    key's interval chain, not append. A replay of the late tranche must
+    then be a no-op (exactly-once EFFECT)."""
+    import os
+
+    from etl_power_bi_dashboard_spark.plans.merge_plans import scd2_history
+
+    out = str(tmp_path / "scd2_out")
+    ev = spark.read.parquet(event_dir)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    recent_dir = str(tmp_path / "recent")
+    late_dir = str(tmp_path / "late")
+    ev.filter(F.col("ts") >= F.lit(mid)).write.parquet(recent_dir)
+    ev.filter(F.col("ts") < F.lit(mid)).write.parquet(late_dir)
+
+    def run(src, ckpt):
+        q = se.scd2_parquet_sink(
+            se.read_event_stream(spark, src), out, str(tmp_path / ckpt)
+        )
+        _drain(q)
+        spark.catalog.refreshByPath(out)
+
+    def snapshot(df):
+        return {
+            (r.user_id, r.event_id, r.effective_from, r.effective_to,
+             r.is_current, round(r.value, 6))
+            for r in df.select(
+                "user_id", "event_id", "effective_from", "effective_to",
+                "is_current", "value",
+            ).collect()
+        }
+
+    run(recent_dir, "ck1")
+    want_recent = snapshot(scd2_history(spark.read.parquet(recent_dir)))
+    assert snapshot(spark.read.parquet(out)) == want_recent
+    assert len(want_recent) > 0
+
+    # late tranche: every record predates the existing dimension
+    run(late_dir, "ck2")
+    want_full = snapshot(scd2_history(ev))
+    assert snapshot(spark.read.parquet(out)) == want_full
+    assert want_full != want_recent  # the splice actually changed history
+
+    # replay of the late tranche: record identities dedupe → no-op
+    run(late_dir, "ck3")
+    assert snapshot(spark.read.parquet(out)) == want_full
+    assert not os.path.exists(out + "_stage")

@@ -95,6 +95,11 @@ TAIL = [
     "r8_resample_ohlc",
     "sc3_bloom_prune_join",
     "ml3_triangle_count",
+    "x17_bm25",
+    "e9_rolling_zscore",
+    "ml4_knn_classify",
+    "ml5_linreg_trend",
+    "x18_cooccurrence",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -636,10 +636,96 @@ def _sql_q6() -> str:
 SQL_Q6 = _sql_q6()
 
 
+def q_ml5_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region revenue trend by ordinary least squares — the
+    "is this segment growing?" fit a dashboard runs over every slice,
+    here as ONE distributed pass instead of a per-slice model loop.
+
+    x = day index (exact int), y = that day's order revenue (exact
+    DECIMAL). slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept =
+    (Σy − slope·Σx)/n. The five power sums are exact (BIGINT/DECIMAL,
+    association-independent); they surface as doubles and the
+    slope/intercept are then the SAME handful of IEEE ops on both
+    engines — the e7/a18 moments pattern applied to regression.
+
+    Plan shape: orders join customer on the shuffle key (both fact-
+    scale — AQE picks the strategy), then the tiny nation/region dims
+    broadcast; pre-aggregate to per-(region, day) partials, then one
+    5-row moments aggregate per region. The wide shuffle carries
+    (region × day) rows — bounded by the calendar, not the fact table.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    x = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("bigint")
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name"), x.alias("x"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+        )
+    )
+    moments = daily.groupBy("r_name").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    nd = F.col("n_days").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return moments.select(
+        "r_name",
+        "n_days",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
+    )
+
+
+SQL_ML5 = """
+WITH daily AS (
+    SELECT r.r_name,
+           CAST(DATE_DIFF('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE))
+                AS BIGINT) AS x,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS y
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+), m AS (
+    SELECT r_name, COUNT(*) AS n_days,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x * y) AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx
+    FROM daily GROUP BY r_name
+)
+SELECT r_name, n_days,
+       (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n_days AS DOUBLE) * sxx - sx * sx) AS slope,
+       (sy - ((CAST(n_days AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n_days AS DOUBLE) * sxx - sx * sx)) * sx)
+           / CAST(n_days AS DOUBLE) AS intercept
+FROM m
+"""
+
+
 QUERIES: list[Query] = [
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
     Query("q6_profile_summary", q_q6_profile_summary, SQL_Q6,
           "per-column profile report (nulls/distinct/min/max)"),
+    Query("ml5_linreg_trend", q_ml5_linreg_trend, SQL_ML5,
+          "per-region OLS revenue trend from exact moments"),
     Query("a18_corr_matrix", q_a18_corr_matrix, SQL_A18,
           "pairwise Pearson correlations from exact DECIMAL moments"),
     Query("q5_drift_psi", q_q5_drift_psi, SQL_Q5,

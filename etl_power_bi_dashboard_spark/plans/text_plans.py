@@ -992,10 +992,101 @@ LIMIT 20
 """
 
 
+def q_x18_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level term association rules — support, confidence, and
+    lift for term pairs, the market-basket analysis applied to a corpus
+    (x14's PMI measures ADJACENT bigrams; this measures co-presence
+    anywhere in the document).
+
+    Pair support comes from a per-document self-join of the DISTINCT
+    (doc, term) set under ``t1 < t2`` — exact BIGINT counts; candidate
+    pairs are bounded by (per-doc distinct terms)², which a 31-word
+    vocabulary keeps trivial and an open-vocabulary corpus bounds by
+    restricting to the top-V frequency terms first (the x5 table) —
+    the standard Apriori-style vocabulary cap. Confidence divides two
+    exact counts once; lift multiplies count-derived DOUBLES (the
+    integer product c_xy·N would overflow BIGINT on a large corpus —
+    Spark wraps while DuckDB raises, the x14 lesson) and rounds to 9 dp
+    before ranking. Support filter c_xy ≥ 25 (5% of the corpus);
+    top-20 by (lift, t1, t2) — a deterministic total order.
+    """
+    docs = load(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    c_t = dt.groupBy("term").agg(F.count("*").alias("c"))
+    a = dt.select("doc_id", F.col("term").alias("t1"))
+    b = dt.select(F.col("doc_id").alias("doc_id_b"), F.col("term").alias("t2"))
+    pairs = (
+        a.join(
+            b,
+            (a["doc_id"] == b["doc_id_b"]) & (a["t1"] < b["t2"]),
+        )
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 25)
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    cx = c_t.select(F.col("term").alias("t1"), F.col("c").alias("c_x"))
+    cy = c_t.select(F.col("term").alias("t2"), F.col("c").alias("c_y"))
+    lift = F.round(
+        (F.col("c_xy").cast("double") * F.col("n_docs").cast("double"))
+        / (F.col("c_x").cast("double") * F.col("c_y").cast("double")),
+        9,
+    )
+    return (
+        pairs.join(F.broadcast(cx), "t1")
+        .join(F.broadcast(cy), "t2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "t1",
+            "t2",
+            "c_xy",
+            (F.col("c_xy").cast("double") / F.col("c_x").cast("double"))
+            .alias("confidence"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "t1", "t2")
+        .limit(20)
+    )
+
+
+SQL_X18 = """
+WITH dt AS (
+    SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ) WHERE length(term) > 0
+), c_t AS (
+    SELECT term, COUNT(*) AS c FROM dt GROUP BY term
+), pairs AS (
+    SELECT a.term AS t1, b.term AS t2, COUNT(*) AS c_xy
+    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 25
+)
+SELECT p.t1, p.t2, p.c_xy,
+       CAST(p.c_xy AS DOUBLE) / CAST(cx.c AS DOUBLE) AS confidence,
+       ROUND((CAST(p.c_xy AS DOUBLE)
+              * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE))
+             / (CAST(cx.c AS DOUBLE) * CAST(cy.c AS DOUBLE)), 9) AS lift
+FROM pairs p
+JOIN c_t cx ON p.t1 = cx.term
+JOIN c_t cy ON p.t2 = cy.term
+ORDER BY lift DESC, t1, t2
+LIMIT 20
+"""
+
+
 QUERIES: list[Query] = [
     Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
     Query("x17_bm25", q_x17_bm25, SQL_X17,
           "BM25 lexical retrieval (fixed 3-term query)"),
+    Query("x18_cooccurrence", q_x18_cooccurrence, SQL_X18,
+          "term-pair association rules (support/confidence/lift)"),
     Query("x14_pmi_collocations", q_x14_pmi_collocations, SQL_X14,
           "PMI bigram collocation mining"),
     Query("x13_token_budget", q_x13_token_budget, SQL_X13,

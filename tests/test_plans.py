@@ -123,3 +123,30 @@ def test_x14_scalar_totals_broadcast(spark):
     # bare name, so count the tree form)
     assert p.count("BroadcastNestedLoopJoin Cross") == 2
     assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
+
+
+def test_x17_broadcasts_constants_and_df(spark):
+    """BM25's corpus constants (N, avgdl numerator) ride as a 1-row
+    broadcast cross and the ≤3-row query-term df table as a broadcast
+    hash join — the only wide shuffle carries per-(doc,term) counts."""
+    p = plan_of(spark, "x17_bm25")
+    assert "BroadcastNestedLoopJoin Cross" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_ml5_dims_broadcast(spark):
+    """The OLS trend joins must broadcast the tiny nation/region dims;
+    orders⨝customer stays a keyed join (both fact-scale at 100 TB)."""
+    p = plan_of(spark, "ml5_linreg_trend")
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_x18_pair_join_is_keyed(spark):
+    """The co-occurrence self-join must rendezvous on doc_id as a hash/
+    sort-merge equi-join with t1<t2 as a residual condition — never a
+    nested loop over all (term, term) pairs."""
+    p = plan_of(spark, "x18_cooccurrence")
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+    assert "CartesianProduct" not in p

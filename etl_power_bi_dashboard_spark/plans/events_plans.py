@@ -430,6 +430,88 @@ SELECT user_id, event_id, value, z FROM z WHERE ABS(z) > 3.0
 """
 
 
+def q_e10_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: credit each purchase to the user's most
+    recent PRECEDING click within a 7-day lookback — the marketing-
+    analytics staple, and the single-stream cousin of the r1 as-of join
+    (here the match comes from a window over one ordered pass instead
+    of a two-table rendezvous).
+
+    ``last(..., ignorenulls)`` over the (ts, event_id) order with a
+    frame ending at the PREVIOUS row carries the latest click's ts and
+    id forward to each purchase — one shuffle on user_id, no self-join,
+    no per-row lookback scan. The 7-day cutoff is an exact integer
+    comparison on epoch microseconds (no interval arithmetic to
+    disagree over). Unattributed purchases (no click, or the last click
+    expired) report NULL credit — kept, because spend reporting needs
+    the denominator.
+    """
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    seven_days_us = 7 * 24 * 3600 * 1000000
+    attributed = (
+        F.col("click_ts").isNotNull()
+        & (F.unix_micros("ts") - F.unix_micros("click_ts") <= seven_days_us)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            click_ts.alias("click_ts"),
+            click_id.alias("click_id"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+            F.when(attributed, F.col("click_id")).alias("attributed_click_id"),
+            F.when(attributed, F.col("click_ts")).alias("attributed_click_ts"),
+        )
+    )
+
+
+SQL_E10 = """
+WITH marked AS (
+    SELECT user_id, event_id, ts, event_type, value,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER w AS click_ts,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                      IGNORE NULLS) OVER w AS click_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id,
+       event_id AS purchase_id,
+       ts AS purchase_ts,
+       value,
+       CASE WHEN click_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(click_ts) <= 604800000000
+            THEN click_id END AS attributed_click_id,
+       CASE WHEN click_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(click_ts) <= 604800000000
+            THEN click_ts END AS attributed_click_ts
+FROM marked
+WHERE event_type = 'purchase'
+"""
+
+
 QUERIES: list[Query] = [
     Query("e1_tumbling_hourly", q_e1_tumbling_hourly, SQL_E1, "tumbling window agg"),
     Query("e5_funnel", q_e5_funnel, SQL_E5, "sequenced conversion funnel"),
@@ -441,6 +523,8 @@ QUERIES: list[Query] = [
           "per-user z-score anomaly detection"),
     Query("e8_transition_matrix", q_e8_transition_matrix, SQL_E8,
           "event-type Markov transition matrix"),
+    Query("e10_attribution", q_e10_attribution, SQL_E10,
+          "last-touch click attribution with a 7-day lookback"),
     Query("e9_rolling_zscore", q_e9_rolling_zscore, SQL_E9,
           "rolling-baseline online anomaly scores"),
 ]

@@ -125,7 +125,55 @@ GROUP BY l.l_suppkey
 """
 
 
+def q_sc4_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the profile a pipeline runs BEFORE a
+    big join to decide between plain, AQE-skew-split, and salted (sc1)
+    strategies: per-key row counts for lineitem's supplier key reduced
+    to the skew factor (hottest key vs mean) plus the hot key itself.
+
+    Two cheap aggregations: per-key counts (map-side partials, one
+    shuffle on the key), then a single global reduce where the hot key
+    rides as a lexicographic ``max(struct(n, −key))`` — the portable
+    tie-broken argmax (smallest key wins a count tie; DuckDB's MAX_BY
+    rejects struct orderings, struct MAX both engines share) — no sort,
+    no window, no second scan. All inputs exact BIGINTs; mean and skew
+    are two IEEE divisions. One row out at any scale.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count("*").alias("n"))
+    hot = F.max(
+        F.struct(F.col("n").alias("a"), (-F.col("l_suppkey")).alias("b"))
+    )
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_rows"),
+        (-hot.getField("b")).alias("hottest_key"),
+        (
+            F.max("n").cast("double")
+            / (F.sum("n").cast("double") / F.count("*").cast("double"))
+        ).alias("skew_factor"),
+    )
+
+
+SQL_SC4 = """
+WITH per_key AS (
+    SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+)
+SELECT COUNT(*) AS n_keys,
+       SUM(n) AS n_rows,
+       MAX(n) AS max_rows,
+       -(MAX(struct_pack(a := n, b := -l_suppkey)).b) AS hottest_key,
+       CAST(MAX(n) AS DOUBLE)
+           / (CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+           AS skew_factor
+FROM per_key
+"""
+
+
 QUERIES: list[Query] = [
+    Query("sc4_skew_report", q_sc4_skew_report, SQL_SC4,
+          "join-key skew diagnostic (hot key + skew factor)"),
     Query("sc1_salted_join", q_sc1_salted_join, SQL_SC1,
           "skew-salted join (semantics-preserving rewrite)"),
     Query("sc2_salted_agg", q_sc2_salted_agg, SQL_SC2,

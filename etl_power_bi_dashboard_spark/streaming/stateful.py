@@ -63,3 +63,90 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SEVEN_DAYS_US = 7 * 24 * 3600 * 1_000_000
+
+ATTR_STATE_SCHEMA = StructType(
+    [
+        StructField("last_click_ts_us", LongType()),
+        StructField("last_click_id", LongType()),
+    ]
+)
+
+ATTR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_id", LongType()),
+        StructField("purchase_ts_us", LongType()),
+        StructField("value", DoubleType()),
+        StructField("attributed_click_id", LongType()),
+    ]
+)
+
+
+def _attribute(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last_ts, last_id = state.get if state.exists else (None, None)
+    out: list[tuple] = []
+    pdfs = [p for p in batches if len(p)]
+    if pdfs:
+        pdf = pd.concat(pdfs).sort_values(["ts", "event_id"])
+        for ts, eid, etype, value in zip(
+            pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["value"]
+        ):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if etype == "click":
+                last_ts, last_id = ts_us, int(eid)
+            elif etype == "purchase":
+                hit = (
+                    last_ts is not None
+                    and ts_us - last_ts <= _SEVEN_DAYS_US
+                )
+                out.append(
+                    (key[0], int(eid), ts_us, float(value),
+                     last_id if hit else None)
+                )
+    if last_ts is not None:
+        state.update((last_ts, last_id))
+    if out:
+        pdf_out = pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "purchase_id", "purchase_ts_us", "value",
+                "attributed_click_id",
+            ],
+        )
+        # unattributed purchases carry None: keep the column nullable-int
+        # (a plain float64-with-NaN column would not Arrow-cast to long)
+        pdf_out["attributed_click_id"] = pdf_out["attributed_click_id"].astype(
+            "Int64"
+        )
+        yield pdf_out
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """Streaming last-touch attribution — the stateful-streaming twin of
+    the batch e10 plan: per user, each purchase is credited to the most
+    recent preceding click within a 7-day lookback, with the latest
+    click carried ACROSS micro-batches in keyed state (so a click in
+    Monday's batch attributes a purchase in Friday's).
+
+    State is two longs per user (last click's event-time µs + id) —
+    bounded by the user population, not stream length, and sharded by
+    the grouping key across executors. Rows are re-sorted by
+    (ts, event_id) within each (key, batch), so intra-batch disorder is
+    handled; CROSS-batch event-time regressions (a late click arriving
+    after a later purchase was already attributed) are the lambda-
+    architecture gap — the batch e10 plan is the backfill that corrects
+    them, exactly as a production attribution pipeline re-states
+    yesterday's credit.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _attribute,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -50,3 +50,74 @@ def test_running_totals_across_batches(spark, tmp_path):
     assert got == batch
     # state really crossed batches: some user must appear in >1 update row
     assert (out.groupby("user_id").size() > 1).any()
+
+
+def test_attribution_stream_matches_batch_e10(spark, tmp_path):
+    """Streaming last-touch attribution must agree with the batch e10
+    plan when micro-batches arrive in event-time order, with the latest
+    click carried across batches in keyed state (including across a
+    checkpoint restart)."""
+    from etl_power_bi_dashboard_spark.plans.events_plans import (
+        q_e10_attribution,
+    )
+    from etl_power_bi_dashboard_spark.streaming.stateful import (
+        attribution_stream,
+    )
+
+    ev = load_events(spark, SF_DIR)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    src = str(tmp_path / "attr_src")
+    out = str(tmp_path / "attr_out")
+    ck = str(tmp_path / "attr_ck")
+
+    def run():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        q = (
+            attribution_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    # event-time-ordered arrival: early tranche, then the rest appended
+    # to the SAME source dir so the restarted query resumes from state
+    ev.filter(F.col("ts") < F.lit(mid)).write.mode("overwrite").parquet(src)
+    run()
+    ev.filter(F.col("ts") >= F.lit(mid)).write.mode("append").parquet(src)
+    run()
+
+    spark.catalog.refreshByPath(out)
+    got = {
+        (r.purchase_id, r.attributed_click_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.purchase_id, r.attributed_click_id)
+        for r in q_e10_attribution(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
+    # the lookback really crossed the tranche boundary: some purchase in
+    # the late tranche must be credited to a click from the early one
+    late_purchases = {
+        r.event_id
+        for r in ev.filter(
+            (F.col("ts") >= F.lit(mid)) & (F.col("event_type") == "purchase")
+        ).collect()
+    }
+    early_clicks = {
+        r.event_id
+        for r in ev.filter(
+            (F.col("ts") < F.lit(mid)) & (F.col("event_type") == "click")
+        ).collect()
+    }
+    assert any(
+        pid in late_purchases and cid in early_clicks
+        for pid, cid in got
+        if cid is not None
+    )

@@ -29,10 +29,17 @@ d6 row (38.0s) was a session-state artifact, 3.5x the judge's direct
 10.7s measurement; (2) the d6 cold-vs-warm 3x gap itself was profiled
 to AQE byte-based coalescing collapsing compute-bound dedup shuffles to
 ONE task (tiny-bytes/huge-compute corpus) — fixed in session.py with a
-64KB coalescing floor (d6 cold 30.4s → ~15s, warm ~9s; ml2 also gains
-from checkpoint-cadence-2 in operators/graph.py, 10.5s → ~7.7s);
-(3) the gap-fill family (r5/r6) and the SCD-2 as-of composition (r7)
-joined TAIL.
+64KB coalescing floor (d6 cold 30.4s → ~15s, warm ~9s; measured
+best-of-2 fresh-session row this round: 9.7s). ml2's checkpoint
+cadence-2 (operators/graph.py) recorded 10.75s vs r4's 10.5s — on the
+quiet-host record the cadence change is a wash, not the ~25% the
+builder's contended A/B suggested; kept because fewer jobs per round
+is strictly less scheduler pressure at cluster scale and the fixpoint
+is cadence-invariant (pinned by test). (3) The gap-fill family
+(r5/r6), the SCD-2 as-of composition (r7), and the round-5 additions
+(x15-x18, a18, r8, sc3/sc4, e8-e10, q6, ml3-ml5) joined TAIL; ml3's
+closing probe was rewritten to broadcast the edge list (26s → ~13s
+warm at sf0.1, see triangle_counts docstring).
 """
 
 from __future__ import annotations
@@ -100,6 +107,10 @@ TAIL = [
     "ml4_knn_classify",
     "ml5_linreg_trend",
     "x18_cooccurrence",
+    "e8_transition_matrix",
+    "e10_attribution",
+    "sc4_skew_report",
+    "q6_profile_summary",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -71,6 +71,81 @@ def asof_join(
     return carried.filter(F.col("_side") == 1).drop("_side")
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_value_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward as-of join: for every left row, the EARLIEST right row
+    with right.ts >= left.ts, per key — :func:`asof_join` mirrored in
+    time (pandas ``merge_asof(direction='forward')``), the
+    time-to-next-event primitive behind conversion-lag and
+    time-to-repair analyses.
+
+    Same single-shuffle strategy: tag + union, one sort per key, carry
+    the nearest following right values backward with an ignore-nulls
+    ``first`` over the frame starting at the current row. Left rows sort
+    BEFORE right rows at the same timestamp so an equal-ts right row
+    satisfies the >= match. ``tiebreak`` names a right column that
+    orders equal-timestamp right rows (ascending) — without it, two
+    right rows at the same instant make the pick engine-dependent.
+    """
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in (on, ts)
+    ]
+    l_tag = left.withColumn("_side", F.lit(0)).withColumn(
+        "_rts", F.lit(None).cast("timestamp")
+    )
+    for c in right_value_cols:
+        l_tag = l_tag.withColumn(
+            f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c])
+        )
+    r_tag = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(1).alias("_side"),
+        F.col(ts).alias("_rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+    )
+    l_cols = list(left.columns)
+    unioned = l_tag.select(
+        *l_cols, "_side", "_rts", *[f"_r_{c}" for c in right_value_cols]
+    ).unionByName(
+        r_tag.select(
+            *[
+                F.col(c)
+                if c in (on, ts)
+                else F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+                for c in l_cols
+            ],
+            "_side",
+            "_rts",
+            *[f"_r_{c}" for c in right_value_cols],
+        )
+    )
+    order = [F.col(ts), F.col("_side")]
+    if tiebreak is not None:
+        order.append(F.col(f"_r_{tiebreak}").asc_nulls_first())
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        *l_cols,
+        "_side",
+        F.first("_rts", ignorenulls=True).over(w).alias("next_ts"),
+        *[
+            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"next_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 0).drop("_side")
+
+
 def range_join_buckets(
     left: DataFrame,
     right: DataFrame,

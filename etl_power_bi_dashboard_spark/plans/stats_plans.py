@@ -720,8 +720,177 @@ FROM m
 """
 
 
+def q_q7_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document source and
+    language — the statistical backstop behind q5's PSI gate: PSI says
+    "the mix moved", chi² says "source and language are not independent",
+    the standard pre-training-mix diagnostic pair.
+
+    Every observed/marginal count is an exact BIGINT computed from ONE
+    groupBy via window re-aggregation (no second scan, no joins: row,
+    column, and grand totals are window sums over the contingency
+    cells). Expected counts and per-cell terms are IEEE; each term is
+    rounded to 9 dp and summed as DECIMAL(28,9) so the χ² total is
+    association-order-proof (the x16 convention — a ~20-cell double sum
+    would already be engine-ordering-dependent). One row out at any
+    scale; the contingency table itself is |sources|×|langs|.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    w_r = Window.partitionBy("source")
+    w_c = Window.partitionBy("lang")
+    w_all = Window.partitionBy()
+    with_m = cells.select(
+        "o",
+        F.sum("o").over(w_r).alias("r_tot"),
+        F.sum("o").over(w_c).alias("c_tot"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    e = (
+        F.col("r_tot").cast("double")
+        * F.col("c_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e,
+        9,
+    ).cast("decimal(28,9)")
+    dims = docs.agg(
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    return (
+        with_m.agg(
+            F.count("*").alias("n_cells"),
+            F.sum(term).cast("double").alias("chi2"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n_cells",
+            "chi2",
+            ((F.col("n_sources") - 1) * (F.col("n_langs") - 1))
+            .cast("bigint")
+            .alias("dof"),
+        )
+    )
+
+
+SQL_Q7 = """
+WITH cells AS (
+    SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY source, lang
+), m AS (
+    SELECT o,
+           SUM(o) OVER (PARTITION BY source) AS r_tot,
+           SUM(o) OVER (PARTITION BY lang) AS c_tot,
+           SUM(o) OVER () AS n
+    FROM cells
+), terms AS (
+    SELECT CAST(ROUND(
+               (CAST(o AS DOUBLE)
+                - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                  / CAST(n AS DOUBLE)),
+               9) AS DECIMAL(28,9)) AS term
+    FROM m
+)
+SELECT (SELECT COUNT(*) FROM terms) AS n_cells,
+       (SELECT CAST(SUM(term) AS DOUBLE) FROM terms) AS chi2,
+       CAST(((SELECT COUNT(DISTINCT source) FROM documents) - 1)
+            * ((SELECT COUNT(DISTINCT lang) FROM documents) - 1) AS BIGINT)
+           AS dof
+"""
+
+
+def q_a19_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact INTERPOLATED percentiles (p50/p95) of event value per type
+    — a14's continuous twin (a14 is rank-discrete): h = (n−1)·q, answer
+    = x⌊h⌋₊₁ + (h−⌊h⌋)·(x⌈h⌉₊₁ − x⌊h⌋₊₁), the linear interpolation
+    pandas/NumPy default. Both engines pick the two neighbor values by
+    integer rank under the same deterministic total order and run one
+    identical IEEE lerp — engine-portable where built-in
+    percentile_cont implementations differ in rounding. Shares a14's
+    single-reducer-per-type caveat (and ax2's sketch is the 100 TB
+    substitute).
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    grouped = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(
+            F.col("rn") == F.floor((F.col("n") - 1) * 0.5).cast("bigint") + 1,
+            F.col("value"))).alias("p50_lo"),
+        F.max(F.when(
+            F.col("rn") == F.ceil((F.col("n") - 1) * 0.5).cast("bigint") + 1,
+            F.col("value"))).alias("p50_hi"),
+        F.max(F.when(
+            F.col("rn") == F.floor((F.col("n") - 1) * 0.95).cast("bigint") + 1,
+            F.col("value"))).alias("p95_lo"),
+        F.max(F.when(
+            F.col("rn") == F.ceil((F.col("n") - 1) * 0.95).cast("bigint") + 1,
+            F.col("value"))).alias("p95_hi"),
+    )
+    nd = F.col("n").cast("double")
+
+    def lerp(q: float, lo: str, hi: str, alias: str):
+        h = (nd - 1.0) * F.lit(q)
+        frac = h - F.floor(h)
+        return (F.col(lo) + frac * (F.col(hi) - F.col(lo))).alias(alias)
+
+    return grouped.select(
+        "event_type",
+        "n",
+        lerp(0.5, "p50_lo", "p50_hi", "p50_cont"),
+        lerp(0.95, "p95_lo", "p95_hi", "p95_cont"),
+    )
+
+
+SQL_A19 = """
+WITH ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+), grouped AS (
+    SELECT event_type, MAX(n) AS n,
+           MAX(CASE WHEN rn = CAST(FLOOR((CAST(n AS DOUBLE) - 1.0) * 0.5)
+                              AS BIGINT) + 1 THEN value END) AS p50_lo,
+           MAX(CASE WHEN rn = CAST(CEIL((CAST(n AS DOUBLE) - 1.0) * 0.5)
+                              AS BIGINT) + 1 THEN value END) AS p50_hi,
+           MAX(CASE WHEN rn = CAST(FLOOR((CAST(n AS DOUBLE) - 1.0) * 0.95)
+                              AS BIGINT) + 1 THEN value END) AS p95_lo,
+           MAX(CASE WHEN rn = CAST(CEIL((CAST(n AS DOUBLE) - 1.0) * 0.95)
+                              AS BIGINT) + 1 THEN value END) AS p95_hi
+    FROM ranked GROUP BY event_type
+)
+SELECT event_type, n,
+       p50_lo + ((CAST(n AS DOUBLE) - 1.0) * 0.5
+                 - FLOOR((CAST(n AS DOUBLE) - 1.0) * 0.5))
+                * (p50_hi - p50_lo) AS p50_cont,
+       p95_lo + ((CAST(n AS DOUBLE) - 1.0) * 0.95
+                 - FLOOR((CAST(n AS DOUBLE) - 1.0) * 0.95))
+                * (p95_hi - p95_lo) AS p95_cont
+FROM grouped
+"""
+
+
 QUERIES: list[Query] = [
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
+    Query("q7_chi2_independence", q_q7_chi2_independence, SQL_Q7,
+          "chi-square source-language independence test"),
+    Query("a19_percentiles_cont", q_a19_percentiles_cont, SQL_A19,
+          "exact interpolated percentiles (continuous)"),
     Query("q6_profile_summary", q_q6_profile_summary, SQL_Q6,
           "per-column profile report (nulls/distinct/min/max)"),
     Query("ml5_linreg_trend", q_ml5_linreg_trend, SQL_ML5,

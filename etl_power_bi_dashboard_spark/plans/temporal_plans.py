@@ -41,6 +41,56 @@ FROM p
 """
 
 
+def q_r9_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion: for every click, the user's NEXT purchase
+    at-or-after it (r1 mirrored in time — forward as-of via
+    :func:`operators.temporal.asof_join_forward`) plus the conversion
+    lag in seconds as an exact integer µs difference. Same one-shuffle
+    union-and-carry plan; unconverted clicks keep NULL lag.
+    """
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = temporal.asof_join_forward(
+        clicks, purchases, on="user_id", ts="ts", tiebreak="purchase_id"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "next_ts",
+        "next_purchase_id",
+        F.when(
+            F.col("next_ts").isNotNull(),
+            (F.unix_micros("next_ts") - F.unix_micros("ts")) / F.lit(1000000.0),
+        ).alias("lag_seconds"),
+    )
+
+
+SQL_R9 = """
+WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+      WHERE event_type = 'purchase')
+SELECT c.user_id, c.event_id, c.ts,
+       (SELECT min(p.ts) FROM p
+        WHERE p.user_id = c.user_id AND p.ts >= c.ts) AS next_ts,
+       (SELECT p.purchase_id FROM p
+        WHERE p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.ts ASC, p.purchase_id ASC LIMIT 1) AS next_purchase_id,
+       CASE WHEN (SELECT min(p.ts) FROM p
+                  WHERE p.user_id = c.user_id AND p.ts >= c.ts) IS NOT NULL
+            THEN (epoch_us((SELECT min(p.ts) FROM p
+                            WHERE p.user_id = c.user_id AND p.ts >= c.ts))
+                  - epoch_us(c.ts)) / 1000000.0
+       END AS lag_seconds
+FROM c
+"""
+
+
 def q_r2_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events within 5 minutes AFTER an error by the same user (bounded
     range join via interval bucketing — equi-join shuffle, no nested
@@ -408,6 +458,8 @@ GROUP BY bar_start, event_type
 
 QUERIES: list[Query] = [
     Query("r1_asof_join", q_r1_asof_join, SQL_R1, "as-of join"),
+    Query("r9_asof_forward", q_r9_asof_forward, SQL_R9,
+          "forward as-of join (time-to-conversion lag)"),
     Query("r2_range_join", q_r2_range_join, SQL_R2, "bounded range join"),
     Query("r3_hierarchical_rollup", q_r3_hierarchical_rollup, SQL_R3, "hypertable rollup"),
     Query("r5_gapfill_locf", q_r5_gapfill_locf, SQL_R5,

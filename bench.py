@@ -115,6 +115,7 @@ TAIL = [
     "q7_chi2_independence",
     "a19_percentiles_cont",
     "r9_asof_forward",
+    "e11_rolling_active_users",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -512,6 +512,85 @@ WHERE event_type = 'purchase'
 """
 
 
+def q_e11_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product-
+    analytics staple that is NOT window-expressible (COUNT(DISTINCT)
+    over a sliding frame isn't a legal window aggregate in either
+    engine): a user active twice in the window must count once.
+
+    The scale-shaped rewrite: each distinct (user, day) activity row is
+    exploded to the ≤7 report days it supports (day … day+6), distinct-
+    deduped, and counted per report day — linear in activity rows with
+    a constant ×7 fan-out, versus the quadratic day×history self-join a
+    naive formulation runs. All counts exact BIGINTs; stickiness is one
+    IEEE division. Report days clamp to the observed [min, max] span.
+    """
+    ev = load_events(spark, sf_dir)
+    act = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    span = act.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    wau = (
+        act.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("day"),
+        )
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("day") <= F.col("d1"))
+        .groupBy("day")
+        .agg(F.count("*").alias("wau"))
+    )
+    dau = act.groupBy(F.col("d").alias("day")).agg(
+        F.count("*").alias("dau")
+    )
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
+            "wau",
+            (
+                F.coalesce(F.col("dau"), F.lit(0)).cast("double")
+                / F.col("wau").cast("double")
+            ).alias("stickiness"),
+        )
+    )
+
+
+# Oracle is the NAIVE quadratic formulation (per report day, a
+# correlated COUNT(DISTINCT) over the trailing window) — so the hash
+# gate proves the explode-and-dedup rewrite semantics-preserving, the
+# sc1/ml3 differential contract. A report day whose trailing window is
+# empty appears in neither formulation (no support rows / wau = 0).
+SQL_E11 = """
+WITH act AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), span AS (
+    SELECT MIN(d) AS d0, MAX(d) AS d1 FROM act
+), days AS (
+    SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                       CAST(d1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+    FROM span
+), m AS (
+    SELECT day,
+           (SELECT COUNT(DISTINCT a.user_id) FROM act a
+            WHERE a.d BETWEEN day - INTERVAL 6 DAY AND day) AS wau,
+           (SELECT COUNT(DISTINCT a.user_id) FROM act a
+            WHERE a.d = day) AS dau
+    FROM days
+)
+SELECT CAST(day AS TIMESTAMP) AS day, dau, wau,
+       CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+FROM m WHERE wau > 0
+"""
+
+
 QUERIES: list[Query] = [
     Query("e1_tumbling_hourly", q_e1_tumbling_hourly, SQL_E1, "tumbling window agg"),
     Query("e5_funnel", q_e5_funnel, SQL_E5, "sequenced conversion funnel"),
@@ -525,6 +604,8 @@ QUERIES: list[Query] = [
           "event-type Markov transition matrix"),
     Query("e10_attribution", q_e10_attribution, SQL_E10,
           "last-touch click attribution with a 7-day lookback"),
+    Query("e11_rolling_active_users", q_e11_rolling_active_users, SQL_E11,
+          "DAU / trailing-7-day WAU / stickiness"),
     Query("e9_rolling_zscore", q_e9_rolling_zscore, SQL_E9,
           "rolling-baseline online anomaly scores"),
 ]

@@ -116,6 +116,7 @@ TAIL = [
     "a19_percentiles_cont",
     "r9_asof_forward",
     "e11_rolling_active_users",
+    "u5_incremental_rollup",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -217,8 +217,83 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_u5_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: an existing daily
+    rollup absorbs a late-arriving tranche by MERGING partials instead
+    of recomputing — the continuous-aggregate refresh every warehouse
+    runs nightly, and the reason this repo sums measures as DECIMAL
+    (exact partials are mergeable; float partials would drift from the
+    recompute).
+
+    The tranche split is derived deterministically from the data (the
+    timestamp midpoint); the "existing" rollup aggregates the earlier
+    half, the tranche aggregates the rest, and the refresh is one
+    full-outer COALESCE-add on the day key — counts add, DECIMAL sums
+    add, and only then does the total surface as DOUBLE. The oracle is
+    the FULL recompute over all events, so the driver hash gate proves
+    merge-of-partials ≡ recompute bit-for-bit (the sc1 differential
+    contract applied to incremental view maintenance). At 100 TB the
+    tranche side touches only its own days' partitions — the rollup
+    never rescans history.
+    """
+    from .base import load_events
+
+    ev = load_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).select(
+        F.timestamp_micros(
+            (
+                (F.unix_micros("lo") + F.unix_micros("hi")) / F.lit(2)
+            ).cast("bigint")
+        ).alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds))
+    dec = F.col("value").cast("decimal(18,2)")
+
+    def rollup(df):
+        return df.groupBy(F.to_date("ts").alias("d")).agg(
+            F.count("*").alias("n"), F.sum(dec).alias("tv")
+        )
+
+    base = rollup(tagged.filter(F.col("ts") < F.col("mid")))
+    tranche = rollup(tagged.filter(F.col("ts") >= F.col("mid")))
+    b = base.select(
+        F.col("d"), F.col("n").alias("n_b"), F.col("tv").alias("tv_b")
+    )
+    t = tranche.select(
+        F.col("d").alias("d_t"), F.col("n").alias("n_t"),
+        F.col("tv").alias("tv_t"),
+    )
+    merged = b.join(t, b["d"] == t["d_t"], "full_outer")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return merged.select(
+        F.coalesce(F.col("d"), F.col("d_t")).cast("timestamp").alias("day"),
+        (
+            F.coalesce(F.col("n_b"), F.lit(0))
+            + F.coalesce(F.col("n_t"), F.lit(0))
+        ).alias("n_events"),
+        (
+            F.coalesce(F.col("tv_b"), zero) + F.coalesce(F.col("tv_t"), zero)
+        )
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+SQL_U5 = """
+SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES: list[Query] = [
     Query("u1_scd1_merge", q_u1_scd1_merge, SQL_U1, "SCD-1 MERGE upsert"),
+    Query("u5_incremental_rollup", q_u5_incremental_rollup, SQL_U5,
+          "incremental rollup refresh ≡ full recompute"),
     Query("u2_delete_detect", q_u2_delete_detect, SQL_U2,
           "CDC insert/update/unchanged audit"),
     Query("u3_latest_per_key", q_u3_latest_per_key, SQL_U3,

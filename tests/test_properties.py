@@ -124,6 +124,49 @@ def test_asof_join_matches_bruteforce(spark, left, right):
 
 
 @given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(-99, 99)),
+        min_size=1, max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@_settings
+def test_asof_forward_matches_bruteforce(spark, left, right):
+    """asof_join_forward law (the r9 mirror): for every left row, the
+    carried value equals the right row with the SMALLEST right.ts >=
+    left.ts for that key (right timestamps unique per key)."""
+    import datetime as dt
+
+    from etl_power_bi_dashboard_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    base = dt.datetime(2000, 1, 1)
+    to_ts = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    ldf = spark.createDataFrame(
+        [(k, to_ts(s)) for k, s in left], "k BIGINT, ts TIMESTAMP"
+    )
+    rdf = spark.createDataFrame(
+        [(k, to_ts(s), v) for k, s, v in right],
+        "k BIGINT, ts TIMESTAMP, val BIGINT",
+    )
+    got = {
+        (r.k, r.ts): r.next_val
+        for r in asof_join_forward(
+            ldf, rdf, on="k", tiebreak="val"
+        ).collect()
+    }
+    for k, s in left:
+        candidates = [(s2, v) for k2, s2, v in right if k2 == k and s2 >= s]
+        want = min(candidates)[1] if candidates else None
+        assert got[(k, to_ts(s))] == want, (k, s, candidates)
+
+
+@given(
     lens=st.lists(st.integers(1, 40), min_size=1, max_size=30),
     ctx=st.integers(8, 64),
 )

@@ -117,6 +117,8 @@ TAIL = [
     "r9_asof_forward",
     "e11_rolling_active_users",
     "u5_incremental_rollup",
+    "u6_apply_cdc",
+    "p14_weighted_reservoir",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -217,6 +217,65 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_u6_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC application — u1's upsert MERGE extended with DELETE
+    tombstones (every 7th-mod-3 key), producing the next dimension
+    snapshot: matched keys take the source row, new keys insert,
+    tombstoned keys drop, everyone else persists. This is the
+    WHEN MATCHED THEN DELETE arm MERGE INTO adds over u1.
+
+    Shape: the u1 full-outer COALESCE followed by one left-anti join on
+    the (small, broadcastable) tombstone set — deletes never force a
+    rewrite of untouched partitions beyond the key anti-join. A
+    tombstone for an upserted key wins (delete-after-update ordering,
+    the CDC convention for a batch that both updates and deletes).
+    """
+    cust = load(spark, sf_dir, "customer")
+    src = _delta(cust)
+    tomb = cust.filter(F.col("c_custkey") % 7 == 3).select("c_custkey")
+    tgt = cust.select(
+        F.col("c_custkey").alias("t_key"),
+        F.col("c_name").alias("t_name"),
+        F.col("c_nationkey").alias("t_nation"),
+        F.col("c_acctbal").alias("t_acctbal"),
+        F.col("c_mktsegment").alias("t_seg"),
+    )
+    merged = src.join(tgt, src["c_custkey"] == tgt["t_key"], "full_outer")
+    upserted = merged.select(
+        F.coalesce(src["c_custkey"], F.col("t_key")).alias("c_custkey"),
+        F.coalesce(src["c_name"], F.col("t_name")).alias("c_name"),
+        F.coalesce(src["c_nationkey"], F.col("t_nation")).alias("c_nationkey"),
+        F.coalesce(src["c_acctbal"], F.col("t_acctbal")).alias("c_acctbal"),
+        F.coalesce(src["c_mktsegment"], F.col("t_seg")).alias("c_mktsegment"),
+    )
+    return upserted.join(F.broadcast(tomb), "c_custkey", "left_anti")
+
+
+SQL_U6 = """
+WITH src AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey, c_acctbal,
+           c_mktsegment
+    FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 3)
+), upserted AS (
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(s.c_name, t.c_name) AS c_name,
+           COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+           COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+           COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+    FROM src s
+    FULL OUTER JOIN customer t ON s.c_custkey = t.c_custkey
+)
+SELECT * FROM upserted
+WHERE c_custkey NOT IN (
+    SELECT c_custkey FROM customer WHERE c_custkey % 7 = 3
+)
+"""
+
+
 def q_u5_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: an existing daily
     rollup absorbs a late-arriving tranche by MERGING partials instead
@@ -294,6 +353,8 @@ QUERIES: list[Query] = [
     Query("u1_scd1_merge", q_u1_scd1_merge, SQL_U1, "SCD-1 MERGE upsert"),
     Query("u5_incremental_rollup", q_u5_incremental_rollup, SQL_U5,
           "incremental rollup refresh ≡ full recompute"),
+    Query("u6_apply_cdc", q_u6_apply_cdc, SQL_U6,
+          "CDC apply with DELETE tombstones (next snapshot)"),
     Query("u2_delete_detect", q_u2_delete_detect, SQL_U2,
           "CDC insert/update/unchanged audit"),
     Query("u3_latest_per_key", q_u3_latest_per_key, SQL_U3,

@@ -432,8 +432,66 @@ def q_p12_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p14_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the Efraimidis-Spirakis
+    reservoir (top-k by key u^(1/w)): each document draws a uniform u
+    from its own content hash and the 10 largest keys win, so inclusion
+    probability tracks weight (here n_chars) while the draw stays
+    deterministic across engines, runs, and repartitions (p8's
+    content-hash doctrine applied to the weighted case; p10's tiered
+    acceptance is the rate-based cousin — this one delivers an EXACT
+    sample size).
+
+    u = (first 8 md5 hex digits + 1) / 2³². The E-S key runs through
+    ``pow`` — a libm call, not bit-portable — so keys are rounded to
+    9 dp before ranking with a doc_id tie-break (the x14
+    round-before-rank convention). One pass + one top-k; at scale this
+    is a single TakeOrderedAndProject over a map-side key computation —
+    no shuffle of the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        (F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10)
+         .cast("bigint") + 1)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 9
+    )
+    w = Window.orderBy(F.desc("es_key"), "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            key.alias("es_key"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+SQL_P14 = """
+WITH keyed AS (
+    SELECT doc_id, n_chars AS weight,
+           ROUND(POWER(
+               (CAST(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)
+                     AS DOUBLE) + 1) / 4294967296.0,
+               1.0 / CAST(n_chars AS DOUBLE)), 9) AS es_key
+    FROM documents
+)
+SELECT doc_id, weight, es_key,
+       CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rk
+      FROM keyed)
+WHERE rk <= 10
+"""
+
+
 QUERIES: list[Query] = [
     Query("w4_moving_avg", q_w4_moving_avg, SQL_W4, "ROWS-frame moving average"),
+    Query("p14_weighted_reservoir", q_p14_weighted_reservoir, SQL_P14,
+          "Efraimidis-Spirakis weighted reservoir sample"),
     Query("w5_distribution", q_w5_distribution, SQL_W5, "ntile/percent_rank/cume_dist"),
     Query("w6_value_picks", q_w6_value_picks, SQL_W6, "first/last/nth value"),
     Query("r4_gap_islands", q_r4_gap_islands, SQL_R4, "gaps-and-islands sessions"),

@@ -170,3 +170,37 @@ def write_transactional(
         return "delta"
     w.parquet(path)
     return "parquet"
+
+
+def write_observed(
+    df: DataFrame,
+    path: str,
+    name: str = "write_metrics",
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Instrumented parquet write: attaches ``DataFrame.observe`` metrics
+    (row count, null-key count when an ``id``-like first column exists)
+    that are collected BY THE WRITE JOB ITSELF — zero extra scans, which
+    is the whole point versus a ``count()`` before/after (each of which
+    re-reads the input at 100 TB).
+
+    Returns the observed metrics dict, the hook a production pipeline
+    feeds its freshness/volume monitors (and diffs against q6's profile
+    report). Works identically on a cluster: observations are
+    accumulator-backed and aggregate across executors.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    first = df.columns[0]
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(first).isNull().cast("bigint")).alias(f"null_{first}"),
+    )
+    w = observed.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return dict(obs.get)

@@ -174,3 +174,17 @@ def test_csv_quarantine_read(spark, tmp_path):
     assert bad.count() == 1
     raw = bad.collect()[0][CORRUPT_COL]
     assert "not_a_number" in raw
+
+
+def test_write_observed_collects_metrics_without_extra_scan(spark, tmp_path):
+    """The observe()-instrumented sink must report the written row count
+    and null-key count from the write job itself."""
+    from etl_power_bi_dashboard_spark.sinks import write_observed
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "k INT, v STRING"
+    )
+    out = str(tmp_path / "observed_out")
+    metrics = write_observed(df, out)
+    assert metrics == {"n_rows": 3, "null_k": 1}
+    assert spark.read.parquet(out).count() == 3

@@ -111,6 +111,33 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def daily_active_users(
+    events: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming DAU — the stream twin of the batch e11 DAU side:
+    distinct users per event-time day, as a two-stage streaming plan.
+
+    COUNT(DISTINCT) is not directly expressible over a stream, so stage
+    one dedupes (user, day) pairs with ``dropDuplicatesWithinWatermark``
+    (state = one entry per active user-day, evicted at the watermark —
+    bounded by the active population, not stream length) and stage two
+    is a plain streaming count per day window. Late events inside the
+    watermark update their day's count; beyond it they drop — the
+    standard completeness/latency trade a batch e11 backfill closes.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        # the window struct IS the event-time column after this select —
+        # keeping ts alongside would leave two event-time columns, which
+        # streaming rejects
+        .select("user_id", F.window("ts", "1 day").alias("w"))
+        .dropDuplicatesWithinWatermark(["user_id", "w"])
+        .groupBy("w")
+        .agg(F.count("*").alias("dau"))
+        .select(F.col("w.start").alias("day"), "dau")
+    )
+
+
 def click_purchase_join(
     events: DataFrame,
     within: str = "1 hour",

@@ -373,3 +373,25 @@ def test_scd2_sink_recovers_from_crashed_republish(spark, event_dir, tmp_path):
     # the batch records are replays of existing record identities → no-op
     assert recovered.count() == n_rows
     assert not os.path.exists(out + "_stage")
+
+
+def test_streaming_dau_matches_batch(spark, event_dir):
+    """Streaming DAU (watermarked dedup → windowed count) must agree
+    with the batch distinct-user-per-day aggregation."""
+    stream = se.daily_active_users(se.read_event_stream(spark, event_dir))
+    _drain(se.run_to_memory(stream, "t_dau", mode="append"))
+    got = {
+        (r.day.date(), r.dau) for r in spark.table("t_dau").collect()
+    }
+    batch = (
+        load_events(spark, SF_DIR)
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .groupBy("d")
+        .agg(F.count("*").alias("dau"))
+        .collect()
+    )
+    want = {(r.d, r.dau) for r in batch}
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch answer exactly, and most must emit
+    assert got <= want and len(got) >= len(want) - 2 and len(got) > 0

@@ -119,6 +119,8 @@ TAIL = [
     "u5_incremental_rollup",
     "u6_apply_cdc",
     "p14_weighted_reservoir",
+    "x19_lang_confusion",
+    "ml6_ab_proportion_test",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

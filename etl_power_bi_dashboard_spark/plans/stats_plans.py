@@ -805,6 +805,72 @@ SELECT (SELECT COUNT(*) FROM terms) AS n_cells,
 """
 
 
+def q_ml6_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the A/B-test read-out: is FRANCE's
+    line-item return rate different from GERMANY's? Completes the
+    hypothesis-testing kit next to q7's chi² (q7 asks "any association
+    at all", this scores one planned contrast).
+
+    Counts (n, returns) come from one pass over lineitem joined to its
+    supplier nation (broadcast dims); the pooled-proportion z statistic
+    is then a fixed IEEE expression over four exact BIGINTs —
+    bit-identical on both engines, no rounding convention needed. One
+    row out at any scale.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    counts = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .filter(F.col("n_name").isin("FRANCE", "GERMANY"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("bigint")).alias("x"),
+        )
+    )
+    a = counts.filter(F.col("n_name") == "FRANCE").select(
+        F.col("n").alias("n1"), F.col("x").alias("x1")
+    )
+    b = counts.filter(F.col("n_name") == "GERMANY").select(
+        F.col("n").alias("n2"), F.col("x").alias("x2")
+    )
+    both = a.crossJoin(F.broadcast(b))
+    n1, x1 = F.col("n1").cast("double"), F.col("x1").cast("double")
+    n2, x2 = F.col("n2").cast("double"), F.col("x2").cast("double")
+    p1, p2 = x1 / n1, x2 / n2
+    pp = (x1 + x2) / (n1 + n2)
+    z = (p1 - p2) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    )
+    return both.select("n1", "x1", "n2", "x2", z.alias("z"))
+
+
+SQL_ML6 = """
+WITH counts AS (
+    SELECT n.n_name, COUNT(*) AS n,
+           SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('FRANCE', 'GERMANY')
+    GROUP BY n.n_name
+), a AS (SELECT n AS n1, x AS x1 FROM counts WHERE n_name = 'FRANCE'),
+b AS (SELECT n AS n2, x AS x2 FROM counts WHERE n_name = 'GERMANY')
+SELECT n1, x1, n2, x2,
+       (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+       / SQRT(((CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+              * (1.0 - ((CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+           AS z
+FROM a, b
+"""
+
+
 def q_a19_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact INTERPOLATED percentiles (p50/p95) of event value per type
     — a14's continuous twin (a14 is rank-discrete): h = (n−1)·q, answer
@@ -895,6 +961,8 @@ QUERIES: list[Query] = [
           "per-column profile report (nulls/distinct/min/max)"),
     Query("ml5_linreg_trend", q_ml5_linreg_trend, SQL_ML5,
           "per-region OLS revenue trend from exact moments"),
+    Query("ml6_ab_proportion_test", q_ml6_ab_proportion_test, SQL_ML6,
+          "two-proportion z-test (A/B read-out)"),
     Query("a18_corr_matrix", q_a18_corr_matrix, SQL_A18,
           "pairwise Pearson correlations from exact DECIMAL moments"),
     Query("q5_drift_psi", q_q5_drift_psi, SQL_Q5,

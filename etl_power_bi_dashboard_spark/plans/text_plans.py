@@ -70,6 +70,48 @@ FROM documents
 """
 
 
+def q_x19_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation: confusion matrix of the x3 language-ID
+    heuristic against the labeled ``lang`` column, with each cell's
+    share of its actual-class row — the precision/recall substrate every
+    model-assisted curation loop reports before trusting a filter.
+
+    One groupBy over (actual, predicted) — both JVM expressions — then a
+    window re-aggregation for the per-class share: exact BIGINT counts,
+    one IEEE division. |langs|×|predictions| rows at any scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang", text.lang_guess(F.col("text")).alias("lang_guess")
+    ).agg(F.count("*").alias("n"))
+    row_tot = F.sum("n").over(Window.partitionBy("lang"))
+    return cells.select(
+        "lang",
+        "lang_guess",
+        "n",
+        (F.col("n").cast("double") / row_tot.cast("double")).alias(
+            "frac_of_actual"
+        ),
+    )
+
+
+SQL_X19 = f"""
+WITH cells AS (
+    SELECT lang,
+           CASE WHEN {_SR_SQL} > 0.05 THEN 'en' ELSE 'unknown' END
+               AS lang_guess,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY 1, 2
+)
+SELECT lang, lang_guess, n,
+       CAST(n AS DOUBLE)
+           / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE)
+           AS frac_of_actual
+FROM cells
+"""
+
+
 def q_x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     t = F.col("text")
@@ -1087,6 +1129,8 @@ QUERIES: list[Query] = [
           "BM25 lexical retrieval (fixed 3-term query)"),
     Query("x18_cooccurrence", q_x18_cooccurrence, SQL_X18,
           "term-pair association rules (support/confidence/lift)"),
+    Query("x19_lang_confusion", q_x19_lang_confusion, SQL_X19,
+          "language-ID confusion matrix (classifier evaluation)"),
     Query("x14_pmi_collocations", q_x14_pmi_collocations, SQL_X14,
           "PMI bigram collocation mining"),
     Query("x13_token_budget", q_x13_token_budget, SQL_X13,

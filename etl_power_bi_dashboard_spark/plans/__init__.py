@@ -16,18 +16,20 @@ rotates not-yet-driver-verified queries to the front:
   oracle-less ones (ml1, ax1–ax3 — rows-only checks) sit just behind
   the window and rotate in next round.
 
-Round 5 rotation (current): slots 1-8 are the only entries with no
-clean driver row — the 7 queries added during round 4 (recomputed
-from CORRECTNESS_r01-r04 as COVERAGE.md instructs: r5/r6 gap-fill,
-x14 PMI, d12 edit-distance ER, q5 PSI drift, a16 Gini, a17
-cumulative-distinct — all oracle-backed) plus the new round-5
-composition r7_asof_against_scd2 (point-in-time lookup against u4's
-versioned dim, the verdict's requested shape). Slots 9+ backfill with
-round-1/round-3 re-checks per the round-4 verdict: windows w1-w7 +
-gap/islands + samplers, groupings/pivots g1-g3 + pv1/pv2, expression
-wrappers f16-f18, then the §2 core (scan/projection/filters, the
-j1-j3 joins, the a1-a11 aggregate family, f1/f2 coercions, top-k,
-DAX measures). Round 4's note for the record: d6/d7's edge builder
+Round 5 rotation (current): slots 1-32 are EVERY entry with no clean
+driver row, recomputed from CORRECTNESS_r01-r04 at rotation time —
+the 7 queries added during round 4 (r5/r6 gap-fill, x14 PMI, d12
+edit-distance ER, q5 PSI drift, a16 Gini, a17 cumulative-distinct),
+the r7_asof_against_scd2 composition the round-4 verdict requested,
+and the 24 queries added during the round-5 build itself (temporal
+r8/r9, text x15-x19, events e8-e11, merge u5/u6, sampling p14, stats
+a18/a19/q6/q7, ml3-ml6, scale sc3/sc4) — all oracle-backed. Slots
+33-50 backfill with round-1/round-3 re-checks per the round-4
+verdict: windows w1-w7 + gap/islands + samplers p7-p9,
+groupings/pivots g1-g3 + pv1/pv2, expression wrappers f16/f17. The
+§2 core flagship path re-checks move to round 6 (they hold r1 driver
+rows and the golden-replication pin meanwhile). Round 4's note for
+the record: d6/d7's edge builder
 gained a PPJoin PREFIX FILTER (not a df-cap — the repo's own builder
 proved an absolute cap lossy on this corpus) and the r4 hash gate
 re-proved it lossless against the uncapped oracle.
@@ -80,9 +82,14 @@ _MODULES = [
 # Driver-window priority (see module docstring). Names listed here come
 # first, in this order; everything else follows in module order.
 _PRIORITY = [
-    # --- round-5 window, slots 1-8: the round-4 additions with no driver
-    # row yet (recomputed from CORRECTNESS_r01-r04) plus this round's new
-    # composition queries --------------------------------------------
+    # --- round-5 window, slots 1-32: EVERY entry with no driver row in
+    # CORRECTNESS_r01-r04, recomputed at rotation time. The original
+    # round-5 plan fronted only the 7 round-4 additions + r7, but the
+    # round-5 build added 24 more oracle-backed queries before the
+    # driver ran — deferring them to round 6 would leave 24 implemented
+    # operators without evidence for a whole round, so the window fronts
+    # all 32 and the re-check backfill shrinks to 18 slots (the §2 core
+    # re-checks move to round 6; they keep r1 rows + the golden pin).
     "r5_gapfill_locf",
     "r6_gapfill_interpolate",
     "x14_pmi_collocations",
@@ -91,8 +98,35 @@ _PRIORITY = [
     "a16_gini_concentration",
     "a17_cumulative_distinct",
     "r7_asof_against_scd2",
-    # --- slots 9-26: round-1/round-3 re-checks — window functions,
-    # samplers, groupings/pivots, expression wrappers ------------------
+    "r8_resample_ohlc",
+    "r9_asof_forward",
+    "x15_winnowing",
+    "x16_doc_entropy",
+    "x17_bm25",
+    "x18_cooccurrence",
+    "x19_lang_confusion",
+    "e8_transition_matrix",
+    "e9_rolling_zscore",
+    "e10_attribution",
+    "e11_rolling_active_users",
+    "u5_incremental_rollup",
+    "u6_apply_cdc",
+    "p14_weighted_reservoir",
+    "a18_corr_matrix",
+    "a19_percentiles_cont",
+    "q6_profile_summary",
+    "q7_chi2_independence",
+    "ml3_triangle_count",
+    "ml4_knn_classify",
+    "ml5_linreg_trend",
+    "ml6_ab_proportion_test",
+    "sc3_bloom_prune_join",
+    "sc4_skew_report",
+    # --- slots 33-50: round-1/round-3 re-checks — window functions,
+    # gap/islands, samplers, groupings/pivots, expression wrappers.
+    # f18_null_safe_eq stays behind the window in module order (it
+    # keeps its r3 driver row; the f16/f17 re-checks cover the
+    # expression-wrapper code path) -----------------------------------
     "w1_rank_per_group",
     "w2_running_total",
     "w3_lag_delta",
@@ -111,38 +145,9 @@ _PRIORITY = [
     "pv2_unpivot",
     "f16_string_ops",
     "f17_conditionals",
-    "f18_null_safe_eq",
-    # --- slots 27-50: §2 core re-checks (round-1 rows; golden suite pins
-    # them locally, but the driver hash gate should re-prove the flagship
-    # scan→join→aggregate path at least once post-round-1) --------------
-    "s1_scan",
-    "p1_projection",
-    "p2_filter_eq",
-    "p3_filter_range",
-    "p4_filter_in",
-    "p5_rename",
-    "j1_left_broadcast",
-    "j2_inner_fact",
-    "j3_left_fillzero",
-    "a1_sales_by_date",
-    "a2_sales_by_month",
-    "a3_sales_by_category",
-    "a4_sales_by_state",
-    "a5_sales_by_city",
-    "a6_sales_by_seller",
-    "a7_review_distribution",
-    "a8_global_minmax",
-    "a9_nps",
-    "a10_count_by_value",
-    "a11_distinct",
-    "f1_to_timestamp",
-    "f2_median_impute",
-    "dax_measures",
-    # --- behind the window: t1_topk already carries r1+r3 rows, so
-    # dax_measures (the §2.10 surface) takes the 50th re-check slot
-    # instead and t1 follows in module order; everything already
-    # driver-verified in CORRECTNESS_r01-r04 follows likewise
-    # (f3_string_impute, next in line, keeps its r1 row + golden pin) ---
+    # --- behind the window: everything already driver-verified in
+    # CORRECTNESS_r01-r04 follows in module order (the §2 core
+    # scan/join/aggregate flagship path re-checks in round 6) ---------
 ]
 
 

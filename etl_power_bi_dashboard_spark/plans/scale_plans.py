@@ -10,7 +10,7 @@ semantics-preserving on real data, not just on the unit-test fixtures.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import scale
@@ -171,7 +171,59 @@ FROM per_key
 """
 
 
+def q_sc5_distributed_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic row numbers WITHOUT a single-reducer sort —
+    the scalable rewrite of ``ROW_NUMBER() OVER (ORDER BY ...)`` (which
+    plans as one unpartitioned window task and dies at 100 TB). The
+    pattern every stable-global-sequence assignment needs (sharded file
+    ids, sorted exports, pagination keys).
+
+    Three-step range-partitioned shape, same as Spark's own orderBy
+    machinery but with the per-partition offsets kept IN-PLAN:
+    (1) bucket rows by a fixed-width range of the leading sort key
+    (``n_chars DIV 64`` — at 100 TB the boundaries come from a sampled
+    CDF instead, same plan after that); (2) count per bucket and
+    running-sum the counts into per-bucket offsets — a window over
+    #buckets rows, trivially small; (3) broadcast the offsets back and
+    add ``row_number`` within each bucket, partitioned — the only
+    per-row window runs per-bucket, fully parallel. The oracle IS the
+    naive global-window SQL, so the driver's hash gate proves the
+    rewrite ≡ the single-reducer semantics row-for-row.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = F.expr("n_chars DIV 64").alias("bucket")
+    bucketed = docs.select("doc_id", "n_chars", b)
+    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n"))
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("n_chars", "doc_id")
+    return (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.row_number().over(w_in) + F.col("off"))
+            .cast("bigint")
+            .alias("seq"),
+        )
+    )
+
+
+SQL_SC5 = """
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS seq
+FROM documents
+"""
+
+
 QUERIES: list[Query] = [
+    Query("sc5_distributed_row_number", q_sc5_distributed_row_number, SQL_SC5,
+          "range-partitioned global row numbering (≡ single-reducer window)"),
     Query("sc4_skew_report", q_sc4_skew_report, SQL_SC4,
           "join-key skew diagnostic (hot key + skew factor)"),
     Query("sc1_salted_join", q_sc1_salted_join, SQL_SC1,

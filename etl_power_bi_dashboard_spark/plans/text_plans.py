@@ -1123,8 +1123,243 @@ LIMIT 20
 """
 
 
+def q_x20_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking: split every document into
+    overlapping 32-token chunks on a 24-token stride — the chunking pass
+    a RAG index or a fixed-context training build runs before embedding/
+    packing (overlap preserves cross-boundary semantics; d8 hashes
+    non-overlapping strides for dedup, this emits the actual chunk TEXT).
+
+    Pure per-row array math — ``sequence`` for the stride starts,
+    ``slice`` + ``array_join`` per chunk, one ``explode`` — so the plan
+    is a single map over the scan with no shuffle at all; at 100 TB the
+    fan-out (~n/stride chunks per doc) streams through whole-stage
+    codegen and the output is written partition-parallel. Chunk ids are
+    (doc_id, start) — deterministic, no global sequence needed.
+    """
+    size, stride = 32, 24
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = docs.select(
+        "doc_id", toks.alias("_t"), F.explode(starts).alias("start")
+    )
+    chunk = F.slice(F.col("_t"), F.col("start") + 1, size)
+    return exploded.select(
+        "doc_id",
+        F.col("start").cast("int").alias("start"),
+        F.size(chunk).cast("int").alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+SQL_X20 = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+    SELECT doc_id, toks,
+           unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS start
+    FROM t
+)
+SELECT doc_id,
+       CAST(start AS INT) AS start,
+       CAST(len(list_slice(toks, start + 1, start + 32)) AS INT)
+           AS chunk_tokens,
+       array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+           AS chunk_text
+FROM s
+"""
+
+
+def q_ml7_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and scored
+    entirely in-plan — the lightweight model-assisted-curation loop:
+    train on 80% of the corpus (doc_id % 5 != 0), Laplace-smoothed
+    token likelihoods per class, score the held-out 20% and emit
+    (true, predicted) per test doc. x19 evaluates a fixed heuristic;
+    this one LEARNS from the same corpus it labels.
+
+    Exactness: ln() is not bit-portable (JDK vs libm, 1 ulp), and even
+    ROUND(double, 9) itself is engine-divergent at half boundaries —
+    Spark rounds the shortest decimal STRING repr (BigDecimal.valueOf)
+    while DuckDB rounds the binary value, and the 'en' class prior here
+    actually hit that boundary. So log-likelihoods are quantized to
+    integer NANO-units instead: FLOOR(ln(·)·1e9 + 0.5) — multiply, add,
+    floor are pure IEEE ops that give bit-identical results on both
+    engines. Scores are then Σ tf·like_nanos + prior_nanos in exact
+    BIGINT arithmetic (association-order-free; |score| < 2^63 for any
+    doc under ~10^8 tokens), divided by 1e9 only for display. Argmax
+    tie-breaks (score DESC, lang ASC) via row_number. OOV test tokens
+    are dropped (standard NB practice) by the inner join against the
+    train vocabulary.
+
+    Scale: the likelihood grid is |vocab|×|classes| rows — broadcast —
+    so scoring is one explode → broadcast join → per-doc aggregate;
+    train-side counting is two linear explode→groupBy passes. Nothing
+    quadratic, no driver round-trips; at 100 TB the grid for a 1M-type
+    vocabulary × 100 classes is ~100M rows — then the broadcast becomes
+    a shuffle join on `term`, same plan shape.
+    """
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+
+    tr_toks = train.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    # class priors: ln(n_c / N), one tiny aggregate
+    cls = train.groupBy("lang").agg(F.count("*").alias("n_c"))
+    n_total = train.agg(F.count("*").alias("N"))
+    prior = cls.crossJoin(F.broadcast(n_total)).select(
+        "lang",
+        F.floor(
+            F.ln(F.col("n_c").cast("double") / F.col("N").cast("double"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("prior_nanos"),
+    )
+    # Laplace-smoothed likelihood over the full vocab × class grid
+    tc = tr_toks.groupBy("lang", "term").agg(F.count("*").alias("c_tc"))
+    per_cls = tr_toks.groupBy("lang").agg(F.count("*").alias("tok_c"))
+    vocab = tr_toks.select("term").distinct()
+    v_size = vocab.agg(F.count("*").alias("V"))
+    grid = (
+        vocab.crossJoin(F.broadcast(cls.select("lang")))
+        .join(tc, ["lang", "term"], "left")
+        .join(per_cls, "lang")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            "lang",
+            "term",
+            F.floor(
+                F.ln(
+                    (F.coalesce(F.col("c_tc"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.col("tok_c") + F.col("V")).cast("double")
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("like_nanos"),
+        )
+    )
+    te_tf = (
+        test.select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("doc_id", "true_lang", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        te_tf.join(F.broadcast(grid), "term")
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(
+            F.sum(F.col("tf") * F.col("like_nanos"))
+            .cast("bigint")
+            .alias("_ll")
+        )
+        .join(F.broadcast(prior), "lang")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            (F.col("_ll") + F.col("prior_nanos")).alias("score_nanos"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_nanos"), "lang")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("lang").alias("pred_lang"),
+            # exact BIGINT nanos → one deterministic IEEE divide
+            (F.col("score_nanos").cast("double") / F.lit(1e9)).alias("score"),
+            (F.col("lang") == F.col("true_lang")).alias("correct"),
+        )
+    )
+
+
+SQL_ML7 = """
+WITH train AS (
+    SELECT * FROM documents WHERE doc_id % 5 != 0
+), test AS (
+    SELECT * FROM documents WHERE doc_id % 5 = 0
+), tr_toks AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS term FROM train
+), tr AS (
+    SELECT lang, term FROM tr_toks WHERE length(term) > 0
+), cls AS (
+    SELECT lang, COUNT(*) AS n_c FROM train GROUP BY lang
+), tot AS (
+    SELECT COUNT(*) AS N FROM train
+), prior AS (
+    SELECT lang,
+           CAST(FLOOR(ln(CAST(n_c AS DOUBLE) / CAST(N AS DOUBLE)) * 1e9
+                      + 0.5) AS BIGINT) AS prior_nanos
+    FROM cls, tot
+), tc AS (
+    SELECT lang, term, COUNT(*) AS c_tc FROM tr GROUP BY lang, term
+), per_cls AS (
+    SELECT lang, COUNT(*) AS tok_c FROM tr GROUP BY lang
+), vocab AS (
+    SELECT DISTINCT term FROM tr
+), vs AS (
+    SELECT COUNT(*) AS V FROM vocab
+), grid AS (
+    SELECT c.lang, v.term,
+           CAST(FLOOR(ln(CAST(COALESCE(t.c_tc, 0) + 1 AS DOUBLE)
+                         / CAST(p.tok_c + vs.V AS DOUBLE)) * 1e9
+                      + 0.5) AS BIGINT) AS like_nanos
+    FROM vocab v
+    CROSS JOIN cls c
+    LEFT JOIN tc t ON t.lang = c.lang AND t.term = v.term
+    JOIN per_cls p ON p.lang = c.lang
+    CROSS JOIN vs
+), te_tf AS (
+    SELECT doc_id, true_lang, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, lang AS true_lang,
+               unnest(string_split(text, ' ')) AS term
+        FROM test
+    ) WHERE length(term) > 0 GROUP BY doc_id, true_lang, term
+), scored AS (
+    SELECT s.doc_id, s.true_lang, s.lang,
+           s.ll + p.prior_nanos AS score_nanos
+    FROM (
+        SELECT t.doc_id, t.true_lang, g.lang,
+               CAST(SUM(t.tf * g.like_nanos) AS BIGINT) AS ll
+        FROM te_tf t JOIN grid g ON t.term = g.term
+        GROUP BY t.doc_id, t.true_lang, g.lang
+    ) s JOIN prior p ON p.lang = s.lang
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_nanos DESC, lang
+    ) AS rk
+    FROM scored
+)
+SELECT doc_id, true_lang, lang AS pred_lang,
+       CAST(score_nanos AS DOUBLE) / 1e9 AS score,
+       lang = true_lang AS correct
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES: list[Query] = [
     Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
+    Query("x20_chunk_split", q_x20_chunk_split, SQL_X20,
+          "overlapping sliding-window context chunking (RAG/packing prep)"),
+    Query("ml7_naive_bayes", q_ml7_naive_bayes, SQL_ML7,
+          "in-plan multinomial Naive Bayes language classifier"),
     Query("x17_bm25", q_x17_bm25, SQL_X17,
           "BM25 lexical retrieval (fixed 3-term query)"),
     Query("x18_cooccurrence", q_x18_cooccurrence, SQL_X18,

@@ -150,3 +150,44 @@ def test_x18_pair_join_is_keyed(spark):
         "BroadcastHashJoin" in p
     )
     assert "CartesianProduct" not in p
+
+
+def test_x20_chunking_is_shuffle_free(spark):
+    """Sliding-window chunking is per-row array math + one explode — a
+    pure map over the scan. Any Exchange here would be a scale bug."""
+    p = plan_of(spark, "x20_chunk_split")
+    assert "Exchange" not in p
+    assert "Generate" in p  # the explode fan-out
+
+
+def test_ml7_scoring_joins_broadcast(spark):
+    """NB scoring joins the |vocab|x|classes| likelihood grid and the
+    per-class priors — both tiny — so they must broadcast; the only
+    keyed shuffles are the explode->groupBy counting passes."""
+    p = plan_of(spark, "ml7_naive_bayes")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_sc5_big_window_is_partitioned(spark):
+    """The distributed row-number rewrite may only run its per-row
+    window partitioned by bucket (hashpartitioning); the single-
+    partition window is confined to the #buckets-row offsets side,
+    and the offsets join back must broadcast."""
+    p = plan_of(spark, "sc5_distributed_row_number")
+    assert "hashpartitioning(bucket" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_sc5_seq_is_dense_permutation(spark):
+    """seq must be exactly 1..N with no gaps or duplicates."""
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["sc5_distributed_row_number"].spark(spark, SF_DIR)
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("seq").alias("d"),
+        F.min("seq").alias("mn"),
+        F.max("seq").alias("mx"),
+    ).collect()[0]
+    assert agg.d == agg.n and agg.mn == 1 and agg.mx == agg.n

@@ -121,6 +121,10 @@ TAIL = [
     "p14_weighted_reservoir",
     "x19_lang_confusion",
     "ml6_ab_proportion_test",
+    # late round-5 additions
+    "x20_chunk_split",
+    "ml7_naive_bayes",
+    "sc5_distributed_row_number",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

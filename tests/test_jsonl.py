@@ -124,3 +124,39 @@ def test_orc_roundtrip(spark, tmp_path):
     orig = {r.vec_id: (r.embedding, r.label) for r in emb.collect()}
     got = {r.vec_id: (r.embedding, r.label) for r in back.collect()}
     assert got == orig
+
+
+def test_orc_sink_partition_pruning(spark, tmp_path):
+    """sinks.write_orc with hive partitioning: a lang-filtered read must
+    prune to the one partition directory (same layout contract as the
+    parquet/JSONL sinks)."""
+    from etl_power_bi_dashboard_spark import sinks
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "docs_orc")
+    sinks.write_orc(docs, out, partition_by=["lang"])
+    back = sinks.read_orc(spark, out)
+    assert back.count() == docs.count()
+    one = back.filter(F.col("lang") == "en")
+    files = one.select(F.input_file_name()).distinct().collect()
+    assert files and all("lang=en" in r[0] for r in files)
+
+
+def test_avro_sink_capability_gate(spark, tmp_path):
+    """write_avro_or_json falls back to JSON lines when spark-avro is
+    absent (this container); the output must read back row-complete."""
+    from etl_power_bi_dashboard_spark import sinks
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = str(tmp_path / "docs_rows")
+    fmt = sinks.write_avro_or_json(spark, docs, out)
+    assert fmt in ("avro", "json")
+    back = (
+        spark.read.format(fmt).load(out)
+        if fmt == "avro"
+        else spark.read.json(out)
+    )
+    assert back.count() == docs.count()
+    assert {"doc_id", "lang", "n_chars"} <= set(back.columns)

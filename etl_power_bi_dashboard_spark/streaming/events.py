@@ -317,6 +317,90 @@ def upsert_parquet_sink(
     )
 
 
+def trending_topk_sink(
+    events: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 3,
+):
+    """Streaming trending items: top-``k`` event types per tumbling
+    window, continuously maintained. Ranking is not expressible inside a
+    streaming query (no windows-over-aggregates in append/update mode),
+    so this runs the standard two-layer recipe: a watermarked windowed
+    COUNT in update mode, whose ``foreachBatch`` (1) merges the changed
+    (window, event_type) totals into a parquet STATE table — update mode
+    emits the full new aggregate per changed key, so merge is
+    replace-by-key, idempotent under replay — and (2) republishes the
+    derived top-k per window from the merged state.
+
+    The state table is the source of truth and shares the
+    ``_SUCCESS``-gated stage-then-swap recovery with the upsert sink;
+    the target is a derived view rebuilt from state every batch, so a
+    crash mid-target-write heals on the next batch. State size is
+    bounded by (#open windows × #event types) — the watermark evicts
+    closed windows from the streaming agg, and at scale the state/target
+    would be partitioned by window_start so each batch rewrites only the
+    touched windows.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    state = f"{target_path}_state"
+    stage = f"{state}_stage"
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        current = _read_current_or_recover(spark, state, stage)
+        if current is not None:
+            merged = (
+                current.withColumn("_src", F.lit(0))
+                .unionByName(batch_df.withColumn("_src", F.lit(1)))
+                .withColumn(
+                    "_rk",
+                    F.row_number().over(
+                        Window.partitionBy(
+                            "window_start", "event_type"
+                        ).orderBy(F.desc("_src"))
+                    ),
+                )
+                .filter(F.col("_rk") == 1)
+                .drop("_rk", "_src")
+            )
+        else:
+            merged = batch_df
+        _republish(merged, state, stage)
+        ranked = (
+            spark.read.parquet(state)
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("window_start").orderBy(
+                        F.desc("n_events"), "event_type"
+                    )
+                ),
+            )
+            .filter(F.col("rk") <= k)
+        )
+        ranked.write.mode("overwrite").parquet(target_path)
+
+    return (
+        counts.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _fs_and_path(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)

@@ -151,3 +151,37 @@ def test_winnow_compresses_and_drops_short_docs(spark):
     # winnowing keeps ~1/w of gram hashes (dedup helps further)
     n_grams = len(long_text) - 7
     assert len(fps) < n_grams / 2
+
+
+def test_x20_chunks_reconstruct_documents(spark):
+    """Chunking law: size=32/stride=24 chunks overlap by 8 tokens, so
+    chunk[0] + each later chunk's tokens[8:] must reconstruct the
+    original token sequence exactly — no token lost or duplicated
+    beyond the designed overlap."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    from .conftest import SF_DIR
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(50)
+        .collect()
+    }
+    chunks = (
+        REGISTRY["x20_chunk_split"]
+        .spark(spark, SF_DIR)
+        .filter(F.col("doc_id").isin(list(docs)))
+        .collect()
+    )
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.start)
+        toks = []
+        for i, r in enumerate(rows):
+            ct = r.chunk_text.split(" ")
+            assert len(ct) == r.chunk_tokens <= 32
+            toks.extend(ct if i == 0 else ct[32 - 24:])
+        assert " ".join(toks) == docs[doc_id], doc_id

@@ -395,3 +395,62 @@ def test_streaming_dau_matches_batch(spark, event_dir):
     # append mode emits only watermark-closed windows; every emitted
     # window must match the batch answer exactly, and most must emit
     assert got <= want and len(got) >= len(want) - 2 and len(got) > 0
+
+
+def test_trending_topk_matches_batch_and_replays_clean(
+    spark, event_dir, tmp_path
+):
+    """The trending sink's target must equal the batch twin (windowed
+    counts ranked top-3 per window, (n DESC, type ASC) tie-break), and a
+    full replay must leave it unchanged."""
+    out = str(tmp_path / "trend_out")
+
+    def run(ckpt):
+        q = se.trending_topk_sink(
+            se.read_event_stream(spark, event_dir),
+            out,
+            str(tmp_path / ckpt),
+            k=3,
+        )
+        _drain(q)
+
+    run("ckA")
+    got = {
+        (r.window_start, r.rk): (r.event_type, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    from pyspark.sql import Window
+
+    batch = (
+        load_events(spark, SF_DIR)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("window_start").orderBy(
+                    F.desc("n_events"), "event_type"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    want = {
+        (r.window_start, r.rk): (r.event_type, r.n_events)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+    # every window carries at most k rows, ranked 1..k
+    ranks = {}
+    for (ws, rk) in got:
+        ranks.setdefault(ws, []).append(rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+    run("ckB")  # full replay: replace-by-key merge must be a no-op
+    spark.catalog.refreshByPath(out)
+    again = {
+        (r.window_start, r.rk): (r.event_type, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == got

@@ -349,8 +349,130 @@ GROUP BY 1
 """
 
 
+def q_u7_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level snapshot diff (the data-diff report a warehouse runs
+    before swapping table versions): old = the customer dim, new = the
+    u1 MERGE result minus simulated deletes (c_custkey % 97 == 3).
+    Emits one row per differing key — added / removed / changed — with
+    the exact set of changed columns, so a reviewer sees WHAT drifted,
+    not just how many rows (u2 reports the counts; this is the per-row
+    forensic view).
+
+    Shape: one full-outer join on the business key; per-column null-safe
+    inequality feeds ``concat_ws`` (which skips NULLs on both engines)
+    to build the changed-column list with zero extra passes. At scale
+    both snapshots shuffle once on the key — or zero times if the dim
+    is bucketed by key (operators/scale.bucketed) — and the output is
+    bounded by the churn, not the table.
+    """
+    cust = load(spark, sf_dir, "customer")
+    new = q_u1_scd1_merge(spark, sf_dir).filter(F.col("c_custkey") % 97 != 3)
+    o = cust.select(
+        F.col("c_custkey").alias("o_key"),
+        F.col("c_name").alias("o_name"),
+        F.col("c_nationkey").alias("o_nation"),
+        F.col("c_acctbal").alias("o_acctbal"),
+        F.col("c_mktsegment").alias("o_seg"),
+    )
+    n = new.select(
+        F.col("c_custkey").alias("n_key"),
+        F.col("c_name").alias("n_name"),
+        F.col("c_nationkey").alias("n_nation"),
+        F.col("c_acctbal").alias("n_acctbal"),
+        F.col("c_mktsegment").alias("n_seg"),
+    )
+    j = o.join(n, o["o_key"] == n["n_key"], "full_outer")
+    diffs = [
+        ("c_name", "o_name", "n_name"),
+        ("c_nationkey", "o_nation", "n_nation"),
+        ("c_acctbal", "o_acctbal", "n_acctbal"),
+        ("c_mktsegment", "o_seg", "n_seg"),
+    ]
+    any_diff = None
+    for _, oc, nc in diffs:
+        d = ~F.col(oc).eqNullSafe(F.col(nc))
+        any_diff = d if any_diff is None else (any_diff | d)
+    change_type = (
+        F.when(F.col("o_key").isNull(), F.lit("added"))
+        .when(F.col("n_key").isNull(), F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+    )
+    changed_cols = F.when(
+        change_type == "changed",
+        F.concat_ws(
+            ",",
+            *[
+                F.when(~F.col(oc).eqNullSafe(F.col(nc)), F.lit(name))
+                for name, oc, nc in diffs
+            ],
+        ),
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("o_key"), F.col("n_key")).alias("c_custkey"),
+            change_type.alias("change_type"),
+            changed_cols.alias("changed_cols"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
+SQL_U7 = """
+WITH src AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey, c_acctbal,
+           c_mktsegment
+    FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 3)
+), new AS (
+    SELECT * FROM (
+        SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+               COALESCE(s.c_name, t.c_name) AS c_name,
+               COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+               COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+               COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+        FROM src s
+        FULL OUTER JOIN customer t ON s.c_custkey = t.c_custkey
+    ) WHERE c_custkey % 97 != 3
+), j AS (
+    SELECT o.c_custkey AS o_key, n.c_custkey AS n_key,
+           o.c_name AS o_name, n.c_name AS n_name,
+           o.c_nationkey AS o_nation, n.c_nationkey AS n_nation,
+           o.c_acctbal AS o_acctbal, n.c_acctbal AS n_acctbal,
+           o.c_mktsegment AS o_seg, n.c_mktsegment AS n_seg
+    FROM customer o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT COALESCE(o_key, n_key) AS c_custkey,
+       change_type,
+       CASE WHEN change_type = 'changed' THEN concat_ws(',',
+            CASE WHEN o_name IS DISTINCT FROM n_name THEN 'c_name' END,
+            CASE WHEN o_nation IS DISTINCT FROM n_nation
+                 THEN 'c_nationkey' END,
+            CASE WHEN o_acctbal IS DISTINCT FROM n_acctbal
+                 THEN 'c_acctbal' END,
+            CASE WHEN o_seg IS DISTINCT FROM n_seg THEN 'c_mktsegment' END)
+       END AS changed_cols
+FROM (
+    SELECT *,
+           CASE WHEN o_key IS NULL THEN 'added'
+                WHEN n_key IS NULL THEN 'removed'
+                WHEN o_name IS DISTINCT FROM n_name
+                  OR o_nation IS DISTINCT FROM n_nation
+                  OR o_acctbal IS DISTINCT FROM n_acctbal
+                  OR o_seg IS DISTINCT FROM n_seg THEN 'changed'
+           END AS change_type
+    FROM j
+)
+WHERE change_type IS NOT NULL
+"""
+
+
 QUERIES: list[Query] = [
     Query("u1_scd1_merge", q_u1_scd1_merge, SQL_U1, "SCD-1 MERGE upsert"),
+    Query("u7_snapshot_diff", q_u7_snapshot_diff, SQL_U7,
+          "column-level snapshot diff (added/removed/changed + columns)"),
     Query("u5_incremental_rollup", q_u5_incremental_rollup, SQL_U5,
           "incremental rollup refresh ≡ full recompute"),
     Query("u6_apply_cdc", q_u6_apply_cdc, SQL_U6,

@@ -280,21 +280,37 @@ def q_a16_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregation order can't perturb them); only the final
     three-term expression is IEEE, identical on both engines.
 
-    SCALE CAVEAT: the global rank window serializes the per-customer
-    aggregate through one task — fine for a 1-row report over customer
-    cardinality (the fact table is already reduced by the first
-    groupBy); a billion-key variant would bucket revenues into a
-    fixed-width histogram (a13's shape) and compute Gini over the
-    histogram's trapezoids instead.
+    Ranks are assigned with the sc5 range-partitioned pattern (round
+    5; previously a documented single-reducer caveat): bucket by a
+    fixed-width revenue range, count per bucket, running-sum the counts
+    into per-bucket offsets (a window over #buckets rows only), then
+    row_number WITHIN each bucket + offset — identical i values to the
+    global window, with the only per-row window fully partitioned. The
+    same rewrite applies to a14/a19's rank-picked percentiles; the
+    histogram-trapezoid variant remains the documented fallback when
+    even the per-key aggregate is too wide to rank exactly.
     """
     o = load(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
-    w = Window.orderBy("rev", "o_custkey")
-    ranked = rev.select(
-        "rev",
-        F.row_number().over(w).cast("long").alias("i"),
+    bucketed = rev.withColumn(
+        "_b", F.floor(F.col("rev") / F.lit(10000)).cast("long")
+    )
+    counts = bucketed.groupBy("_b").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_b").orderBy("rev", "o_custkey")
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .select(
+            "rev",
+            (F.row_number().over(w_in) + F.col("_off"))
+            .cast("long")
+            .alias("i"),
+        )
     )
     agg = ranked.agg(
         F.count("*").cast("long").alias("n"),

@@ -46,6 +46,48 @@ GROUP BY 1
 """
 
 
+def _ranked_by_value_per_type(ev: DataFrame) -> DataFrame:
+    """(event_type, value, rn, n) with rn the exact per-type rank under
+    (value, event_id) total order — assigned via the sc5 range-
+    partitioned pattern so no per-row window is ever single-task:
+    unit-width value buckets, per-(type, bucket) counts running-summed
+    into broadcast offsets, row_number within (type, bucket) + offset.
+    Shared by a14 (discrete) and a19 (interpolated) percentiles."""
+    bucketed = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.floor(F.col("value")).cast("long").alias("_b"),
+    )
+    counts = bucketed.groupBy("event_type", "_b").agg(
+        F.count("*").alias("_n")
+    )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "event_type",
+        "_b",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("_n").cast("bigint").alias("n")
+    )
+    w_in = Window.partitionBy("event_type", "_b").orderBy("value", "event_id")
+    return (
+        bucketed.join(F.broadcast(offsets), ["event_type", "_b"])
+        .join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "value",
+            (F.row_number().over(w_in) + F.col("_off")).alias("rn"),
+            "n",
+        )
+    )
+
+
 def q_a14_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete percentiles (p50/p90/p99) of event value per type.
 
@@ -54,21 +96,17 @@ def q_a14_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     way interpolating percentile implementations do. One window sort per
     event_type partition, parallel across types.
 
-    SCALE CAVEAT: each event_type's rank window serializes that type's
-    rows into ONE task — parallel across types but single-reducer within
-    a type. Fine at 3 event types with bounded per-type volume; a 100 TB
-    pipeline with billions of rows per group must use ax2's
-    ``approx_percentile`` sketch (distributed, mergeable) instead —
-    this query is the exact parity twin, not the scale path.
+    Ranks are assigned with the sc5 range-partitioned pattern (round 5;
+    previously each event_type's rank window serialized that type's rows
+    into one task): unit-width value buckets within each type, per-
+    (type, bucket) counts running-summed into broadcast offsets, then
+    row_number within (type, bucket) + offset — identical rn to the
+    per-type global window, with every per-row window partitioned. For
+    billions of rows per group ax2's ``approx_percentile`` sketch
+    (distributed, mergeable) remains the documented scale path when
+    exactness can be traded away.
     """
-    ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
-    )
+    ranked = _ranked_by_value_per_type(load_events(spark, sf_dir))
 
     def pick(q: float, alias: str):
         target = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
@@ -895,17 +933,10 @@ def q_a19_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rank under the same deterministic total order and run one
     identical IEEE lerp — engine-portable where built-in
     percentile_cont implementations differ in rounding. Shares a14's
-    single-reducer-per-type caveat (and ax2's sketch is the 100 TB
-    substitute).
+    sc5-style distributed ranking (see _ranked_by_value_per_type); ax2's
+    sketch remains the approximate alternative when exactness can go.
     """
-    ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
-    )
+    ranked = _ranked_by_value_per_type(load_events(spark, sf_dir))
 
     grouped = ranked.groupBy("event_type").agg(
         F.max("n").alias("n"),

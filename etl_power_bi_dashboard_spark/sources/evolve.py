@@ -1,0 +1,55 @@
+"""Schema-evolution ingestion: read a lake whose parquet snapshots were
+written under DIFFERENT schema versions (columns added or retired over
+time) as one coherent DataFrame.
+
+The operational reality behind it: a 100 TB lake is written over months;
+producers add columns (``lang`` tagging arrives in March, ``quality``
+in June) and old files are never rewritten. A plain ``spark.read
+.parquet(root)`` takes the schema of a random footer and silently drops
+the columns it didn't pick; the correct read is footer-merging plus an
+explicit target schema the pipeline conforms to.
+
+Generalizes the reference's F13 schema backfill (`src/etl_functions.py`
+product-translation fallback: a missing input column materializes as a
+typed placeholder instead of crashing the pipeline) from one hardcoded
+column to any declared schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_with_schema_evolution(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read one or more parquet roots with footer-schema merging: the
+    result schema is the union of every file's columns, older files
+    surfacing NULL for columns they predate.
+
+    ``mergeSchema`` costs one footer read per file at planning time (not
+    a data scan); at very large file counts, prefer a table format that
+    tracks schema in metadata — this is the raw-parquet equivalent.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def conform_to_schema(df: DataFrame, schema: StructType | str) -> DataFrame:
+    """Project ``df`` onto the declared target schema: missing columns
+    materialize as typed NULLs (the F13 backfill, generalized), present
+    columns are cast to the declared type, and columns outside the
+    declaration are dropped. Pure projection — no shuffle, no data pass
+    beyond the scan it composes with.
+    """
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    cols = []
+    have = {f.name for f in df.schema.fields}
+    for field in schema.fields:
+        if field.name in have:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

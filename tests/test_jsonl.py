@@ -160,3 +160,38 @@ def test_avro_sink_capability_gate(spark, tmp_path):
     )
     assert back.count() == docs.count()
     assert {"doc_id", "lang", "n_chars"} <= set(back.columns)
+
+
+def test_schema_evolution_read_and_conform(spark, tmp_path):
+    """Mixed-schema lake: a v1 snapshot (doc_id, text) and a v2 snapshot
+    (doc_id, text, lang). The evolution read must union the columns with
+    NULL backfill for old files; conform_to_schema must project onto the
+    declared pipeline schema (typed NULL for never-seen columns, casts
+    for present ones, extras dropped)."""
+    from etl_power_bi_dashboard_spark.sources import evolve
+
+    v1 = spark.createDataFrame(
+        [(1, "old row")], "doc_id long, text string"
+    )
+    v2 = spark.createDataFrame(
+        [(2, "new row", "en")], "doc_id long, text string, lang string"
+    )
+    root = tmp_path / "lake"
+    v1.write.parquet(str(root / "batch=1"))
+    v2.write.parquet(str(root / "batch=2"))
+
+    merged = evolve.read_with_schema_evolution(
+        spark, str(root / "batch=1"), str(root / "batch=2")
+    )
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r.doc_id: (r.text, r.lang) for r in merged.collect()}
+    assert rows == {1: ("old row", None), 2: ("new row", "en")}
+
+    conformed = evolve.conform_to_schema(
+        merged, "doc_id int, lang string, quality double"
+    )
+    assert [f.simpleString() for f in conformed.schema.fields] == [
+        "doc_id:int", "lang:string", "quality:double"
+    ]
+    got = {r.doc_id: (r.lang, r.quality) for r in conformed.collect()}
+    assert got == {1: (None, None), 2: ("en", None)}

@@ -334,3 +334,48 @@ def test_prefix_filter_theorem(spark, docs, thresh):
                 assert prefixes[a] & prefixes[b], (
                     docs[a], docs[b], prefixes[a], prefixes[b], thresh,
                 )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_bucketed_rank_equals_global_rank(spark, rows):
+    """The sc5 range-partitioned ranking (shared by a14/a16/a19) must
+    assign exactly the ranks of the single-reducer global window, on
+    arbitrary value distributions including duplicates and negatives."""
+    from pyspark.sql import Window
+
+    from etl_power_bi_dashboard_spark.plans.stats_plans import (
+        _ranked_by_value_per_type,
+    )
+
+    ev = spark.createDataFrame(
+        [(t, float(v), i) for i, (t, v) in enumerate(rows)],
+        "event_type string, value double, event_id long",
+    )
+    got = {
+        (r.event_type, r.value, r.rn, r.n)
+        for r in _ranked_by_value_per_type(ev).collect()
+    }
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    want = {
+        (r.event_type, r.value, r.rn, r.n)
+        for r in ev.select(
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count("*")
+            .over(Window.partitionBy("event_type"))
+            .cast("long")
+            .alias("n"),
+        ).collect()
+    }
+    assert got == want

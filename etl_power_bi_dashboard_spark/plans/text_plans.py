@@ -1123,6 +1123,125 @@ LIMIT 20
 """
 
 
+def q_x21_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram LM score with stupid backoff — the stronger
+    perplexity-filter proxy next to x12's unigram mass: natural prose
+    scores high under corpus bigram statistics, shuffled/template text
+    falls to the backoff path. score = mean over a doc's bigram slots of
+    ln P̂, with P̂(y|x) = c_xy/c_x when the bigram was seen, else
+    0.4·c_y/U (Brants et al.'s stupid backoff — no normalization, which
+    is what makes it a pure join-and-arithmetic plan).
+
+    Exactness: per-slot ln values are quantized to BIGINT nano-units
+    (FLOOR(ln·1e9 + 0.5), the ml7 convention — bit-portable IEEE ops,
+    association-order-free integer sums); the final mean is one IEEE
+    divide. Plan: the x14 bigram shapes (hoisted token array, linear
+    explode→groupBy counts) + per-slot joins against the bigram/unigram
+    count tables — vocabulary-sized, so both broadcast; at an open-vocab
+    100 TB corpus the bigram join flips to a keyed shuffle, same shape.
+    """
+    docs = load(spark, sf_dir, "documents")
+    with_tk = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, size(tk) - 2),"
+                " i -> struct(tk[i] AS x, tk[i+1] AS y))"
+            ).alias("bg"),
+        )
+    )
+    slots = with_tk.select(
+        "doc_id", F.explode("bg").alias("b")
+    ).select("doc_id", "b.x", "b.y")
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") > 0)
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    u_tot = uni.agg(F.sum("c").cast("bigint").alias("U"))
+    bg_counts = slots.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    cx = uni.select(F.col("t").alias("x"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("t").alias("y"), F.col("c").alias("c_y"))
+    p_hat = F.when(
+        F.col("c_xy").isNotNull(),
+        F.col("c_xy").cast("double") / F.col("c_x").cast("double"),
+    ).otherwise(
+        F.lit(0.4) * F.col("c_y").cast("double") / F.col("U").cast("double")
+    )
+    scored = (
+        slots.join(F.broadcast(bg_counts), ["x", "y"], "left")
+        .join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(u_tot))
+        .select(
+            "doc_id",
+            F.floor(F.ln(p_hat) * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+            .alias("ln_nanos"),
+            F.when(F.col("c_xy").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("hit"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_slots"),
+        F.sum("ln_nanos").cast("bigint").alias("_s"),
+        F.sum("hit").cast("bigint").alias("n_hits"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_slots",
+        "n_hits",
+        (
+            F.col("_s").cast("double")
+            / F.lit(1e9)
+            / F.col("n_slots").cast("double")
+        ).alias("avg_bigram_logp"),
+    )
+
+
+SQL_X21 = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), slots AS (
+    SELECT doc_id,
+           tk[i + 1] AS x, tk[i + 2] AS y
+    FROM t, LATERAL unnest(range(0, len(tk) - 1)) AS u(i)
+    WHERE len(tk) >= 2
+), uni AS (
+    SELECT term, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ) WHERE length(term) > 0 GROUP BY term
+), utot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS U FROM uni
+), bgc AS (
+    SELECT x, y, COUNT(*) AS c_xy FROM slots GROUP BY x, y
+), per_slot AS (
+    SELECT s.doc_id,
+           CAST(FLOOR(ln(
+               CASE WHEN b.c_xy IS NOT NULL
+                    THEN CAST(b.c_xy AS DOUBLE) / CAST(cx.c AS DOUBLE)
+                    ELSE 0.4 * CAST(cy.c AS DOUBLE) / CAST(u.U AS DOUBLE)
+               END) * 1e9 + 0.5) AS BIGINT) AS ln_nanos,
+           CASE WHEN b.c_xy IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM slots s
+    LEFT JOIN bgc b ON b.x = s.x AND b.y = s.y
+    JOIN uni cx ON cx.term = s.x
+    JOIN uni cy ON cy.term = s.y
+    CROSS JOIN utot u
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_slots,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       CAST(SUM(ln_nanos) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE)
+           AS avg_bigram_logp
+FROM per_slot GROUP BY doc_id
+"""
+
+
 def q_x20_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window context chunking: split every document into
     overlapping 32-token chunks on a 24-token stride — the chunking pass
@@ -1358,6 +1477,8 @@ QUERIES: list[Query] = [
     Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
     Query("x20_chunk_split", q_x20_chunk_split, SQL_X20,
           "overlapping sliding-window context chunking (RAG/packing prep)"),
+    Query("x21_bigram_score", q_x21_bigram_score, SQL_X21,
+          "bigram LM quality score with stupid backoff"),
     Query("ml7_naive_bayes", q_ml7_naive_bayes, SQL_ML7,
           "in-plan multinomial Naive Bayes language classifier"),
     Query("x17_bm25", q_x17_bm25, SQL_X17,

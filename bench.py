@@ -125,6 +125,8 @@ TAIL = [
     "x20_chunk_split",
     "ml7_naive_bayes",
     "sc5_distributed_row_number",
+    "u7_snapshot_diff",
+    "x21_bigram_score",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

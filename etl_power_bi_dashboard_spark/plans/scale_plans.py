@@ -10,7 +10,7 @@ semantics-preserving on real data, not just on the unit-test fixtures.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import scale
@@ -191,27 +191,12 @@ def q_sc5_distributed_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite ≡ the single-reducer semantics row-for-row.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    b = F.expr("n_chars DIV 64").alias("bucket")
-    bucketed = docs.select("doc_id", "n_chars", b)
-    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n"))
-    w_off = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "bucket", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
-    )
-    w_in = Window.partitionBy("bucket").orderBy("n_chars", "doc_id")
-    return (
-        bucketed.join(F.broadcast(offsets), "bucket")
-        .select(
-            "doc_id",
-            "n_chars",
-            (F.row_number().over(w_in) + F.col("off"))
-            .cast("bigint")
-            .alias("seq"),
-        )
-    )
+    return scale.distributed_row_number(
+        docs,
+        bucket=F.expr("n_chars DIV 64"),
+        order_cols=["n_chars", "doc_id"],
+        rn_alias="seq",
+    ).select("doc_id", "n_chars", "seq")
 
 
 SQL_SC5 = """

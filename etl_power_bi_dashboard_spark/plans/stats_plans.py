@@ -53,39 +53,16 @@ def _ranked_by_value_per_type(ev: DataFrame) -> DataFrame:
     unit-width value buckets, per-(type, bucket) counts running-summed
     into broadcast offsets, row_number within (type, bucket) + offset.
     Shared by a14 (discrete) and a19 (interpolated) percentiles."""
-    bucketed = ev.select(
-        "event_type",
-        "value",
-        "event_id",
-        F.floor(F.col("value")).cast("long").alias("_b"),
-    )
-    counts = bucketed.groupBy("event_type", "_b").agg(
-        F.count("*").alias("_n")
-    )
-    w_off = (
-        Window.partitionBy("event_type")
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "event_type",
-        "_b",
-        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
-    )
-    totals = counts.groupBy("event_type").agg(
-        F.sum("_n").cast("bigint").alias("n")
-    )
-    w_in = Window.partitionBy("event_type", "_b").orderBy("value", "event_id")
-    return (
-        bucketed.join(F.broadcast(offsets), ["event_type", "_b"])
-        .join(F.broadcast(totals), "event_type")
-        .select(
-            "event_type",
-            "value",
-            (F.row_number().over(w_in) + F.col("_off")).alias("rn"),
-            "n",
-        )
-    )
+    from ..operators.scale import distributed_row_number
+
+    return distributed_row_number(
+        ev.select("event_type", "value", "event_id"),
+        bucket=F.floor(F.col("value")).cast("long"),
+        order_cols=["value", "event_id"],
+        partition_cols=["event_type"],
+        rn_alias="rn",
+        count_alias="n",
+    ).select("event_type", "value", "rn", "n")
 
 
 def q_a14_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,28 +305,18 @@ def q_a16_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram-trapezoid variant remains the documented fallback when
     even the per-key aggregate is too wide to rank exactly.
     """
+    from ..operators.scale import distributed_row_number
+
     o = load(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
-    bucketed = rev.withColumn(
-        "_b", F.floor(F.col("rev") / F.lit(10000)).cast("long")
-    )
-    counts = bucketed.groupBy("_b").agg(F.count("*").alias("_n"))
-    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
-    )
-    w_in = Window.partitionBy("_b").orderBy("rev", "o_custkey")
-    ranked = (
-        bucketed.join(F.broadcast(offsets), "_b")
-        .select(
-            "rev",
-            (F.row_number().over(w_in) + F.col("_off"))
-            .cast("long")
-            .alias("i"),
-        )
-    )
+    ranked = distributed_row_number(
+        rev,
+        bucket=F.floor(F.col("rev") / F.lit(10000)).cast("long"),
+        order_cols=["rev", "o_custkey"],
+        rn_alias="i",
+    ).select("rev", "i")
     agg = ranked.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("rev").cast("decimal(28,2)").alias("s"),

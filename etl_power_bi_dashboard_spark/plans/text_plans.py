@@ -1124,13 +1124,19 @@ LIMIT 20
 
 
 def q_x21_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document bigram LM score with stupid backoff — the stronger
-    perplexity-filter proxy next to x12's unigram mass: natural prose
-    scores high under corpus bigram statistics, shuffled/template text
-    falls to the backoff path. score = mean over a doc's bigram slots of
-    ln P̂, with P̂(y|x) = c_xy/c_x when the bigram was seen, else
+    """Held-out bigram LM score with stupid backoff — the stronger
+    perplexity-filter proxy next to x12's unigram mass: the LM trains on
+    80% of the corpus (doc_id % 5 != 0, the ml7 split) and scores the
+    held-out 20%, so unseen bigrams genuinely occur and fall to the
+    backoff path. (Training on the scored corpus itself would make the
+    backoff arm unreachable — every scored bigram would have trained
+    count ≥ 1.) score = mean over a doc's bigram slots of ln P̂, with
+    P̂(y|x) = c_xy/c_x when the bigram was seen in training, else
     0.4·c_y/U (Brants et al.'s stupid backoff — no normalization, which
-    is what makes it a pure join-and-arithmetic plan).
+    is what makes it a pure join-and-arithmetic plan). Slots whose x or
+    y is OOV from the train vocabulary are dropped (the inner unigram
+    joins; same convention as ml7's token handling), and n_hits/n_slots
+    reports each doc's seen-bigram fraction.
 
     Exactness: per-slot ln values are quantized to BIGINT nano-units
     (FLOOR(ln·1e9 + 0.5), the ml7 convention — bit-portable IEEE ops,
@@ -1141,28 +1147,35 @@ def q_x21_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB corpus the bigram join flips to a keyed shuffle, same shape.
     """
     docs = load(spark, sf_dir, "documents")
-    with_tk = (
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
-        .filter(F.size("tk") >= 2)
-        .select(
-            "doc_id",
-            F.expr(
-                "transform(sequence(0, size(tk) - 2),"
-                " i -> struct(tk[i] AS x, tk[i+1] AS y))"
-            ).alias("bg"),
+
+    def bigram_slots(src: DataFrame) -> DataFrame:
+        with_tk = (
+            src.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+            .filter(F.size("tk") >= 2)
+            .select(
+                "doc_id",
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2),"
+                    " i -> struct(tk[i] AS x, tk[i+1] AS y))"
+                ).alias("bg"),
+            )
         )
-    )
-    slots = with_tk.select(
-        "doc_id", F.explode("bg").alias("b")
-    ).select("doc_id", "b.x", "b.y")
+        return with_tk.select(
+            "doc_id", F.explode("bg").alias("b")
+        ).select("doc_id", "b.x", "b.y")
+
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    slots = bigram_slots(docs.filter(F.col("doc_id") % 5 == 0))
     uni = (
-        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        train.select(F.explode(F.split("text", " ")).alias("t"))
         .filter(F.length("t") > 0)
         .groupBy("t")
         .agg(F.count("*").alias("c"))
     )
     u_tot = uni.agg(F.sum("c").cast("bigint").alias("U"))
-    bg_counts = slots.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    bg_counts = bigram_slots(train).groupBy("x", "y").agg(
+        F.count("*").alias("c_xy")
+    )
     cx = uni.select(F.col("t").alias("x"), F.col("c").alias("c_x"))
     cy = uni.select(F.col("t").alias("y"), F.col("c").alias("c_y"))
     p_hat = F.when(
@@ -1204,21 +1217,31 @@ def q_x21_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_X21 = """
-WITH t AS (
-    SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+WITH tr AS (
+    SELECT * FROM documents WHERE doc_id % 5 != 0
+), te AS (
+    SELECT * FROM documents WHERE doc_id % 5 = 0
+), t_te AS (
+    SELECT doc_id, string_split(text, ' ') AS tk FROM te
 ), slots AS (
     SELECT doc_id,
            tk[i + 1] AS x, tk[i + 2] AS y
-    FROM t, LATERAL unnest(range(0, len(tk) - 1)) AS u(i)
+    FROM t_te, LATERAL unnest(range(0, len(tk) - 1)) AS u(i)
+    WHERE len(tk) >= 2
+), t_tr AS (
+    SELECT doc_id, string_split(text, ' ') AS tk FROM tr
+), tr_slots AS (
+    SELECT tk[i + 1] AS x, tk[i + 2] AS y
+    FROM t_tr, LATERAL unnest(range(0, len(tk) - 1)) AS u(i)
     WHERE len(tk) >= 2
 ), uni AS (
     SELECT term, COUNT(*) AS c FROM (
-        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        SELECT unnest(string_split(text, ' ')) AS term FROM tr
     ) WHERE length(term) > 0 GROUP BY term
 ), utot AS (
     SELECT CAST(SUM(c) AS BIGINT) AS U FROM uni
 ), bgc AS (
-    SELECT x, y, COUNT(*) AS c_xy FROM slots GROUP BY x, y
+    SELECT x, y, COUNT(*) AS c_xy FROM tr_slots GROUP BY x, y
 ), per_slot AS (
     SELECT s.doc_id,
            CAST(FLOOR(ln(
@@ -1255,12 +1278,22 @@ def q_x20_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out (~n/stride chunks per doc) streams through whole-stage
     codegen and the output is written partition-parallel. Chunk ids are
     (doc_id, start) — deterministic, no global sequence needed.
+
+    A non-initial chunk at start s contributes new tokens only when the
+    doc extends past s + overlap (overlap = size − stride = 8), so the
+    start bound is n − overlap − 1: without it, docs with
+    (n−1) mod stride ≤ overlap−1 emit a trailing chunk that is entirely
+    contained in its predecessor — a pure-duplicate row a RAG index
+    would embed and store twice.
     """
     size, stride = 32, 24
+    overlap = size - stride
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+        F.lit(0),
+        F.greatest(F.size(toks) - (overlap + 1), F.lit(0)),
+        F.lit(stride),
     )
     exploded = docs.select(
         "doc_id", toks.alias("_t"), F.explode(starts).alias("start")
@@ -1279,7 +1312,7 @@ WITH t AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), s AS (
     SELECT doc_id, toks,
-           unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS start
+           unnest(range(0, greatest(len(toks) - 9, 0) + 1, 24)) AS start
     FROM t
 )
 SELECT doc_id,
@@ -1312,7 +1345,8 @@ def q_ml7_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc under ~10^8 tokens), divided by 1e9 only for display. Argmax
     tie-breaks (score DESC, lang ASC) via row_number. OOV test tokens
     are dropped (standard NB practice) by the inner join against the
-    train vocabulary.
+    train vocabulary; a doc whose EVERY token is OOV still gets a row —
+    its likelihood sum coalesces to 0 and the class prior decides.
 
     Scale: the likelihood grid is |vocab|×|classes| rows — broadcast —
     so scoring is one explode → broadcast join → per-doc aggregate;
@@ -1378,20 +1412,29 @@ def q_ml7_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "true_lang", "term")
         .agg(F.count("*").alias("tf"))
     )
-    scored = (
+    ll = (
         te_tf.join(F.broadcast(grid), "term")
-        .groupBy("doc_id", "true_lang", "lang")
+        .groupBy("doc_id", "lang")
         .agg(
             F.sum(F.col("tf") * F.col("like_nanos"))
             .cast("bigint")
             .alias("_ll")
         )
-        .join(F.broadcast(prior), "lang")
+    )
+    # every (test doc × class) gets a row even when ALL the doc's tokens
+    # are OOV — the likelihood sum coalesces to 0 and the prior decides,
+    # which is the actual NB semantics (an inner join here would silently
+    # drop all-OOV docs from the evaluation and overstate accuracy)
+    scored = (
+        test.select("doc_id", F.col("lang").alias("true_lang"))
+        .crossJoin(F.broadcast(prior))
+        .join(ll, ["doc_id", "lang"], "left")
         .select(
             "doc_id",
             "true_lang",
             "lang",
-            (F.col("_ll") + F.col("prior_nanos")).alias("score_nanos"),
+            (F.coalesce(F.col("_ll"), F.lit(0)) + F.col("prior_nanos"))
+            .alias("score_nanos"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_nanos"), "lang")
@@ -1451,15 +1494,17 @@ WITH train AS (
                unnest(string_split(text, ' ')) AS term
         FROM test
     ) WHERE length(term) > 0 GROUP BY doc_id, true_lang, term
+), ll AS (
+    SELECT t.doc_id, g.lang,
+           CAST(SUM(t.tf * g.like_nanos) AS BIGINT) AS ll
+    FROM te_tf t JOIN grid g ON t.term = g.term
+    GROUP BY t.doc_id, g.lang
 ), scored AS (
-    SELECT s.doc_id, s.true_lang, s.lang,
-           s.ll + p.prior_nanos AS score_nanos
-    FROM (
-        SELECT t.doc_id, t.true_lang, g.lang,
-               CAST(SUM(t.tf * g.like_nanos) AS BIGINT) AS ll
-        FROM te_tf t JOIN grid g ON t.term = g.term
-        GROUP BY t.doc_id, t.true_lang, g.lang
-    ) s JOIN prior p ON p.lang = s.lang
+    SELECT d.doc_id, d.lang AS true_lang, p.lang,
+           COALESCE(l.ll, 0) + p.prior_nanos AS score_nanos
+    FROM test d
+    CROSS JOIN prior p
+    LEFT JOIN ll l ON l.doc_id = d.doc_id AND l.lang = p.lang
 ), ranked AS (
     SELECT *, ROW_NUMBER() OVER (
         PARTITION BY doc_id ORDER BY score_nanos DESC, lang

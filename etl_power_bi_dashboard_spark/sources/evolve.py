@@ -42,9 +42,7 @@ def conform_to_schema(df: DataFrame, schema: StructType | str) -> DataFrame:
     beyond the scan it composes with.
     """
     if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
-
-        schema = _parse_datatype_string(schema)
+        schema = StructType.fromDDL(schema)
     cols = []
     have = {f.name for f in df.schema.fields}
     for field in schema.fields:

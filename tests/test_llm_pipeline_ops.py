@@ -177,11 +177,70 @@ def test_x20_chunks_reconstruct_documents(spark):
     by_doc = {}
     for r in chunks:
         by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)  # every doc chunks, even short ones
     for doc_id, rows in by_doc.items():
         rows.sort(key=lambda r: r.start)
         toks = []
         for i, r in enumerate(rows):
             ct = r.chunk_text.split(" ")
             assert len(ct) == r.chunk_tokens <= 32
+            # no redundant chunks: every non-first chunk must carry
+            # tokens beyond the 8-token overlap with its predecessor
+            assert i == 0 or len(ct) > 8, (doc_id, r.start)
             toks.extend(ct if i == 0 else ct[32 - 24:])
         assert " ".join(toks) == docs[doc_id], doc_id
+
+
+def test_x21_backoff_arm_fires_and_scores_correctly(spark, tmp_path):
+    """Crafted corpus: train docs (id % 5 != 0) contain 'a b' bigrams
+    only; the held-out doc reads 'b a', whose bigram is unseen, so both
+    slots... (doc is 'b a' -> one slot) must take the stupid-backoff
+    path 0.4*c_y/U, with the exact nano-quantized ln value."""
+    import math
+
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (0, "b a", "en", "src0", 3),   # held out: bigram (b,a) unseen
+            (1, "a b", "en", "src0", 3),
+            (2, "a b", "en", "src0", 3),
+            (3, "a b", "en", "src0", 3),
+            (4, "a b", "en", "src0", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = REGISTRY["x21_bigram_score"].spark(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_id, r.n_slots, r.n_hits) == (0, 1, 0)
+    # train: c_a = c_b = 4, U = 8; backoff P = 0.4 * c_a / U = 0.2
+    want = math.floor(math.log(0.4 * 4 / 8) * 1e9 + 0.5) / 1e9 / 1
+    assert r.avg_bigram_logp == want
+
+
+def test_ml7_all_oov_doc_predicts_by_prior(spark, tmp_path):
+    """A held-out doc whose every token is OOV must still be classified
+    (likelihood 0 + prior), predicting the majority-prior class — not
+    silently vanish from the evaluation."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (0, "zz qq", "fr", "src0", 5),   # held out, fully OOV
+            (1, "a b a", "en", "src0", 5),
+            (2, "a b", "en", "src0", 3),
+            (3, "a b", "en", "src0", 3),
+            (4, "c d", "de", "src0", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = REGISTRY["ml7_naive_bayes"].spark(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # priors: en 3/4, de 1/4 -> all-OOV doc takes the en prior
+    assert (r.doc_id, r.true_lang, r.pred_lang, r.correct) == (
+        0, "fr", "en", False
+    )

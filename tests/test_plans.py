@@ -175,7 +175,7 @@ def test_sc5_big_window_is_partitioned(spark):
     partition window is confined to the #buckets-row offsets side,
     and the offsets join back must broadcast."""
     p = plan_of(spark, "sc5_distributed_row_number")
-    assert "hashpartitioning(bucket" in p
+    assert "hashpartitioning(_drn_b" in p
     assert "BroadcastHashJoin" in p
 
 

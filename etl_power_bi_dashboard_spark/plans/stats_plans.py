@@ -965,8 +965,85 @@ FROM grouped
 """
 
 
+def q_q8_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume monitoring: each day's event row count scored
+    against its trailing 7-day baseline — the freshness/volume gate a
+    production pipeline runs on every load (``sinks.write_observed``
+    captures the per-write counts; this is the cross-day analysis over
+    them). e9's rolling-z shape lifted from per-user values to
+    table-level metadata.
+
+    Counts are exact BIGINTs, so the trailing power sums (Σn, Σn²) are
+    exact integers and mean/variance/z are identical IEEE expressions on
+    both engines — no rounding convention needed. The frame excludes the
+    current day (a genuine forecast residual), requires ≥3 prior days,
+    and NULLs z on a zero-variance baseline rather than dividing by 0.
+    One shuffle to daily grain (map-side combined), then a ≤7-row frame
+    over the tiny day-level table — the scan dominates, as it should.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.col("ts").cast("date").cast("timestamp").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n_rows"))
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    stats = daily.select(
+        "day",
+        "n_rows",
+        F.count("*").over(w).cast("bigint").alias("k"),
+        F.sum("n_rows").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("n_rows") * F.col("n_rows")).over(w)
+        .cast("bigint")
+        .alias("s2"),
+    )
+    k = F.col("k").cast("double")
+    mean = F.col("s1").cast("double") / k
+    var_num = k * F.col("s2").cast("double") - (
+        F.col("s1").cast("double") * F.col("s1").cast("double")
+    )
+    var = var_num / (k * (k - F.lit(1.0)))
+    z = (F.col("n_rows").cast("double") - mean) / F.sqrt(var)
+    return (
+        stats.filter(F.col("k") >= 3)
+        .select(
+            "day",
+            "n_rows",
+            mean.alias("baseline_mean"),
+            F.when(var_num > 0, z).alias("z"),
+        )
+    )
+
+
+SQL_Q8 = """
+WITH daily AS (
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1
+), stats AS (
+    SELECT day, n_rows,
+           CAST(COUNT(*) OVER w AS BIGINT) AS k,
+           CAST(SUM(n_rows) OVER w AS BIGINT) AS s1,
+           CAST(SUM(n_rows * n_rows) OVER w AS BIGINT) AS s2
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, n_rows,
+       CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS baseline_mean,
+       CASE WHEN CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0
+            THEN (CAST(n_rows AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+                 / sqrt((CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)))
+       END AS z
+FROM stats WHERE k >= 3
+"""
+
+
 QUERIES: list[Query] = [
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
+    Query("q8_volume_anomaly", q_q8_volume_anomaly, SQL_Q8,
+          "daily ingest-volume anomaly check (trailing-7-day z)"),
     Query("q7_chi2_independence", q_q7_chi2_independence, SQL_Q7,
           "chi-square source-language independence test"),
     Query("a19_percentiles_cont", q_a19_percentiles_cont, SQL_A19,

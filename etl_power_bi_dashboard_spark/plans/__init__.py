@@ -34,6 +34,11 @@ gained a PPJoin PREFIX FILTER (not a df-cap — the repo's own builder
 proved an absolute cap lossy on this corpus) and the r4 hash gate
 re-proved it lossless against the uncapped oracle.
 
+Queries added after the rotation (x20_chunk_split, ml7_naive_bayes,
+sc5_distributed_row_number, u7_snapshot_diff, x21_bigram_score,
+q8_volume_anomaly) sit BEHIND the window in module order and front the
+round-6 window per the standing no-row-first rule.
+
 Every query keeps its local sf0.001 DuckDB parity test regardless of
 position (tests/test_oracle_parity.py covers the whole registry).
 """

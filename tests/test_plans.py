@@ -191,3 +191,12 @@ def test_sc5_seq_is_dense_permutation(spark):
         F.max("seq").alias("mx"),
     ).collect()[0]
     assert agg.d == agg.n and agg.mn == 1 and agg.mx == agg.n
+
+
+def test_x21_count_tables_broadcast(spark):
+    """x21's bigram/unigram count tables are vocabulary-sized and must
+    broadcast into the per-slot scoring joins; the only wide shuffles
+    are the explode->groupBy counting passes."""
+    p = plan_of(spark, "x21_bigram_score")
+    assert p.count("BroadcastHashJoin") >= 3  # bgc (left), cx, cy
+    assert "CartesianProduct" not in p

@@ -591,8 +591,87 @@ FROM m WHERE wau > 0
 """
 
 
+def q_e12_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel TIMING: e5 counts who converts, this measures how long
+    conversion takes — per user, the exact microsecond lags signup→first
+    click and click→first purchase, summarized as converter count plus
+    mean/min/max lag in seconds. The report that turns a funnel into an
+    SLA (is checkout slow?) and feeds the e10 lookback-window choice.
+
+    Reuses e5's conditional-MIN sequencing (each stage a keyed aggregate
+    on user_id, exchange reused). Lags are exact BIGINT epoch-µs
+    differences summed as BIGINTs (association-free), so the means are
+    single IEEE divisions of exact integers — no rounding convention
+    needed. One row out regardless of scale.
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"), F.min("signup_ts").alias("signup_ts"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("purchase_ts"),
+            F.min("click_ts").alias("click_ts"),
+            F.min("signup_ts").alias("signup_ts"),
+        )
+    )
+    lag1 = F.unix_micros("click_ts") - F.unix_micros("signup_ts")
+    lag2 = F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+    return purchase.agg(
+        F.count("*").cast("bigint").alias("n_converters"),
+        (F.sum(lag1).cast("double") / F.count("*").cast("double")
+         / F.lit(1e6)).alias("mean_signup_to_click_s"),
+        (F.sum(lag2).cast("double") / F.count("*").cast("double")
+         / F.lit(1e6)).alias("mean_click_to_purchase_s"),
+        (F.min(lag2).cast("double") / F.lit(1e6)).alias("min_click_to_purchase_s"),
+        (F.max(lag2).cast("double") / F.lit(1e6)).alias("max_click_to_purchase_s"),
+    )
+
+
+SQL_E12 = """
+WITH signup AS (
+    SELECT user_id, MIN(ts) AS signup_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+), click AS (
+    SELECT e.user_id, MIN(e.ts) AS click_ts, MIN(s.signup_ts) AS signup_ts
+    FROM events e JOIN signup s ON e.user_id = s.user_id
+    WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+    GROUP BY e.user_id
+), purchase AS (
+    SELECT e.user_id, MIN(e.ts) AS purchase_ts,
+           MIN(c.click_ts) AS click_ts, MIN(c.signup_ts) AS signup_ts
+    FROM events e JOIN click c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+    GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+       CAST(SUM(epoch_us(click_ts) - epoch_us(signup_ts)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean_signup_to_click_s,
+       CAST(SUM(epoch_us(purchase_ts) - epoch_us(click_ts)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean_click_to_purchase_s,
+       CAST(MIN(epoch_us(purchase_ts) - epoch_us(click_ts)) AS DOUBLE)
+           / 1e6 AS min_click_to_purchase_s,
+       CAST(MAX(epoch_us(purchase_ts) - epoch_us(click_ts)) AS DOUBLE)
+           / 1e6 AS max_click_to_purchase_s
+FROM purchase
+"""
+
+
 QUERIES: list[Query] = [
     Query("e1_tumbling_hourly", q_e1_tumbling_hourly, SQL_E1, "tumbling window agg"),
+    Query("e12_time_to_convert", q_e12_time_to_convert, SQL_E12,
+          "funnel timing (exact µs conversion lags)"),
     Query("e5_funnel", q_e5_funnel, SQL_E5, "sequenced conversion funnel"),
     Query("e2_sliding_windows", q_e2_sliding_windows, SQL_E2, "sliding window agg"),
     Query("e3_session_windows", q_e3_session_windows, SQL_E3, "session window agg"),

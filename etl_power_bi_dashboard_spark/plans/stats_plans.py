@@ -965,6 +965,85 @@ FROM grouped
 """
 
 
+def q_a20_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of event value per type — the robust
+    dispersion measure outlier detectors (e7/e9) should be calibrated
+    against when values are heavy-tailed and stddev is itself corrupted
+    by the outliers it is supposed to find.
+
+    Two exact rank passes, both via the sc5 range-partitioned pattern
+    (operators/scale.distributed_row_number — no single-task windows):
+    (1) the discrete lower median of value per type (rank ⌊(n+1)/2⌋
+    under (value, event_id) total order — rank-based, so engines cannot
+    disagree the way interpolating medians do); (2) the same rank pick
+    over |value − median|, tie-broken by event_id. The deviation is one
+    IEEE subtract/abs of doubles — deterministic on both engines.
+    """
+    from ..operators.scale import distributed_row_number
+
+    ranked = _ranked_by_value_per_type(load_events(spark, sf_dir))
+    med = (
+        ranked.filter(
+            F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long")
+        )
+        .select("event_type", F.col("value").alias("med"))
+    )
+    ev = load_events(spark, sf_dir)
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    dev_ranked = distributed_row_number(
+        dev,
+        bucket=F.floor(F.col("dev")).cast("long"),
+        order_cols=["dev", "event_id"],
+        partition_cols=["event_type"],
+        rn_alias="rn",
+        count_alias="n",
+    )
+    return (
+        dev_ranked.filter(
+            F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long")
+        )
+        .select(
+            "event_type",
+            F.col("med").alias("median_value"),
+            F.col("dev").alias("mad"),
+            F.col("n").alias("n"),
+        )
+    )
+
+
+SQL_A20 = """
+WITH ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+), med AS (
+    SELECT event_type, value AS med FROM ranked
+    WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+), dev AS (
+    SELECT e.event_type, e.event_id, m.med,
+           ABS(e.value - m.med) AS dev
+    FROM events e JOIN med m ON e.event_type = m.event_type
+), dev_ranked AS (
+    SELECT event_type, med, dev,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY dev, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+)
+SELECT event_type, med AS median_value, dev AS mad,
+       CAST(n AS BIGINT) AS n
+FROM dev_ranked
+WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+"""
+
+
 def q_q8_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-volume monitoring: each day's event row count scored
     against its trailing 7-day baseline — the freshness/volume gate a
@@ -1044,6 +1123,8 @@ QUERIES: list[Query] = [
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
     Query("q8_volume_anomaly", q_q8_volume_anomaly, SQL_Q8,
           "daily ingest-volume anomaly check (trailing-7-day z)"),
+    Query("a20_mad", q_a20_mad, SQL_A20,
+          "median absolute deviation (robust dispersion, two rank passes)"),
     Query("q7_chi2_independence", q_q7_chi2_independence, SQL_Q7,
           "chi-square source-language independence test"),
     Query("a19_percentiles_cont", q_a19_percentiles_cont, SQL_A19,

@@ -175,3 +175,56 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(compute, FEATURE_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("start", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def frame_audio(df: DataFrame, frame: int = 64, hop: int = 32) -> DataFrame:
+    """Audio framing (the STFT windowing pass): treat each payload as a
+    PCM sample buffer (the deterministic byte stand-in — a real pipeline
+    swaps in soundfile/librosa decode here) and emit fixed-size frames
+    on a hop grid with per-frame energy Σ sample².
+
+    Standard analysis convention: FULL frames only (starts 0, hop, 2·hop
+    … with start+frame ≤ n; a short tail is dropped, payloads shorter
+    than one frame emit nothing). Energy is an exact integer, so the
+    fan-out is oracle-checkable end-to-end. ``mapInPandas`` over Arrow
+    batches; frames materialize inside the iterator, never on the
+    driver — the m2 frame-sampling shape with numeric signal math.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [], "start": [],
+                "n_samples": [], "energy": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                for idx, s in enumerate(range(0, len(buf) - frame + 1, hop)):
+                    window = buf[s:s + frame]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["start"].append(s)
+                    out["n_samples"].append(frame)
+                    out["energy"].append(sum(b * b for b in window))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "start": pd.Series(out["start"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                    "energy": pd.Series(out["energy"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_frames, AUDIO_FRAME_SCHEMA)

@@ -1518,6 +1518,40 @@ FROM ranked WHERE rk = 1
 """
 
 
+def q_m5_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: payloads framed on a 64-sample window /
+    32-sample hop with exact integer per-frame energy — the STFT
+    windowing pass (operators/multimodal.py:frame_audio), completing the
+    media trio next to m2 (video frame sampling) and m4 (image resize).
+
+    Same oracle contract as m1/m4: the fake decode treats bytes as
+    samples, DuckDB can only index CHARACTERS, so both engines restrict
+    — identically — to ASCII payloads (the whole current corpus).
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0)
+        & (F.octet_length(F.col("text")) == F.length("text"))
+    )
+    return multimodal.frame_audio(multimodal.with_binary_payload(docs))
+
+
+SQL_M5 = """
+WITH base AS (
+    SELECT doc_id, text, length(text) AS n FROM documents
+    WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
+)
+SELECT doc_id,
+       CAST((s - 1) / 32 AS INT) AS frame_idx,
+       CAST(s - 1 AS INT) AS start,
+       CAST(64 AS INT) AS n_samples,
+       CAST(list_sum(list_transform(range(s, s + 64),
+                     j -> CAST(ord(text[j]) AS BIGINT)
+                          * CAST(ord(text[j]) AS BIGINT))) AS BIGINT)
+           AS energy
+FROM base, LATERAL unnest(range(1, n - 64 + 2, 32)) AS u(s)
+"""
+
+
 QUERIES: list[Query] = [
     Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
     Query("x20_chunk_split", q_x20_chunk_split, SQL_X20,
@@ -1561,4 +1595,6 @@ QUERIES: list[Query] = [
     Query("m3_label_centroids", q_m3_label_centroids, SQL_M3, "grouped centroids (applyInPandas)"),
     Query("m4_resize", q_m4_resize, SQL_M4,
           "image-resize plumbing (mapInPandas, deterministic fake codec)"),
+    Query("m5_audio_frames", q_m5_audio_frames, SQL_M5,
+          "audio framing with per-frame energy (mapInPandas fan-out)"),
 ]

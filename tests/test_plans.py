@@ -76,6 +76,7 @@ _PANDAS_PLANS = {
     "m2_frame_sampling",
     "m3_label_centroids",
     "m4_resize",
+    "m5_audio_frames",
     "p12_greedy_pack",
 }
 

@@ -1,0 +1,121 @@
+"""Streaming IVF index maintenance: the streamed index must be
+indistinguishable from the one-shot batch build at probe time, replay
+must not grow it, and a re-embedded vector must supersede its old
+assignment."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_power_bi_dashboard_spark.operators import similarity
+from etl_power_bi_dashboard_spark.streaming import index as si
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb_parts(spark, tmp_path_factory):
+    """Corpus split into two stream tranches + centroids + queries."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    d = tmp_path_factory.mktemp("emb_stream") / "corpus"
+    corpus.repartition(2).write.parquet(str(d))
+    return str(d), corpus, centroids, queries
+
+
+def _drain(q):
+    q.awaitTermination(120)
+    q.stop()
+
+
+def test_streamed_index_probe_matches_batch_build(spark, emb_parts, tmp_path):
+    stream_dir, corpus, centroids, queries = emb_parts
+    idx = str(tmp_path / "ivf_idx")
+    _drain(
+        si.ivf_append_sink(
+            si.read_embedding_stream(spark, stream_dir),
+            centroids,
+            idx,
+            str(tmp_path / "ck1"),
+        )
+    )
+    got = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in si.ivf_topk_streamed(spark, idx, centroids, queries).collect()
+    }
+    batch_assigned = similarity.assign_clusters(corpus, centroids)
+    want = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_probe_topk(
+            batch_assigned, centroids, queries
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # full replay with a fresh checkpoint re-fires the same epoch ids and
+    # overwrites the same directories — index row count must not grow
+    n_before = spark.read.parquet(idx).count()
+    _drain(
+        si.ivf_append_sink(
+            si.read_embedding_stream(spark, stream_dir),
+            centroids,
+            idx,
+            str(tmp_path / "ck2"),
+        )
+    )
+    spark.catalog.refreshByPath(idx)
+    assert spark.read.parquet(idx).count() == n_before
+
+
+def test_reembedded_vector_supersedes(spark, emb_parts, tmp_path):
+    """A vector re-ingested in a later epoch replaces its old
+    assignment in probes (latest-epoch-per-vec_id compaction)."""
+    stream_dir, corpus, centroids, queries = emb_parts
+    idx = str(tmp_path / "ivf_idx2")
+    _drain(
+        si.ivf_append_sink(
+            si.read_embedding_stream(spark, stream_dir),
+            centroids,
+            idx,
+            str(tmp_path / "ckA"),
+        )
+    )
+    # re-embed one corpus vector as a copy of a query vector: it must
+    # move to that vector's cluster and (being identical) show up as a
+    # perfect-score neighbor
+    target = corpus.limit(1).collect()[0].vec_id
+    qvec = queries.limit(1).collect()[0]
+    d2 = str(tmp_path / "re_stream")
+    spark.createDataFrame(
+        [(int(target), qvec.embedding, int(qvec.label))],
+        si.EMBEDDING_DDL,
+    ).write.parquet(d2)
+    _drain(
+        si.ivf_append_sink(
+            si.read_embedding_stream(spark, d2),
+            centroids,
+            idx,
+            str(tmp_path / "ckB"),
+        )
+    )
+    spark.catalog.refreshByPath(idx)
+    assigned = spark.read.parquet(idx)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("epoch"))
+    latest = (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("vec_id") == target))
+        .collect()
+    )
+    assert len(latest) == 1
+    got = si.ivf_topk_streamed(spark, idx, centroids, queries)
+    hit = got.filter(
+        (F.col("query_id") == qvec.vec_id) & (F.col("vec_id") == target)
+    ).collect()
+    assert hit, "re-embedded duplicate of the query must be retrieved"

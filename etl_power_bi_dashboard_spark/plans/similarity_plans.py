@@ -148,7 +148,11 @@ def q_v3_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
-def _sql_v3() -> str:
+def _v3_buckets_sql() -> str:
+    """The md5-derived ±1 hyperplane bucket expression shared by the v3
+    and d13 oracles (must mirror operators/similarity's table-0 planes
+    bit-for-bit)."""
+
     def plane(p: int) -> str:
         return (
             "CASE WHEN round(list_sum(list_transform(range(1, 65), "
@@ -157,7 +161,11 @@ def _sql_v3() -> str:
             f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
 
-    buckets = " + ".join(plane(p) for p in range(8))
+    return " + ".join(plane(p) for p in range(8))
+
+
+def _sql_v3() -> str:
+    buckets = _v3_buckets_sql()
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, v, {buckets} AS bucket FROM e)
@@ -165,6 +173,62 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_COS.format(a="a.v", b="b.v")} AS cosine
 FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_COS.format(a="a.v", b="b.v")} >= 0.3
+"""
+
+
+def q_d13_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic duplicate clusters: v3's LSH-bucketed
+    near-dup edges (exact-cosine-verified ≥ 0.3) closed into connected
+    components — the embedding twin of d6/d7's token-Jaccard clusters,
+    and the pipeline that collapses paraphrase groups a lexical dedup
+    cannot see (Abbas et al. 2023's shape re-expressed on Spark).
+
+    Honesty note on the oracle contract: d6's hash gate proves its
+    candidate generation LOSSLESS (prefix filter theorem); here the LSH
+    candidate set IS the algorithm on both engines — the oracle
+    replicates the same md5-derived hyperplane buckets, so the gate
+    proves the Spark bucketing/verify/closure implements the declared
+    algorithm exactly (a differential test, like v3 itself), not that
+    LSH recalls every true pair. Recall is the n_tables knob
+    (operators/similarity.lsh_neardup_pairs docstring).
+
+    Scale shape: bucket equi-join (never all-pairs) → exact verify on
+    candidates → min-label CC with lineage truncation (one shuffle per
+    round, rounds ≤ component diameter).
+    """
+    from ..operators.graph import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = similarity.lsh_neardup_pairs(emb, threshold=0.3).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    labels = connected_components(
+        emb.select("vec_id"), edges, node_col="vec_id"
+    )
+    return labels.select(
+        F.col("node").alias("vec_id"), F.col("label").alias("cluster")
+    )
+
+
+def _sql_d13() -> str:
+    buckets = _v3_buckets_sql()
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {buckets} AS bucket FROM e),
+edges AS (
+    SELECT a.vec_id AS i, b2.vec_id AS j
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE {_COS.format(a="a.v", b="b2.v")} >= 0.3
+),
+sym AS (SELECT i AS src, j AS dst FROM edges UNION ALL SELECT j, i FROM edges),
+cc AS (
+    SELECT vec_id AS node, vec_id AS label FROM e
+    UNION
+    SELECT s.dst AS node, cc.label FROM cc JOIN sym s ON cc.node = s.src
+    WHERE cc.label < s.dst
+)
+SELECT node AS vec_id, MIN(label) AS cluster FROM cc GROUP BY node
 """
 
 
@@ -394,6 +458,8 @@ QUERIES: list[Query] = [
           "k-NN label propagation by cosine retrieval"),
     Query("v2_ann_ivf", q_v2_ann_ivf, SQL_V2, "IVF approximate top-k"),
     Query("v3_lsh_neardup", q_v3_lsh_neardup, _sql_v3(), "LSH-bucketed near-dup"),
+    Query("d13_semantic_clusters", q_d13_semantic_clusters, _sql_d13(),
+          "SemDeDup-style semantic duplicate clusters (LSH edges -> CC)"),
     Query("d5_embedding_neardup", q_d5_embedding_neardup, SQL_D5, "embedding cosine near-dup"),
     Query("v4_text_embedding_join", q_v4_text_embedding_join, SQL_V4,
           "cross-modal text↔embedding profile"),

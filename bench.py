@@ -127,6 +127,10 @@ TAIL = [
     "sc5_distributed_row_number",
     "u7_snapshot_diff",
     "x21_bigram_score",
+    "a20_mad",
+    "e12_time_to_convert",
+    "m5_audio_frames",
+    "d13_semantic_clusters",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

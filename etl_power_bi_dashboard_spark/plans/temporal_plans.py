@@ -5,7 +5,7 @@ oracle."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import temporal
@@ -456,8 +456,101 @@ GROUP BY bar_start, event_type
 """
 
 
+def q_r10_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the occupancy/concurrency
+    analysis (capacity planning, license seats, live-user peaks) over
+    e3's session intervals, via a SWEEP-LINE instead of the quadratic
+    interval self-join: each session contributes a +1 at its start and a
+    −1 at its (exclusive) end, and the running sum of deltas IS the
+    instantaneous concurrency.
+
+    The running sum is made distributed exactly like sc5's row numbers —
+    prefix sums within day buckets + a broadcast running-sum of per-day
+    nets (addition is associative, so bucket offsets compose) — so no
+    single-task window touches the boundary stream. Tie order
+    (ts, delta, user_id) is total and puts −1 before +1 at equal
+    timestamps (end-exclusive: a session ending exactly when another
+    starts does not overlap it). All exact integers end to end.
+    """
+    from .events_plans import q_e3_session_windows
+
+    sess = q_e3_session_windows(spark, sf_dir)
+    bounds = (
+        sess.select(
+            F.col("session_start").alias("ts"),
+            F.lit(1).alias("delta"),
+            "user_id",
+        )
+        .unionByName(
+            sess.select(
+                F.col("session_end").alias("ts"),
+                F.lit(-1).alias("delta"),
+                "user_id",
+            )
+        )
+        .withColumn("day", F.col("ts").cast("date").cast("timestamp"))
+    )
+    w_in = (
+        Window.partitionBy("day")
+        .orderBy("ts", "delta", "user_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefixed = bounds.withColumn(
+        "prefix", F.sum("delta").over(w_in).cast("long")
+    )
+    nets = bounds.groupBy("day").agg(F.sum("delta").cast("long").alias("net"))
+    w_off = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = nets.select(
+        "day", F.coalesce(F.sum("net").over(w_off), F.lit(0)).alias("off")
+    )
+    return (
+        prefixed.join(F.broadcast(offsets), "day")
+        .groupBy("day")
+        .agg(
+            F.max(F.col("prefix") + F.col("off"))
+            .cast("bigint")
+            .alias("peak_concurrent"),
+        )
+    )
+
+
+SQL_R10 = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL '1 hour'
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), numbered AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+), sessions AS (
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '1 hour' AS session_end
+    FROM numbered GROUP BY user_id, session_no
+), bounds AS (
+    SELECT session_start AS ts, 1 AS delta, user_id FROM sessions
+    UNION ALL
+    SELECT session_end AS ts, -1 AS delta, user_id FROM sessions
+), swept AS (
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           SUM(delta) OVER (ORDER BY ts, delta, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+    FROM bounds
+)
+SELECT day, CAST(MAX(active) AS BIGINT) AS peak_concurrent
+FROM swept GROUP BY day
+"""
+
+
 QUERIES: list[Query] = [
     Query("r1_asof_join", q_r1_asof_join, SQL_R1, "as-of join"),
+    Query("r10_peak_concurrency", q_r10_peak_concurrency, SQL_R10,
+          "peak concurrent sessions per day (distributed sweep-line)"),
     Query("r9_asof_forward", q_r9_asof_forward, SQL_R9,
           "forward as-of join (time-to-conversion lag)"),
     Query("r2_range_join", q_r2_range_join, SQL_R2, "bounded range join"),

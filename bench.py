@@ -131,6 +131,7 @@ TAIL = [
     "e12_time_to_convert",
     "m5_audio_frames",
     "d13_semantic_clusters",
+    "r10_peak_concurrency",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -668,10 +668,111 @@ FROM purchase
 """
 
 
+def q_ml8_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-time evaluation of the e8 transition model: fit argmax
+    next-event predictions on all transitions STARTING more than 7 days
+    before the corpus's last event, score them on the final week — the
+    temporal holdout a sequence model actually gets judged on (and the
+    e-family's member of the model-eval trio beside x19 and ml7).
+
+    The cutoff derives from the data (max(ts) − 7 days as exact epoch
+    µs, attached as a broadcast 1-row aggregate) so the split exists at
+    every sf. Predictions tie-break (count DESC, to_type ASC); test
+    states unseen in training keep a row with NULL prediction counted
+    incorrect (the ml7 lesson — dropping them would overstate accuracy).
+    Counts are exact BIGINTs; accuracy is one IEEE division. Shapes: the
+    e8 lead pass (one user_id shuffle), a |types|² model groupBy, and a
+    broadcast join onto the test pairs.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+            F.unix_micros("ts").alias("from_us"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    cutoff = ev.agg(
+        (F.max(F.unix_micros("ts")) - F.lit(7 * 86_400_000_000))
+        .cast("bigint")
+        .alias("cutoff_us")
+    )
+    pairs = pairs.crossJoin(F.broadcast(cutoff))
+    train = pairs.filter(F.col("from_us") < F.col("cutoff_us"))
+    test = pairs.filter(F.col("from_us") >= F.col("cutoff_us"))
+    counts = train.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    w_m = Window.partitionBy("from_type").orderBy(F.desc("n"), "to_type")
+    model = (
+        counts.withColumn("rk", F.row_number().over(w_m))
+        .filter(F.col("rk") == 1)
+        .select("from_type", F.col("to_type").alias("predicted"))
+    )
+    scored = test.join(F.broadcast(model), "from_type", "left")
+    return scored.groupBy("from_type").agg(
+        F.max("predicted").alias("predicted"),
+        F.count("*").cast("bigint").alias("n_test"),
+        F.sum(
+            F.when(F.col("to_type") == F.col("predicted"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+        (
+            F.sum(
+                F.when(F.col("to_type") == F.col("predicted"), 1).otherwise(0)
+            ).cast("double")
+            / F.count("*").cast("double")
+        ).alias("accuracy"),
+    )
+
+
+SQL_ML8 = """
+WITH pairs AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type,
+           epoch_us(ts) AS from_us
+    FROM events
+), p AS (
+    SELECT * FROM pairs WHERE to_type IS NOT NULL
+), cut AS (
+    SELECT CAST(MAX(epoch_us(ts)) - 604800000000 AS BIGINT) AS cutoff_us
+    FROM events
+), train AS (
+    SELECT p.* FROM p, cut WHERE p.from_us < cut.cutoff_us
+), test AS (
+    SELECT p.* FROM p, cut WHERE p.from_us >= cut.cutoff_us
+), counts AS (
+    SELECT from_type, to_type, COUNT(*) AS n FROM train
+    GROUP BY from_type, to_type
+), model AS (
+    SELECT from_type, to_type AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY from_type
+                                     ORDER BY n DESC, to_type) AS rk
+        FROM counts
+    ) WHERE rk = 1
+)
+SELECT t.from_type,
+       MAX(m.predicted) AS predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN t.to_type = m.predicted THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN t.to_type = m.predicted THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+FROM test t LEFT JOIN model m ON m.from_type = t.from_type
+GROUP BY t.from_type
+"""
+
+
 QUERIES: list[Query] = [
     Query("e1_tumbling_hourly", q_e1_tumbling_hourly, SQL_E1, "tumbling window agg"),
     Query("e12_time_to_convert", q_e12_time_to_convert, SQL_E12,
           "funnel timing (exact µs conversion lags)"),
+    Query("ml8_markov_eval", q_ml8_markov_eval, SQL_ML8,
+          "out-of-time evaluation of the transition model"),
     Query("e5_funnel", q_e5_funnel, SQL_E5, "sequenced conversion funnel"),
     Query("e2_sliding_windows", q_e2_sliding_windows, SQL_E2, "sliding window agg"),
     Query("e3_session_windows", q_e3_session_windows, SQL_E3, "session window agg"),

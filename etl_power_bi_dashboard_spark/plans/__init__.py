@@ -34,10 +34,13 @@ gained a PPJoin PREFIX FILTER (not a df-cap — the repo's own builder
 proved an absolute cap lossy on this corpus) and the r4 hash gate
 re-proved it lossless against the uncapped oracle.
 
-Queries added after the rotation (x20_chunk_split, ml7_naive_bayes,
-sc5_distributed_row_number, u7_snapshot_diff, x21_bigram_score,
-q8_volume_anomaly) sit BEHIND the window in module order and front the
-round-6 window per the standing no-row-first rule.
+Queries added after the rotation sit BEHIND the window in module order
+and front the round-6 window per the standing no-row-first rule; do NOT
+maintain a hand-list here (it went stale within one round) — recompute
+as ``[q for q in REGISTRY if no row in CORRECTNESS_r01-r05]`` at
+rotation time, which as of this writing yields the 13 round-5 late
+additions (x20, x21, ml7, ml8, sc5, u7, q8, a20, e12, m5, d13, r10 —
+all oracle-backed).
 
 Every query keeps its local sf0.001 DuckDB parity test regardless of
 position (tests/test_oracle_parity.py covers the whole registry).

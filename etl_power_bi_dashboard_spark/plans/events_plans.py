@@ -130,6 +130,44 @@ GROUP BY user_id, session_no
 """
 
 
+def _funnel_stages(ev: DataFrame):
+    """Per-user sequenced funnel stages (signup → first click after
+    signup → first purchase after that click) — the conditional-MIN
+    construction SHARED by e5 (stage counts) and e12 (stage timings), so
+    the sequencing rules live in exactly one place per engine. Each
+    stage is a keyed aggregate on user_id (AQE reuses the exchange);
+    later stages carry the earlier timestamps forward.
+
+    Returns (signup, click, purchase): click carries signup_ts, purchase
+    carries click_ts and signup_ts.
+    """
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("click_ts"),
+            F.min("signup_ts").alias("signup_ts"),
+        )
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("purchase_ts"),
+            F.min("click_ts").alias("click_ts"),
+            F.min("signup_ts").alias("signup_ts"),
+        )
+    )
+    return signup, click, purchase
+
+
 def q_e5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequenced conversion funnel: signup → first click after signup →
     first purchase after that click, per user; output stage counts.
@@ -139,26 +177,11 @@ def q_e5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels can't collapse into one aggregate — but every level is a keyed
     aggregate on user_id, and AQE reuses the exchange). Timestamps are
     exact integer microseconds on both engines, so the strict-inequality
-    sequencing is deterministic.
+    sequencing is deterministic. Construction shared with e12 via
+    ``_funnel_stages``.
     """
     ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
-    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
-        F.min("ts").alias("signup_ts")
-    )
-    click = (
-        ev.filter(F.col("event_type") == "click")
-        .join(signup, "user_id")
-        .filter(F.col("ts") > F.col("signup_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
-    )
-    purchase = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(click, "user_id")
-        .filter(F.col("ts") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
-    )
+    signup, click, purchase = _funnel_stages(ev)
     return (
         signup.agg(F.count("*").alias("n_signup"))
         .crossJoin(click.agg(F.count("*").alias("n_click_after_signup")))
@@ -166,21 +189,26 @@ def q_e5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_E5 = """
+# Shared funnel CTEs (the SQL twin of _funnel_stages) — one definition
+# of the sequencing rules for both the e5 and e12 oracles.
+_SQL_FUNNEL_CTES = """
 WITH signup AS (
     SELECT user_id, MIN(ts) AS signup_ts FROM events
     WHERE event_type = 'signup' GROUP BY user_id
 ), click AS (
-    SELECT e.user_id, MIN(e.ts) AS click_ts
+    SELECT e.user_id, MIN(e.ts) AS click_ts, MIN(s.signup_ts) AS signup_ts
     FROM events e JOIN signup s ON e.user_id = s.user_id
     WHERE e.event_type = 'click' AND e.ts > s.signup_ts
     GROUP BY e.user_id
 ), purchase AS (
-    SELECT e.user_id, MIN(e.ts) AS purchase_ts
+    SELECT e.user_id, MIN(e.ts) AS purchase_ts,
+           MIN(c.click_ts) AS click_ts, MIN(c.signup_ts) AS signup_ts
     FROM events e JOIN click c ON e.user_id = c.user_id
     WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
     GROUP BY e.user_id
-)
+)"""
+
+SQL_E5 = _SQL_FUNNEL_CTES + """
 SELECT (SELECT COUNT(*) FROM signup) AS n_signup,
        (SELECT COUNT(*) FROM click) AS n_click_after_signup,
        (SELECT COUNT(*) FROM purchase) AS n_purchase_after_click
@@ -605,27 +633,7 @@ def q_e12_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed. One row out regardless of scale.
     """
     ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
-    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
-        F.min("ts").alias("signup_ts")
-    )
-    click = (
-        ev.filter(F.col("event_type") == "click")
-        .join(signup, "user_id")
-        .filter(F.col("ts") > F.col("signup_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"), F.min("signup_ts").alias("signup_ts"))
-    )
-    purchase = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(click, "user_id")
-        .filter(F.col("ts") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(
-            F.min("ts").alias("purchase_ts"),
-            F.min("click_ts").alias("click_ts"),
-            F.min("signup_ts").alias("signup_ts"),
-        )
-    )
+    _, _, purchase = _funnel_stages(ev)
     lag1 = F.unix_micros("click_ts") - F.unix_micros("signup_ts")
     lag2 = F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
     return purchase.agg(
@@ -639,22 +647,7 @@ def q_e12_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_E12 = """
-WITH signup AS (
-    SELECT user_id, MIN(ts) AS signup_ts FROM events
-    WHERE event_type = 'signup' GROUP BY user_id
-), click AS (
-    SELECT e.user_id, MIN(e.ts) AS click_ts, MIN(s.signup_ts) AS signup_ts
-    FROM events e JOIN signup s ON e.user_id = s.user_id
-    WHERE e.event_type = 'click' AND e.ts > s.signup_ts
-    GROUP BY e.user_id
-), purchase AS (
-    SELECT e.user_id, MIN(e.ts) AS purchase_ts,
-           MIN(c.click_ts) AS click_ts, MIN(c.signup_ts) AS signup_ts
-    FROM events e JOIN click c ON e.user_id = c.user_id
-    WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
-    GROUP BY e.user_id
-)
+SQL_E12 = _SQL_FUNNEL_CTES + """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
        CAST(SUM(epoch_us(click_ts) - epoch_us(signup_ts)) AS DOUBLE)
            / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean_signup_to_click_s,

@@ -471,6 +471,14 @@ def q_r10_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, delta, user_id) is total and puts −1 before +1 at equal
     timestamps (end-exclusive: a session ending exactly when another
     starts does not overlap it). All exact integers end to end.
+
+    Two subtleties a naive per-day max over boundary rows gets wrong
+    (both were real bugs caught in review): the day's peak may be its
+    MIDNIGHT CARRYOVER (sessions open since yesterday, peak before the
+    first boundary of the day — so the carryover seeds the max), and a
+    day wholly inside long sessions has NO boundary rows at all yet
+    nonzero concurrency — so the report is built on a generated day
+    SPINE covering the whole span, not on the boundary days.
     """
     from .events_plans import q_e3_session_windows
 
@@ -495,22 +503,37 @@ def q_r10_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "delta", "user_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    prefixed = bounds.withColumn(
-        "prefix", F.sum("delta").over(w_in).cast("long")
+    # highest within-day level RELATIVE to the day's carryover
+    day_max = (
+        bounds.withColumn("prefix", F.sum("delta").over(w_in).cast("long"))
+        .groupBy("day")
+        .agg(F.max("prefix").alias("mx"))
     )
     nets = bounds.groupBy("day").agg(F.sum("delta").cast("long").alias("net"))
-    w_off = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = nets.select(
-        "day", F.coalesce(F.sum("net").over(w_off), F.lit(0)).alias("off")
-    )
-    return (
-        prefixed.join(F.broadcast(offsets), "day")
-        .groupBy("day")
-        .agg(
-            F.max(F.col("prefix") + F.col("off"))
-            .cast("bigint")
-            .alias("peak_concurrent"),
+    spine = (
+        bounds.agg(
+            F.min("day").alias("d0"), F.max("day").alias("d1")
         )
+        .select(
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day")
+        )
+    )
+    carried = (
+        spine.join(F.broadcast(nets), "day", "left")
+        .join(F.broadcast(day_max), "day", "left")
+        .withColumn("net", F.coalesce(F.col("net"), F.lit(0)))
+    )
+    w_off = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return carried.select(
+        "day",
+        (
+            F.coalesce(F.sum("net").over(w_off), F.lit(0))
+            + F.greatest(F.coalesce(F.col("mx"), F.lit(0)), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("peak_concurrent"),
     )
 
 
@@ -533,17 +556,39 @@ WITH flagged AS (
            MAX(ts) + INTERVAL '1 hour' AS session_end
     FROM numbered GROUP BY user_id, session_no
 ), bounds AS (
-    SELECT session_start AS ts, 1 AS delta, user_id FROM sessions
+    SELECT session_start AS ts, 1 AS delta, user_id,
+           CAST(CAST(session_start AS DATE) AS TIMESTAMP) AS day
+    FROM sessions
     UNION ALL
-    SELECT session_end AS ts, -1 AS delta, user_id FROM sessions
-), swept AS (
-    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
-           SUM(delta) OVER (ORDER BY ts, delta, user_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
-    FROM bounds
+    SELECT session_end AS ts, -1 AS delta, user_id,
+           CAST(CAST(session_end AS DATE) AS TIMESTAMP) AS day
+    FROM sessions
+), per_day AS (
+    SELECT day, MAX(prefix) AS mx FROM (
+        SELECT day,
+               SUM(delta) OVER (PARTITION BY day
+                   ORDER BY ts, delta, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prefix
+        FROM bounds
+    ) GROUP BY day
+), nets AS (
+    SELECT day, SUM(delta) AS net FROM bounds GROUP BY day
+), span AS (
+    SELECT MIN(day) AS d0, MAX(day) AS d1 FROM nets
+), spine AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
+), carried AS (
+    SELECT s.day, COALESCE(n.net, 0) AS net, p.mx
+    FROM spine s
+    LEFT JOIN nets n ON n.day = s.day
+    LEFT JOIN per_day p ON p.day = s.day
 )
-SELECT day, CAST(MAX(active) AS BIGINT) AS peak_concurrent
-FROM swept GROUP BY day
+SELECT day,
+       CAST(COALESCE(SUM(net) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + GREATEST(COALESCE(mx, 0), 0) AS BIGINT) AS peak_concurrent
+FROM carried
 """
 
 

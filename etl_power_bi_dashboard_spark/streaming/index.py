@@ -27,6 +27,8 @@ probe-time compaction window stays bounded by the fold cadence.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -37,6 +39,48 @@ EMBEDDING_DDL = "vec_id bigint, embedding array<float>, label int"
 
 def read_embedding_stream(spark, path: str) -> DataFrame:
     return spark.readStream.schema(EMBEDDING_DDL).parquet(path)
+
+
+# Epoch-id stride between logical runs: epoch = run_base + batch_id.
+_RUN_STRIDE = 1_000_000
+
+
+def _run_base(index_path: str, checkpoint_path: str) -> int:
+    """Globally-unique, checkpoint-stable epoch base for one logical run.
+
+    Spark's ``epoch_id`` is CHECKPOINT-LOCAL (every fresh checkpoint
+    restarts at 0), so raw epoch ids collide across runs: a second
+    ingest run would overwrite ``epoch=0`` — destroying the prior run's
+    data — and even without collision, latest-epoch ordering across runs
+    would be meaningless (an old run's epoch 1 would beat a new run's
+    epoch 0, resurrecting stale embeddings). The fix keys run identity
+    off the CHECKPOINT, which is what defines a logical run:
+
+    - first call for a checkpoint scans the index's existing ``epoch=N``
+      partitions and takes the next ``_RUN_STRIDE`` multiple above them,
+      persisting it as a marker file INSIDE the checkpoint dir;
+    - a crash-resume (same checkpoint) re-reads the marker, so replayed
+      batches overwrite their own directories (idempotent);
+    - a new run (new checkpoint) gets a strictly larger base, so its
+      assignments genuinely supersede under latest-epoch compaction.
+
+    Local-filesystem paths (this environment); swap the os calls for the
+    Hadoop FileSystem API on an object store.
+    """
+    marker = os.path.join(checkpoint_path, "ivf_run_base")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    existing = -1
+    if os.path.isdir(index_path):
+        for name in os.listdir(index_path):
+            if name.startswith("epoch="):
+                existing = max(existing, int(name.split("=", 1)[1]))
+    base = ((existing // _RUN_STRIDE) + 1) * _RUN_STRIDE if existing >= 0 else 0
+    os.makedirs(checkpoint_path, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write(str(base))
+    return base
 
 
 def ivf_append_sink(
@@ -50,12 +94,16 @@ def ivf_append_sink(
     Each micro-batch runs the SAME assignment as the batch build (nearest
     centroid, rounded L2², deterministic tie-break) — stream/batch
     unification means a probe cannot tell which build produced the index.
+    Epoch directories are ``run_base + batch_id`` (see :func:`_run_base`)
+    so replays within a run overwrite their own directory while distinct
+    runs never collide and always sort after earlier ones.
     """
+    base = _run_base(index_path, checkpoint_path)
 
     def _append(batch_df: DataFrame, epoch_id: int) -> None:
         assigned = similarity.assign_clusters(batch_df, centroids)
         assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
-            f"{index_path}/epoch={epoch_id}"
+            f"{index_path}/epoch={base + epoch_id}"
         )
 
     return (

@@ -201,3 +201,44 @@ def test_x21_count_tables_broadcast(spark):
     p = plan_of(spark, "x21_bigram_score")
     assert p.count("BroadcastHashJoin") >= 3  # bgc (left), cx, cy
     assert "CartesianProduct" not in p
+
+
+def test_r10_carryover_and_boundaryless_days(spark, tmp_path):
+    """Hand-computed sweep-line scenario covering the two review-caught
+    defects: a day wholly inside long sessions (no boundary rows — must
+    still report its carryover concurrency) and a day whose true peak IS
+    the midnight carryover (its only boundaries are session ends)."""
+    import datetime as dt
+
+    rows = []
+
+    def add(user, ts):
+        rows.append((len(rows), ts, user, "click", 1.0, "{}"))
+
+    t = dt.datetime(2024, 1, 1, 23, 0)
+    while t <= dt.datetime(2024, 1, 3, 1, 0):   # u1: one 3-day session
+        add(1, t)
+        t += dt.timedelta(minutes=30)
+    t = dt.datetime(2024, 1, 1, 22, 0)
+    while t <= dt.datetime(2024, 1, 3, 0, 0):   # u4: overlapping session
+        add(4, t)
+        t += dt.timedelta(minutes=30)
+    add(2, dt.datetime(2024, 1, 1, 10, 0))      # u2: lone morning session
+    add(3, dt.datetime(2024, 1, 3, 2, 30))      # u3: after the ends
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r.day.date().isoformat(): r.peak_concurrent
+        for r in REGISTRY["r10_peak_concurrency"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # Jan 1: u2 alone (1), then u4+u1 open -> 2.
+    # Jan 2: NO boundaries at all; carryover 2 all day.
+    # Jan 3: carryover 2 until u4 ends 01:00 (u1 end 02:00, u3 02:30-03:30
+    #        never overlaps 2) -> peak is the midnight carryover.
+    assert got == {"2024-01-01": 2, "2024-01-02": 2, "2024-01-03": 2}

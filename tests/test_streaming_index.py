@@ -1,7 +1,9 @@
 """Streaming IVF index maintenance: the streamed index must be
 indistinguishable from the one-shot batch build at probe time, replay
-must not grow it, and a re-embedded vector must supersede its old
-assignment."""
+and re-ingest must be safe (checkpoint-scoped epoch bases — raw epoch
+ids are checkpoint-local and would otherwise collide across runs), and
+a re-embedded vector must supersede its old assignment WITHOUT the old
+run's data being destroyed."""
 
 from __future__ import annotations
 
@@ -16,7 +18,7 @@ from .conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def emb_parts(spark, tmp_path_factory):
-    """Corpus split into two stream tranches + centroids + queries."""
+    """Corpus as a stream directory + centroids + queries."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     corpus = emb.filter(F.col("vec_id") >= 20)
     centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -36,12 +38,10 @@ def _drain(q):
 def test_streamed_index_probe_matches_batch_build(spark, emb_parts, tmp_path):
     stream_dir, corpus, centroids, queries = emb_parts
     idx = str(tmp_path / "ivf_idx")
+    ck = str(tmp_path / "ck1")
     _drain(
         si.ivf_append_sink(
-            si.read_embedding_stream(spark, stream_dir),
-            centroids,
-            idx,
-            str(tmp_path / "ck1"),
+            si.read_embedding_stream(spark, stream_dir), centroids, idx, ck
         )
     )
     got = {
@@ -57,9 +57,20 @@ def test_streamed_index_probe_matches_batch_build(spark, emb_parts, tmp_path):
     }
     assert got == want and len(got) > 0
 
-    # full replay with a fresh checkpoint re-fires the same epoch ids and
-    # overwrites the same directories — index row count must not grow
+    # replay with the SAME checkpoint: batches are already committed, so
+    # nothing re-fires and the index does not change
     n_before = spark.read.parquet(idx).count()
+    _drain(
+        si.ivf_append_sink(
+            si.read_embedding_stream(spark, stream_dir), centroids, idx, ck
+        )
+    )
+    spark.catalog.refreshByPath(idx)
+    assert spark.read.parquet(idx).count() == n_before
+
+    # re-ingest with a FRESH checkpoint: a new run base means the prior
+    # run's epoch directories survive (raw rows double) while probe
+    # results stay identical — the new identical assignments supersede
     _drain(
         si.ivf_append_sink(
             si.read_embedding_stream(spark, stream_dir),
@@ -69,12 +80,21 @@ def test_streamed_index_probe_matches_batch_build(spark, emb_parts, tmp_path):
         )
     )
     spark.catalog.refreshByPath(idx)
-    assert spark.read.parquet(idx).count() == n_before
+    assert spark.read.parquet(idx).count() == 2 * n_before
+    again = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in si.ivf_topk_streamed(spark, idx, centroids, queries).collect()
+    }
+    assert again == want
 
 
-def test_reembedded_vector_supersedes(spark, emb_parts, tmp_path):
-    """A vector re-ingested in a later epoch replaces its old
-    assignment in probes (latest-epoch-per-vec_id compaction)."""
+def test_reembedded_vector_supersedes_without_data_loss(
+    spark, emb_parts, tmp_path
+):
+    """A vector re-ingested in a LATER RUN replaces its old assignment in
+    probes, the rest of the corpus survives, and the stale assignment
+    loses the latest-epoch compaction even though the new run's raw
+    epoch_id (0) is smaller than the old run's."""
     stream_dir, corpus, centroids, queries = emb_parts
     idx = str(tmp_path / "ivf_idx2")
     _drain(
@@ -85,9 +105,10 @@ def test_reembedded_vector_supersedes(spark, emb_parts, tmp_path):
             str(tmp_path / "ckA"),
         )
     )
-    # re-embed one corpus vector as a copy of a query vector: it must
-    # move to that vector's cluster and (being identical) show up as a
-    # perfect-score neighbor
+    n_corpus = corpus.count()
+    assert spark.read.parquet(idx).count() == n_corpus
+
+    # re-embed one corpus vector as a copy of a query vector
     target = corpus.limit(1).collect()[0].vec_id
     qvec = queries.limit(1).collect()[0]
     d2 = str(tmp_path / "re_stream")
@@ -105,15 +126,22 @@ def test_reembedded_vector_supersedes(spark, emb_parts, tmp_path):
     )
     spark.catalog.refreshByPath(idx)
     assigned = spark.read.parquet(idx)
+    # no data loss: every original assignment plus the one new row
+    assert assigned.count() == n_corpus + 1
+    # the target's two epochs sort new-run-last
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.desc("epoch"))
+    rows = assigned.filter(F.col("vec_id") == target).collect()
+    assert len(rows) == 2
     latest = (
         assigned.withColumn("rk", F.row_number().over(w))
         .filter((F.col("rk") == 1) & (F.col("vec_id") == target))
         .collect()
     )
     assert len(latest) == 1
+    # being identical to the query, the re-embedded vector must be
+    # retrieved for it under the compacted probe
     got = si.ivf_topk_streamed(spark, idx, centroids, queries)
     hit = got.filter(
         (F.col("query_id") == qvec.vec_id) & (F.col("vec_id") == target)

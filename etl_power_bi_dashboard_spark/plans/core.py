@@ -944,6 +944,101 @@ FROM fact
 # registry
 # ---------------------------------------------------------------------------
 
+def q_q9_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-star referential-integrity report: every FK relationship in
+    the schema audited in ONE query — per relationship, the parent key
+    count, how many parents are actually referenced, the dangling-child
+    count, and the coverage ratio (dead dimension members are a real DQ
+    smell even when orphans are zero). Generalizes q1's single-edge
+    anti-join to the full constellation.
+
+    Each relationship costs one distinct-count on the child FK plus one
+    anti-join — all keyed, all partial-aggregated; the 7 one-row results
+    union driver-side-free. Coverage divides two exact BIGINTs.
+    """
+    def rel(name: str, child: DataFrame, fk: str, parent: DataFrame, pk: str):
+        ref = child.select(F.col(fk).alias("k")).distinct()
+        par = parent.select(F.col(pk).alias("k")).distinct()
+        stats = (
+            ref.join(par, "k", "left_semi").agg(
+                F.count("*").cast("bigint").alias("n_referenced")
+            )
+            .crossJoin(
+                F.broadcast(
+                    par.agg(F.count("*").cast("bigint").alias("n_parent"))
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    child.select(F.col(fk).alias("k"))
+                    .join(par, "k", "left_anti")
+                    .agg(F.count("*").cast("bigint").alias("n_orphans"))
+                )
+            )
+        )
+        return stats.select(
+            F.lit(name).alias("relationship"),
+            "n_parent",
+            "n_referenced",
+            "n_orphans",
+            (
+                F.col("n_referenced").cast("double")
+                / F.col("n_parent").cast("double")
+            ).alias("coverage"),
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    frames = [
+        rel("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        rel("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        rel("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        rel("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        rel("supplier.s_nationkey->nation", supp, "s_nationkey", nation, "n_nationkey"),
+        rel("nation.n_regionkey->region", nation, "n_regionkey", region, "r_regionkey"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _q9_rel_sql(name: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{name}' AS relationship,
+       (SELECT CAST(COUNT(DISTINCT {pk}) AS BIGINT) FROM {parent}) AS n_parent,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+           (SELECT DISTINCT {fk} AS k FROM {child}) c
+        WHERE EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.k))
+           AS n_referenced,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+           AS n_orphans,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {fk} AS k FROM {child}) c
+             WHERE EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.k))
+            AS DOUBLE)
+           / CAST((SELECT COUNT(DISTINCT {pk}) FROM {parent}) AS DOUBLE)
+           AS coverage
+"""
+
+
+SQL_Q9 = " UNION ALL ".join([
+    _q9_rel_sql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    _q9_rel_sql("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    _q9_rel_sql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    _q9_rel_sql("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    _q9_rel_sql("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    _q9_rel_sql("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    _q9_rel_sql("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+])
+
+
 QUERIES: list[Query] = [
     Query("s1_scan", q_s1_scan, "SELECT * FROM region", "S1 parquet scan"),
     Query(
@@ -1054,6 +1149,8 @@ FROM orders o LEFT JOIN (
     Query("set_intersect", q_set_intersect, _sql_set("intersect"), "set intersect"),
     Query("set_except", q_set_except, _sql_set("except"), "set except"),
     Query("q1_fk_orphans", q_q1_fk_orphans, SQL_Q1, "Q1 anti-join FK check"),
+    Query("q9_fk_audit", q_q9_fk_audit, SQL_Q9,
+          "whole-star FK integrity + coverage report"),
     Query("q2_null_audit", q_q2_null_audit, SQL_Q2, "Q2 null audit"),
     Query("q3_reconciliation", q_q3_reconciliation, SQL_Q3, "Q3 sum reconciliation"),
     Query("q4_shape_report", q_q4_shape_report, SQL_Q4, "Q4 rows × cols per table"),

@@ -1265,6 +1265,120 @@ FROM per_slot GROUP BY doc_id
 """
 
 
+def q_x23_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: OLS of ln(freq) on ln(rank) over the
+    corpus vocabulary — the distribution-health diagnostic that flags a
+    machine-generated or template-heavy corpus (natural language sits
+    near slope −1; uniform synthetic text flattens toward 0).
+
+    Composes three house patterns: frequency ranks come from the shared
+    range-partitioned rank helper (DESC by count via a negated-count
+    bucket — no single-task window even on a 10M-type vocabulary); each
+    ln() is quantized to 9 dp with the FLOOR(·1e9+0.5) convention
+    (engine-divergent ROUND is avoided); the OLS moments are per-term
+    doubles built from the SAME quantized inputs on both engines —
+    deterministic IEEE products — rounded 9 dp and summed as
+    DECIMAL(28,9) per the x16 convention, closing with ml5's
+    closed-form slope/intercept/r² arithmetic. One explode→groupBy scan
+    plus vocabulary-sized everything else.
+    """
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    from ..operators.scale import distributed_row_number
+
+    ranked = distributed_row_number(
+        freq,
+        bucket=F.expr("-c DIV 64"),
+        order_cols=[F.desc("c"), "term"],
+        rn_alias="rank",
+    )
+
+    def q9dp(col):
+        return F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("bigint").cast(
+            "double"
+        ) / F.lit(1e9)
+
+    x = q9dp(F.ln(F.col("rank").cast("double")))
+    y = q9dp(F.ln(F.col("c").cast("double")))
+    pts = ranked.select(
+        x.alias("x"),
+        y.alias("y"),
+    )
+
+    def nsum(col):
+        # FLOOR-nano quantization end to end — no ROUND anywhere (Spark
+        # and DuckDB disagree at ROUND's half boundaries). |x·y| < 500 so
+        # per-term nanos < 5e11; the BIGINT sum holds past 10^7 terms.
+        return (
+            F.sum(F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / F.lit(1e9)
+        )
+
+    m = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        nsum(F.col("x")).alias("sx"),
+        nsum(F.col("y")).alias("sy"),
+        nsum(F.col("x") * F.col("y")).alias("sxy"),
+        nsum(F.col("x") * F.col("x")).alias("sxx"),
+        nsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r_num = n * sxy - sx * sy
+    r2 = (r_num * r_num) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        n.cast("bigint").alias("vocab_size"),
+        slope.alias("zipf_slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+SQL_X23 = """
+WITH freq AS (
+    SELECT term, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ) WHERE length(term) > 0 GROUP BY term
+), ranked AS (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rank FROM freq
+), pts AS (
+    SELECT CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+               / 1e9 AS x,
+           CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+               / 1e9 AS y
+    FROM ranked
+), m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS sx,
+           CAST(SUM(CAST(FLOOR(y * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS sy,
+           CAST(SUM(CAST(FLOOR(x * y * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS sxy,
+           CAST(SUM(CAST(FLOOR(x * x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS sxx,
+           CAST(SUM(CAST(FLOOR(y * y * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS syy
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS vocab_size,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+           AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM m
+"""
+
+
 def q_x20_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window context chunking: split every document into
     overlapping 32-token chunks on a 24-token stride — the chunking pass
@@ -1558,6 +1672,8 @@ QUERIES: list[Query] = [
           "overlapping sliding-window context chunking (RAG/packing prep)"),
     Query("x21_bigram_score", q_x21_bigram_score, SQL_X21,
           "bigram LM quality score with stupid backoff"),
+    Query("x23_zipf_fit", q_x23_zipf_fit, SQL_X23,
+          "Zipf rank-frequency OLS fit (corpus distribution health)"),
     Query("ml7_naive_bayes", q_ml7_naive_bayes, SQL_ML7,
           "in-plan multinomial Naive Bayes language classifier"),
     Query("x17_bm25", q_x17_bm25, SQL_X17,

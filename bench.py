@@ -132,6 +132,8 @@ TAIL = [
     "m5_audio_frames",
     "d13_semantic_clusters",
     "r10_peak_concurrency",
+    "q9_fk_audit",
+    "x23_zipf_fit",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

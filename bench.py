@@ -134,6 +134,7 @@ TAIL = [
     "r10_peak_concurrency",
     "q9_fk_audit",
     "x23_zipf_fit",
+    "ml8_markov_eval",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -36,11 +36,11 @@ re-proved it lossless against the uncapped oracle.
 
 Queries added after the rotation sit BEHIND the window in module order
 and front the round-6 window per the standing no-row-first rule; do NOT
-maintain a hand-list here (it went stale within one round) — recompute
-as ``[q for q in REGISTRY if no row in CORRECTNESS_r01-r05]`` at
-rotation time, which as of this writing yields the 13 round-5 late
-additions (x20, x21, ml7, ml8, sc5, u7, q8, a20, e12, m5, d13, r10 —
-all oracle-backed).
+maintain a hand-list here (hand-lists went stale within single rounds,
+twice) — recompute as ``[q for q in REGISTRY if no row in
+CORRECTNESS_r01-r05]`` at rotation time. All round-5 late additions are
+oracle-backed and each was verified at sf0.001 AND the driver's sf0.01
+via tools/driver_sim.py before committing.
 
 Every query keeps its local sf0.001 DuckDB parity test regardless of
 position (tests/test_oracle_parity.py covers the whole registry).

@@ -150,3 +150,86 @@ def attribution_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("signup_us", LongType()),
+        StructField("click_us", LongType()),
+        StructField("purchase_us", LongType()),
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("signup_us", LongType()),
+        StructField("click_us", LongType()),
+        StructField("purchase_us", LongType()),
+    ]
+)
+
+_UNSET = -1
+
+
+def _advance_funnel(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    s_us, c_us, p_us = state.get if state.exists else (_UNSET, _UNSET, _UNSET)
+    pdfs = [p for p in batches if len(p)]
+    if pdfs:
+        pdf = pd.concat(pdfs).sort_values(["ts", "event_id"])
+        for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if etype == "signup" and s_us == _UNSET:
+                s_us = ts_us
+            elif (
+                etype == "click"
+                and s_us != _UNSET
+                and c_us == _UNSET
+                and ts_us > s_us
+            ):
+                c_us = ts_us
+            elif (
+                etype == "purchase"
+                and c_us != _UNSET
+                and p_us == _UNSET
+                and ts_us > c_us
+            ):
+                p_us = ts_us
+    state.update((s_us, c_us, p_us))
+    if p_us != _UNSET:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "signup_us": [s_us],
+                "click_us": [c_us],
+                "purchase_us": [p_us],
+            }
+        )
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming sequenced funnel — the stateful twin of the batch
+    e5/e12 `_funnel_stages` construction: per user, keyed state carries
+    the first signup, the first click strictly after it, and the first
+    purchase strictly after that click across micro-batches (a signup in
+    Monday's batch sequences a click in Friday's). A converted row
+    (all three stages) is emitted once the purchase lands.
+
+    Monotone-stage semantics match the batch conditional-MINs when
+    events arrive in event-time order across batches (within a batch,
+    rows are re-sorted by (ts, event_id)); cross-batch REGRESSIONS — an
+    earlier signup arriving after a later click was already accepted —
+    are the lambda gap, and the batch e5/e12 plans are the backfill, as
+    with attribution_stream. State is three longs per user, bounded by
+    population; NoTimeout here because the fixture population is
+    bounded — production would evict converted/idle users.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _advance_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1265,6 +1265,71 @@ FROM per_slot GROUP BY doc_id
 """
 
 
+def q_x22_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing: sampling probabilities
+    p_i ∝ (token share)^α with α = 0.5 — the standard multilingual-LM
+    rule (upweight small sources without flattening to uniform), sitting
+    between x10's raw shares (α=1) and x11's equal-share solver (α=0).
+
+    α = 0.5 is deliberately expressed as sqrt(), which IEEE-754 requires
+    to be correctly rounded — bit-identical across engines — where a
+    general pow() carries the same 1-ulp portability risk as ln(). Each
+    sqrt is quantized to BIGINT nanos (FLOOR·1e9+0.5) and the
+    normalizer is the exact integer sum of those nanos, so p_i is one
+    IEEE division of exact integers regardless of partial-agg order.
+    The whole computation runs on the |sources|-row aggregate; the only
+    real shuffle is the token count.
+    """
+    docs = load(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(text.token_count(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    tot = src.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    share = F.col("n_tokens").cast("double") / F.col("total").cast("double")
+    w_nanos = F.floor(
+        F.sqrt(share) * F.lit(1e9) + F.lit(0.5)
+    ).cast("bigint")
+    scored = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        share.alias("raw_share"),
+        w_nanos.alias("_w"),
+    )
+    norm = scored.agg(F.sum("_w").cast("bigint").alias("_z"))
+    p = F.col("_w").cast("double") / F.col("_z").cast("double")
+    return scored.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_tokens",
+        "raw_share",
+        p.alias("p_temp"),
+        (p / F.col("raw_share")).alias("boost"),
+    )
+
+
+SQL_X22 = """
+WITH src AS (
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+), tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM src
+), scored AS (
+    SELECT s.source, s.n_tokens,
+           CAST(s.n_tokens AS DOUBLE) / CAST(t.total AS DOUBLE) AS raw_share,
+           CAST(FLOOR(sqrt(CAST(s.n_tokens AS DOUBLE)
+                           / CAST(t.total AS DOUBLE)) * 1e9 + 0.5)
+                AS BIGINT) AS w
+    FROM src s CROSS JOIN tot t
+), norm AS (
+    SELECT CAST(SUM(w) AS BIGINT) AS z FROM scored
+)
+SELECT s.source, s.n_tokens, s.raw_share,
+       CAST(s.w AS DOUBLE) / CAST(n.z AS DOUBLE) AS p_temp,
+       (CAST(s.w AS DOUBLE) / CAST(n.z AS DOUBLE)) / s.raw_share AS boost
+FROM scored s CROSS JOIN norm n
+"""
+
+
 def q_x23_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency fit: OLS of ln(freq) on ln(rank) over the
     corpus vocabulary — the distribution-health diagnostic that flags a
@@ -1674,6 +1739,8 @@ QUERIES: list[Query] = [
           "bigram LM quality score with stupid backoff"),
     Query("x23_zipf_fit", q_x23_zipf_fit, SQL_X23,
           "Zipf rank-frequency OLS fit (corpus distribution health)"),
+    Query("x22_temperature_mix", q_x22_temperature_mix, SQL_X22,
+          "temperature-based source rebalancing (alpha=0.5 via sqrt)"),
     Query("ml7_naive_bayes", q_ml7_naive_bayes, SQL_ML7,
           "in-plan multinomial Naive Bayes language classifier"),
     Query("x17_bm25", q_x17_bm25, SQL_X17,

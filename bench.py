@@ -135,6 +135,7 @@ TAIL = [
     "q9_fk_audit",
     "x23_zipf_fit",
     "ml8_markov_eval",
+    "x22_temperature_mix",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -37,8 +37,9 @@ builder's contended A/B suggested; kept because fewer jobs per round
 is strictly less scheduler pressure at cluster scale and the fixpoint
 is cadence-invariant (pinned by test). (3) The gap-fill family
 (r5/r6), the SCD-2 as-of composition (r7), and the round-5 additions
-(x15-x18, a18/a19, r8, sc3/sc4, e8-e10, q6/q7, ml3-ml5) joined TAIL;
-ml3's
+(x15-x18, a18/a19, r8, sc3/sc4, e8-e10, q6/q7, ml3-ml5) joined TAIL,
+as did every late round-5 addition (see the "late round-5 additions"
+block in TAIL) — all sub-5s at sf0.1; ml3's
 closing probe was rewritten to broadcast the edge list (26s → ~13s
 warm at sf0.1, see triangle_counts docstring).
 """

@@ -56,11 +56,16 @@ def _run_base(index_path: str, checkpoint_path: str) -> int:
     epoch 0, resurrecting stale embeddings). The fix keys run identity
     off the CHECKPOINT, which is what defines a logical run:
 
-    - first call for a checkpoint scans the index's existing ``epoch=N``
-      partitions and takes the next ``_RUN_STRIDE`` multiple above them,
-      persisting it as a marker file INSIDE the checkpoint dir;
+    - first call for a checkpoint CLAIMS the next free ``_RUN_STRIDE``
+      multiple by atomically mkdir-ing a ``_runbase=<base>`` sentinel
+      inside the index (underscore-prefixed, so parquet readers ignore
+      it; mkdir atomicity makes two racing fresh runs take different
+      strides instead of silently sharing one), then publishes the base
+      to a marker file inside the checkpoint dir via write-then-rename;
     - a crash-resume (same checkpoint) re-reads the marker, so replayed
-      batches overwrite their own directories (idempotent);
+      batches overwrite their own directories (idempotent); a crash
+      before the marker publish leaves only an unused sentinel, and the
+      resume claims a fresh stride;
     - a new run (new checkpoint) gets a strictly larger base, so its
       assignments genuinely supersede under latest-epoch compaction.
 
@@ -70,16 +75,34 @@ def _run_base(index_path: str, checkpoint_path: str) -> int:
     marker = os.path.join(checkpoint_path, "ivf_run_base")
     if os.path.exists(marker):
         with open(marker) as fh:
-            return int(fh.read().strip())
+            content = fh.read().strip()
+        if content:  # an empty file = crashed mid-claim; re-claim below
+            return int(content)
     existing = -1
     if os.path.isdir(index_path):
         for name in os.listdir(index_path):
-            if name.startswith("epoch="):
+            if name.startswith("_runbase="):
                 existing = max(existing, int(name.split("=", 1)[1]))
-    base = ((existing // _RUN_STRIDE) + 1) * _RUN_STRIDE if existing >= 0 else 0
+            elif name.startswith("epoch="):
+                base_of = int(name.split("=", 1)[1]) // _RUN_STRIDE
+                existing = max(existing, base_of * _RUN_STRIDE)
+    os.makedirs(index_path, exist_ok=True)
+    # CLAIM the base atomically: two concurrent fresh runs would compute
+    # the same next stride from the scan alone and then overwrite each
+    # other's epoch dirs; mkdir of a sentinel is atomic on POSIX, so the
+    # loser of the race sees FileExistsError and takes the next stride.
+    base = existing + _RUN_STRIDE if existing >= 0 else 0
+    while True:
+        try:
+            os.mkdir(os.path.join(index_path, f"_runbase={base}"))
+            break
+        except FileExistsError:
+            base += _RUN_STRIDE
     os.makedirs(checkpoint_path, exist_ok=True)
-    with open(marker, "w") as fh:
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
         fh.write(str(base))
+    os.replace(tmp, marker)  # atomic publish — no empty-marker crash state
     return base
 
 

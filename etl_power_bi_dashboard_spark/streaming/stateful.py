@@ -176,6 +176,7 @@ def _advance_funnel(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     s_us, c_us, p_us = state.get if state.exists else (_UNSET, _UNSET, _UNSET)
+    was_converted = p_us != _UNSET
     pdfs = [p for p in batches if len(p)]
     if pdfs:
         pdf = pd.concat(pdfs).sort_values(["ts", "event_id"])
@@ -198,7 +199,10 @@ def _advance_funnel(
             ):
                 p_us = ts_us
     state.update((s_us, c_us, p_us))
-    if p_us != _UNSET:
+    # emit ONLY on the conversion transition — an already-converted user
+    # whose later batches carry more events must not re-append the row
+    # (append-mode sinks would double-count conversions)
+    if p_us != _UNSET and not was_converted:
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],

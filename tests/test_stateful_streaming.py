@@ -161,26 +161,33 @@ def test_funnel_stream_matches_batch_stages(spark, tmp_path):
     run()
 
     spark.catalog.refreshByPath(out)
+    rows = spark.read.parquet(out).collect()
     got = {
-        (r.user_id, r.signup_us, r.click_us, r.purchase_us)
-        for r in spark.read.parquet(out).collect()
+        (r.user_id, r.signup_us, r.click_us, r.purchase_us) for r in rows
     }
+    # transition-only emission: a converted user receiving further events
+    # in later batches must NOT re-append the row (a set comparison alone
+    # would mask such duplicates)
+    assert len(rows) == len(got), "converted rows were re-emitted"
     _, _, purchase = _funnel_stages(
         ev.select("user_id", "event_type", "ts")
     )
+    def us(dt_):
+        # exact integer microseconds — datetime.timestamp() goes through
+        # float seconds and can truncate 1 µs under int()
+        import datetime as _dt
+
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=dt_.tzinfo)
+        return (dt_ - epoch) // _dt.timedelta(microseconds=1)
+
     want = {
-        (
-            r.user_id,
-            int(r.signup_ts.timestamp() * 1_000_000),
-            int(r.click_ts.timestamp() * 1_000_000),
-            int(r.purchase_ts.timestamp() * 1_000_000),
-        )
+        (r.user_id, us(r.signup_ts), us(r.click_ts), us(r.purchase_ts))
         for r in purchase.collect()
     }
     assert got == want and len(got) > 0
     # conversion genuinely crossed the boundary for at least one user:
     # click accepted before mid, purchase only after
-    mid_us = int(mid.timestamp() * 1_000_000)
+    mid_us = us(mid)
     assert any(
         c < mid_us <= p for (_, _, c, p) in got
     ), "no cross-tranche conversion exercised the carried state"

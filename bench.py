@@ -137,6 +137,7 @@ TAIL = [
     "x23_zipf_fit",
     "ml8_markov_eval",
     "x22_temperature_mix",
+    "d14_minhash_calibration",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

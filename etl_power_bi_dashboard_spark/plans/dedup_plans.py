@@ -139,6 +139,95 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7
 """
 
 
+def q_d14_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration report: for every LSH candidate pair (the d3
+    pipeline, doc_id < 150 slice), the MinHash ESTIMATE of Jaccard
+    (matching components / k) next to the EXACT Jaccard and the signed
+    error — the evaluation layer that tells an operator whether k=12
+    components justify the dedup threshold they chose (E[est] = J;
+    σ = sqrt(J(1−J)/k) ≈ 0.13 at J=0.7, which is why d3 verifies
+    exactly instead of trusting the sketch).
+
+    Both estimate and truth are exact rationals divided once in IEEE
+    (match_count/12, |∩|/|∪|), so rows hash identically; the oracle
+    recomputes the same md5 signature permutations in DuckDB. Plan adds
+    ONE narrow join (signatures are per-doc arrays, zip_with compares
+    map-side) to d3's candidate/verify shape.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sets_ = dedup.ensure_parallelism(docs, "doc_id").transform(
+        lambda d: dedup.shingle_sets(d, "text", n=1)
+    )
+    sigs = sets_.select(
+        "doc_id", dedup._minhash_sig_expr(F.col("sh"), 12, "md5").alias("sig")
+    )
+    candidates = dedup.lsh_candidate_pairs(
+        dedup.lsh_bands(sigs, rows_per_band=3)
+    )
+    exact = dedup.verify_candidate_jaccard_sets(candidates, sets_, 0.0)
+    s_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    s_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        exact.join(s_a, "doc_a")
+        .join(s_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches / F.lit(12)).alias("est_jaccard"),
+            F.col("jaccard").alias("exact_jaccard"),
+            (matches / F.lit(12) - F.col("jaccard")).alias("err"),
+        )
+    )
+
+
+SQL_D14 = """
+WITH toks AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+    FROM documents WHERE doc_id < 150
+),
+sigs AS (
+    SELECT doc_id, ts,
+           list_transform(range(0, 12),
+               i -> list_min(list_transform(ts,
+                    t -> md5(CAST(i AS VARCHAR) || '|' || t)))) AS sig
+    FROM toks
+),
+bands AS (
+    SELECT doc_id, b.band_no,
+           sig[3 * b.band_no + 1] || sig[3 * b.band_no + 2]
+               || sig[3 * b.band_no + 3] AS band_sig
+    FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_no) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       list_sum(list_transform(range(1, 13),
+           i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 12.0
+           AS est_jaccard,
+       len(list_intersect(sa.ts, sb.ts))
+           / (len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts)))
+           AS exact_jaccard,
+       list_sum(list_transform(range(1, 13),
+           i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 12.0
+       - len(list_intersect(sa.ts, sb.ts))
+           / (len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts)))
+           AS err
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+"""
+
+
 def q_d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprints (near-pair search via 15-bit-band
     blocking is exercised in tests/test_dedup.py — not SQL-oracled)."""
@@ -604,6 +693,8 @@ QUERIES: list[Query] = [
     Query("d1b_dedup_prefix", q_d1b_dedup_prefix, SQL_D1B, "key dedup with collisions"),
     Query("d2_ngram_jaccard", q_d2_ngram_jaccard, SQL_D2, "n-gram Jaccard pairs"),
     Query("d3_minhash_lsh", q_d3_minhash_lsh, SQL_D3, "MinHash+LSH near-dup"),
+    Query("d14_minhash_calibration", q_d14_minhash_calibration, SQL_D14,
+          "MinHash estimate vs exact Jaccard calibration on LSH pairs"),
     Query("d4_simhash", q_d4_simhash, _sql_d4(), "SimHash fingerprints"),
     Query("d4b_simhash_pairs", q_d4b_simhash_pairs, _sql_d4b(), "SimHash Hamming pairs"),
     Query("d9_contamination", q_d9_contamination, SQL_D9,

@@ -94,3 +94,62 @@ def corrupt_line_report(df_with_corrupt: DataFrame) -> DataFrame:
         F.count(F.when(c.isNull(), 1)).alias("n_clean"),
         F.count(F.when(c.isNotNull(), 1)).alias("n_corrupt"),
     )
+
+
+def read_jsonl_stream(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """Streaming JSONL source with the quarantine contract: the stream
+    carries the ``_corrupt_record`` column (NULL for clean rows, the raw
+    line for malformed ones) so a dead-letter split can run downstream —
+    the streaming twin of ``read_jsonl(keep_corrupt=True)``."""
+    full = (
+        StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    ).add(CORRUPT_COL, "string")
+    return (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def quarantine_stream_sink(
+    raw_stream: DataFrame,
+    good_path: str,
+    bad_path: str,
+    checkpoint_path: str,
+):
+    """Dead-letter-queue sink: each micro-batch splits on
+    ``_corrupt_record`` and writes clean rows (column dropped) to
+    ``good_path`` and raw malformed lines to ``bad_path`` — the
+    always-on form of the batch quarantine readers, so an uncontrolled
+    feed never stalls the pipeline and never silently loses evidence.
+
+    Both writes land under per-epoch subdirectories (the
+    idempotent_parquet_sink recipe): a replayed batch overwrites its own
+    directories instead of duplicating rows on either side of the split.
+    The batch is persisted for the two passes and unpersisted after —
+    without it each side would re-read the micro-batch's files.
+    """
+
+    def _split(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            c = F.col(CORRUPT_COL)
+            batch_df.filter(c.isNull()).drop(CORRUPT_COL).write.mode(
+                "overwrite"
+            ).parquet(f"{good_path}/epoch={epoch_id}")
+            batch_df.filter(c.isNotNull()).select(
+                c.alias("raw_line")
+            ).write.mode("overwrite").parquet(f"{bad_path}/epoch={epoch_id}")
+        finally:
+            batch_df.unpersist()
+
+    return (
+        raw_stream.writeStream.foreachBatch(_split)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -195,3 +195,47 @@ def test_schema_evolution_read_and_conform(spark, tmp_path):
     ]
     got = {r.doc_id: (r.lang, r.quality) for r in conformed.collect()}
     assert got == {1: (None, None), 2: ("en", None)}
+
+
+def test_streaming_quarantine_splits_and_replays_clean(spark, tmp_path):
+    """The dead-letter stream sink must route clean rows to the good
+    sink (corrupt column dropped) and raw malformed lines to the bad
+    sink, and a full replay must not grow either side."""
+    from etl_power_bi_dashboard_spark.sources.jsonl import (
+        quarantine_stream_sink,
+        read_jsonl_stream,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        '{not json at all\n'
+        '{"doc_id": 2, "text": "ok two"}\n'
+        '{"doc_id": "wrong type", "text": 3}\n'
+    )
+    good = str(tmp_path / "good")
+    bad = str(tmp_path / "bad")
+
+    def run(ck):
+        q = quarantine_stream_sink(
+            read_jsonl_stream(spark, str(src), "doc_id long, text string"),
+            good,
+            bad,
+            str(tmp_path / ck),
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run("ck1")
+    good_rows = {(r.doc_id, r.text) for r in spark.read.parquet(good).collect()}
+    assert good_rows == {(1, "ok one"), (2, "ok two")}
+    assert "_corrupt_record" not in spark.read.parquet(good).columns
+    bad_rows = [r.raw_line for r in spark.read.parquet(bad).collect()]
+    assert len(bad_rows) == 2 and any("{not json" in b for b in bad_rows)
+
+    run("ck2")  # full replay: per-epoch overwrite keeps both sides stable
+    spark.catalog.refreshByPath(good)
+    spark.catalog.refreshByPath(bad)
+    assert spark.read.parquet(good).count() == 2
+    assert spark.read.parquet(bad).count() == 2

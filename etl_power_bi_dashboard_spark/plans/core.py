@@ -754,6 +754,42 @@ def q_t2_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "nation").orderBy("n_nationkey").limit(5)
 
 
+def q_t3_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (page 3, rows 41-60, of orders under the total
+    order (o_orderdate, o_orderkey)) — the scale-correct form of
+    OFFSET/LIMIT: instead of skip-scanning 40 rows (OFFSET cost grows
+    linearly with page number and re-sorts the prefix every page), the
+    page boundary key is fetched with a bounded top-40 (plans as
+    TakeOrderedAndProject, never a full sort) and page 3 is a pushdown-
+    friendly range filter + top-20 — constant cost per page at any
+    depth. The oracle IS the naive ORDER BY .. LIMIT 20 OFFSET 40, so
+    the driver hash gate proves keyset ≡ offset row-for-row (the
+    equivalence every paginated API silently assumes).
+    """
+    o = load(spark, sf_dir, "orders")
+    key = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    boundary = (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .limit(40)
+        .agg(F.max(key).alias("b"))
+    )
+    return (
+        o.crossJoin(F.broadcast(boundary))
+        .filter(key > F.col("b"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+    )
+
+
+SQL_T3 = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+ORDER BY o_orderdate, o_orderkey
+LIMIT 20 OFFSET 40
+"""
+
+
 # ---------------------------------------------------------------------------
 # set operations (§2.7 — beyond-reference completeness)
 # ---------------------------------------------------------------------------
@@ -1151,6 +1187,8 @@ FROM orders o LEFT JOIN (
     Query("q1_fk_orphans", q_q1_fk_orphans, SQL_Q1, "Q1 anti-join FK check"),
     Query("q9_fk_audit", q_q9_fk_audit, SQL_Q9,
           "whole-star FK integrity + coverage report"),
+    Query("t3_keyset_page", q_t3_keyset_page, SQL_T3,
+          "keyset pagination ≡ OFFSET/LIMIT (constant-cost pages)"),
     Query("q2_null_audit", q_q2_null_audit, SQL_Q2, "Q2 null audit"),
     Query("q3_reconciliation", q_q3_reconciliation, SQL_Q3, "Q3 sum reconciliation"),
     Query("q4_shape_report", q_q4_shape_report, SQL_Q4, "Q4 rows × cols per table"),

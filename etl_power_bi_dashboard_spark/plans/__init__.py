@@ -16,23 +16,18 @@ rotates not-yet-driver-verified queries to the front:
   oracle-less ones (ml1, ax1–ax3 — rows-only checks) sit just behind
   the window and rotate in next round.
 
-Round 5 rotation (current): slots 1-32 are EVERY entry with no clean
-driver row, recomputed from CORRECTNESS_r01-r04 at rotation time —
-the 7 queries added during round 4 (r5/r6 gap-fill, x14 PMI, d12
-edit-distance ER, q5 PSI drift, a16 Gini, a17 cumulative-distinct),
-the r7_asof_against_scd2 composition the round-4 verdict requested,
-and the 24 queries added during the round-5 build itself (temporal
-r8/r9, text x15-x19, events e8-e11, merge u5/u6, sampling p14, stats
-a18/a19/q6/q7, ml3-ml6, scale sc3/sc4) — all oracle-backed. Slots
-33-50 backfill with round-1/round-3 re-checks per the round-4
-verdict: windows w1-w7 + gap/islands + samplers p7-p9,
-groupings/pivots g1-g3 + pv1/pv2, expression wrappers f16/f17. The
-§2 core flagship path re-checks move to round 6 (they hold r1 driver
-rows and the golden-replication pin meanwhile). Round 4's note for
-the record: d6/d7's edge builder
-gained a PPJoin PREFIX FILTER (not a df-cap — the repo's own builder
-proved an absolute cap lossy on this corpus) and the r4 hash gate
-re-proved it lossless against the uncapped oracle.
+Round 6 rotation (current): slot 1 is ``sc4_skew_report`` — round 5's
+only red row, an oracle-side HUGEINT->float64 hasher artifact fixed by
+``CAST(SUM(n) AS BIGINT)`` and re-proved via driver_sim before this
+rotation landed. Slots 2-18 are the 17 entries with no driver row in
+CORRECTNESS_r01-r05 (recomputed at rotation time: the late round-5
+additions a20/d13/d14/e12/m5/ml7/ml8/q8/q9/r10/sc5/t3/u7/x20-x23).
+Slots 19-42 are the §2 core flagship re-checks deferred from round 5
+(s1, p1-p5, j1-j3, a1-a11, f1/f2, dax_measures, f18). Slots 43-50
+backfill with the stalest cohort — the six entries whose only driver
+row is round 1 (set ops, q2-q4) plus q1/t1. Queries added during
+round 6 front the window and displace backfill slots bottom-first.
+Historical rotation details for rounds 1-5 live in COVERAGE.md.
 
 Queries added after the rotation sit BEHIND the window in module order
 and front the round-6 window per the standing no-row-first rule; do NOT
@@ -90,72 +85,83 @@ _MODULES = [
 # Driver-window priority (see module docstring). Names listed here come
 # first, in this order; everything else follows in module order.
 _PRIORITY = [
-    # --- round-5 window, slots 1-32: EVERY entry with no driver row in
-    # CORRECTNESS_r01-r04, recomputed at rotation time. The original
-    # round-5 plan fronted only the 7 round-4 additions + r7, but the
-    # round-5 build added 24 more oracle-backed queries before the
-    # driver ran — deferring them to round 6 would leave 24 implemented
-    # operators without evidence for a whole round, so the window fronts
-    # all 32 and the re-check backfill shrinks to 18 slots (the §2 core
-    # re-checks move to round 6; they keep r1 rows + the golden pin).
-    "r5_gapfill_locf",
-    "r6_gapfill_interpolate",
-    "x14_pmi_collocations",
-    "d12_fuzzy_title_match",
-    "q5_drift_psi",
-    "a16_gini_concentration",
-    "a17_cumulative_distinct",
-    "r7_asof_against_scd2",
-    "r8_resample_ohlc",
-    "r9_asof_forward",
-    "x15_winnowing",
-    "x16_doc_entropy",
-    "x17_bm25",
-    "x18_cooccurrence",
-    "x19_lang_confusion",
-    "e8_transition_matrix",
-    "e9_rolling_zscore",
-    "e10_attribution",
-    "e11_rolling_active_users",
-    "u5_incremental_rollup",
-    "u6_apply_cdc",
-    "p14_weighted_reservoir",
-    "a18_corr_matrix",
-    "a19_percentiles_cont",
-    "q6_profile_summary",
-    "q7_chi2_independence",
-    "ml3_triangle_count",
-    "ml4_knn_classify",
-    "ml5_linreg_trend",
-    "ml6_ab_proportion_test",
-    "sc3_bloom_prune_join",
+    # === ROUND-6 WINDOW ==============================================
+    # --- slots added during the round-6 build itself (standing
+    # no-row-first rule: any query added this round fronts the window;
+    # each displaces one backfill re-check slot at the bottom) --------
+    # (append new round-6 query names HERE as they are built)
+    # --- round-6 slot 1: sc4, the round-5 window's only red row. The
+    # plan was already bit-exact (judge driver_sim replay); the oracle's
+    # uncast SUM(n) HUGEINT -> fetchdf float64 was the hasher mismatch,
+    # now CAST ... AS BIGINT (scale_plans.py SQL_SC4). Re-verified via
+    # driver_sim at the driver's sf0.01 before this rotation landed. ---
     "sc4_skew_report",
-    # --- slots 33-50: round-1/round-3 re-checks — window functions,
-    # gap/islands, samplers, groupings/pivots, expression wrappers.
-    # f18_null_safe_eq stays behind the window in module order (it
-    # keeps its r3 driver row; the f16/f17 re-checks cover the
-    # expression-wrapper code path) -----------------------------------
-    "w1_rank_per_group",
-    "w2_running_total",
-    "w3_lag_delta",
-    "w4_moving_avg",
-    "w5_distribution",
-    "w6_value_picks",
-    "w7_range_frame",
-    "r4_gap_islands",
-    "p7_sample_mod",
-    "p8_hash_split",
-    "p9_stratified_sample",
-    "g1_rollup",
-    "g2_cube",
-    "g3_grouping_sets",
-    "pv1_pivot",
-    "pv2_unpivot",
-    "f16_string_ops",
-    "f17_conditionals",
+    # --- slots 2-18: every entry with NO driver row in r01-r05,
+    # recomputed from CORRECTNESS_r01-05.json at rotation time (the 17
+    # late round-5 additions; all oracle-backed, all green in the
+    # round-5 judge's local suite + pre-validated via driver_sim) -----
+    "a20_mad",
+    "d13_semantic_clusters",
+    "d14_minhash_calibration",
+    "e12_time_to_convert",
+    "m5_audio_frames",
+    "ml7_naive_bayes",
+    "ml8_markov_eval",
+    "q8_volume_anomaly",
+    "q9_fk_audit",
+    "r10_peak_concurrency",
+    "sc5_distributed_row_number",
+    "t3_keyset_page",
+    "u7_snapshot_diff",
+    "x20_chunk_split",
+    "x21_bigram_score",
+    "x22_temperature_mix",
+    "x23_zipf_fit",
+    # --- slots 19-42: the §2 core flagship re-checks deferred from
+    # round 5 (last driver rows r1/r3; golden-replication pin
+    # meanwhile) — scan, projections/filters, joins, all rollups, the
+    # coercing parse + median impute, DAX measures, null-safe eq ------
+    "s1_scan",
+    "p1_projection",
+    "p2_filter_eq",
+    "p3_filter_range",
+    "p4_filter_in",
+    "p5_rename",
+    "j1_left_broadcast",
+    "j2_inner_fact",
+    "j3_left_fillzero",
+    "a1_sales_by_date",
+    "a2_sales_by_month",
+    "a3_sales_by_category",
+    "a4_sales_by_state",
+    "a5_sales_by_city",
+    "a6_sales_by_seller",
+    "a7_review_distribution",
+    "a8_global_minmax",
+    "a9_nps",
+    "a10_count_by_value",
+    "a11_distinct",
+    "f1_to_timestamp",
+    "f2_median_impute",
+    "dax_measures",
+    "f18_null_safe_eq",
+    # --- slots 43-50: backfill with the STALEST remaining entries —
+    # the six whose only driver row is round 1 (set ops, q2-q4), then
+    # q1/t1 to complete the quality-gate + top-k flagship re-check.
+    # These are the displacement buffer for round-6 additions. --------
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "q2_null_audit",
+    "q3_reconciliation",
+    "q4_shape_report",
+    "q1_fk_orphans",
+    "t1_topk",
     # --- behind the window: everything already driver-verified in
-    # CORRECTNESS_r01-r04 follows in module order (the §2 core
-    # scan/join/aggregate flagship path re-checks in round 6) ---------
+    # r01-r05 follows in module order; round-7 should front any no-row
+    # entries (recompute from CORRECTNESS_r01-r06) then rotate the
+    # never-re-checked r3 cohort (f3-f6, f15, t2, h12/h13/h16/h19,
+    # d1b, x5, a13/a14, ml1, ax1-ax3) ---------------------------------
 ]
 
 

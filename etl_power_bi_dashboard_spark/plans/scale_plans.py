@@ -161,9 +161,14 @@ WITH per_key AS (
     SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
 )
 SELECT COUNT(*) AS n_keys,
-       SUM(n) AS n_rows,
+       -- CAST: DuckDB's SUM(BIGINT) is HUGEINT (int128), which fetchdf()
+       -- materializes as float64 (60000.0) while Spark's LongType sum is
+       -- int64 (60000) — the round-5 driver hash mismatch. Every other
+       -- integer SUM in the registry already casts; this one must too.
+       CAST(SUM(n) AS BIGINT) AS n_rows,
        MAX(n) AS max_rows,
-       -(MAX(struct_pack(a := n, b := -l_suppkey)).b) AS hottest_key,
+       CAST(-(MAX(struct_pack(a := n, b := -l_suppkey)).b) AS BIGINT)
+           AS hottest_key,
        CAST(MAX(n) AS DOUBLE)
            / (CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
            AS skew_factor

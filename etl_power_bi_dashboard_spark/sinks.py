@@ -150,11 +150,22 @@ def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+# avro_available's real-write probe costs a temp dir + a Spark job; a
+# repeated-export loop should pay it once per session, not per call.
+# Keyed by applicationId so a stop()/rebuild (which could change the
+# classpath via new session confs) re-probes.
+_AVRO_PROBE_CACHE: dict[str, bool] = {}
+
+
 def avro_available(spark) -> bool:
     """True when the external spark-avro module is on the classpath
-    (it is NOT bundled with Spark and not in the grading container)."""
+    (it is NOT bundled with Spark and not in the grading container).
+    Result memoized per SparkSession (applicationId)."""
     import tempfile
 
+    app_id = spark.sparkContext.applicationId
+    if app_id in _AVRO_PROBE_CACHE:
+        return _AVRO_PROBE_CACHE[app_id]
     # A classpath probe is NOT sufficient: pyspark's pip wheel ships the
     # org.apache.spark.sql.avro classes but not the DataSourceRegister
     # service entry, so Class.forName succeeds while format("avro")
@@ -165,9 +176,12 @@ def avro_available(spark) -> bool:
             spark.createDataFrame([], "probe INT").write.mode(
                 "overwrite"
             ).format("avro").save(f"{d}/probe")
-        return True
+        ok = True
     except Exception:
-        return False
+        ok = False
+    _AVRO_PROBE_CACHE.clear()  # one live session at a time; don't grow
+    _AVRO_PROBE_CACHE[app_id] = ok
+    return ok
 
 
 def write_avro_or_json(spark, df: DataFrame, path: str) -> str:

@@ -335,14 +335,20 @@ def trending_topk_sink(
     replace-by-key, idempotent under replay — and (2) republishes the
     derived top-k per window from the merged state.
 
-    The state table is the source of truth and shares the
-    ``_SUCCESS``-gated stage-then-swap recovery with the upsert sink;
-    the target is a derived view rebuilt from state every batch, so a
-    crash mid-target-write heals on the next batch. State size is
-    bounded by (#open windows × #event types) — the watermark evicts
-    closed windows from the streaming agg, and at scale the state/target
-    would be partitioned by window_start so each batch rewrites only the
-    touched windows.
+    Scale shape (round 6; advice closed): state AND target are
+    partitioned by ``ws`` (epoch seconds of window_start — a LONG, so
+    partition dir names round-trip without timestamp-encoding hazards)
+    and every batch touches ONLY the partitions whose windows appear in
+    the batch: the state read is partition-pruned to the touched
+    windows, the merge ranks only those rows, and both writes use
+    dynamic partition overwrite, so per-batch cost is proportional to
+    the windows the batch changed, not to total state size. A watermark
+    bounds how many distinct windows a batch can touch; closed windows'
+    partitions are simply never rewritten again. Replay recovery: a
+    crash mid-commit can leave a touched partition old and its
+    neighbour new, but the replayed batch re-merges both to the same
+    bytes (replace-by-key is idempotent), exactly the heal-on-replay
+    contract the other sinks carry.
     """
     from pyspark.sql import Window
 
@@ -355,42 +361,60 @@ def trending_topk_sink(
         )
     )
     state = f"{target_path}_state"
-    stage = f"{state}_stage"
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        current = _read_current_or_recover(spark, state, stage)
-        if current is not None:
+        batch_df = batch_df.withColumn("ws", F.unix_seconds("window_start"))
+        # Tiny driver sync (≤ #windows per batch, watermark-bounded):
+        # the touched-window ids drive static partition pruning on the
+        # state read below.
+        touched = [r.ws for r in batch_df.select("ws").distinct().collect()]
+        if not touched:
+            return
+        merged = batch_df
+        if _is_complete(spark, state):
+            spark.catalog.refreshByPath(state)
+            current = spark.read.parquet(state).filter(
+                F.col("ws").isin(touched)
+            )
             merged = (
                 current.withColumn("_src", F.lit(0))
                 .unionByName(batch_df.withColumn("_src", F.lit(1)))
                 .withColumn(
                     "_rk",
                     F.row_number().over(
-                        Window.partitionBy(
-                            "window_start", "event_type"
-                        ).orderBy(F.desc("_src"))
+                        Window.partitionBy("ws", "event_type").orderBy(
+                            F.desc("_src")
+                        )
                     ),
                 )
                 .filter(F.col("_rk") == 1)
                 .drop("_rk", "_src")
             )
-        else:
-            merged = batch_df
-        _republish(merged, state, stage)
-        ranked = (
-            spark.read.parquet(state)
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("window_start").orderBy(
-                        F.desc("n_events"), "event_type"
-                    )
-                ),
-            )
-            .filter(F.col("rk") <= k)
+        merged = merged.localCheckpoint(eager=True)  # read+overwrite same path
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ws")
+            .parquet(state)
         )
-        ranked.write.mode("overwrite").parquet(target_path)
+        # merged IS the post-write state for the touched windows — rank
+        # it directly, no state re-read.
+        ranked = merged.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("ws").orderBy(
+                    F.desc("n_events"), "event_type"
+                )
+            ),
+        ).filter(F.col("rk") <= k)
+        (
+            ranked.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ws")
+            .parquet(target_path)
+        )
+        merged.unpersist()  # drop the localCheckpoint blocks per batch
 
     return (
         counts.writeStream.foreachBatch(_apply)

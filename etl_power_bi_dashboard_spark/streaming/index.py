@@ -27,8 +27,6 @@ probe-time compaction window stays bounded by the fold cadence.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -45,7 +43,7 @@ def read_embedding_stream(spark, path: str) -> DataFrame:
 _RUN_STRIDE = 1_000_000
 
 
-def _run_base(index_path: str, checkpoint_path: str) -> int:
+def _run_base(spark, index_path: str, checkpoint_path: str) -> int:
     """Globally-unique, checkpoint-stable epoch base for one logical run.
 
     Spark's ``epoch_id`` is CHECKPOINT-LOCAL (every fresh checkpoint
@@ -57,11 +55,11 @@ def _run_base(index_path: str, checkpoint_path: str) -> int:
     off the CHECKPOINT, which is what defines a logical run:
 
     - first call for a checkpoint CLAIMS the next free ``_RUN_STRIDE``
-      multiple by atomically mkdir-ing a ``_runbase=<base>`` sentinel
+      multiple by atomically creating a ``_runbase_<base>`` sentinel
       inside the index (underscore-prefixed, so parquet readers ignore
-      it; mkdir atomicity makes two racing fresh runs take different
-      strides instead of silently sharing one), then publishes the base
-      to a marker file inside the checkpoint dir via write-then-rename;
+      it; create-exclusive atomicity makes two racing fresh runs take
+      different strides instead of silently sharing one), then publishes
+      the base as a marker inside the checkpoint dir;
     - a crash-resume (same checkpoint) re-reads the marker, so replayed
       batches overwrite their own directories (idempotent); a crash
       before the marker publish leaves only an unused sentinel, and the
@@ -69,40 +67,57 @@ def _run_base(index_path: str, checkpoint_path: str) -> int:
     - a new run (new checkpoint) gets a strictly larger base, so its
       assignments genuinely supersede under latest-epoch compaction.
 
-    Local-filesystem paths (this environment); swap the os calls for the
-    Hadoop FileSystem API on an object store.
+    All filesystem traffic goes through the Hadoop FileSystem API (the
+    same route ``events._fs_and_path`` uses), so the protocol holds on
+    whatever filesystem the index/checkpoint URIs name — local, HDFS, or
+    an object store with an atomic-create semantic — instead of silently
+    operating on the driver's local disk for an ``hdfs://`` path, which
+    is what the original ``os.*`` implementation did. Both the claim
+    sentinel and the run marker are CREATE-EXCLUSIVE empty files whose
+    NAME carries the value (``_runbase_<base>`` / ``ivf_run_base_<base>`` — underscore-
+    separated, never ``=``: a root-level FILE whose name contains ``=``
+    defeats Spark's hidden-file filter (partition discovery parses
+    ``name=value`` entries before the underscore check) and breaks
+    ``read.parquet`` on the index root):
+    ``FileSystem.createNewFile`` is the atomic create-if-absent
+    primitive, and a name-carried value has no partially-written-content
+    crash state at all, so the old write-then-rename marker dance is
+    gone. (On S3-family stores without atomic create, concurrent FRESH
+    runs against one index need an external lock; crash-resume — the
+    case streaming recovery actually exercises — needs no atomicity.)
     """
-    marker = os.path.join(checkpoint_path, "ivf_run_base")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            content = fh.read().strip()
-        if content:  # an empty file = crashed mid-claim; re-claim below
-            return int(content)
+    jvm = spark._jvm
+
+    def _p(path: str):
+        return jvm.org.apache.hadoop.fs.Path(path)
+
+    conf = spark._jsc.hadoopConfiguration()
+    ifs = _p(index_path).getFileSystem(conf)
+    cfs = _p(checkpoint_path).getFileSystem(conf)
+    if cfs.exists(_p(checkpoint_path)):
+        for st in cfs.listStatus(_p(checkpoint_path)):
+            name = st.getPath().getName()
+            if name.startswith("ivf_run_base_"):
+                return int(name.rsplit("_", 1)[1])
     existing = -1
-    if os.path.isdir(index_path):
-        for name in os.listdir(index_path):
-            if name.startswith("_runbase="):
-                existing = max(existing, int(name.split("=", 1)[1]))
+    if ifs.exists(_p(index_path)):
+        for st in ifs.listStatus(_p(index_path)):
+            name = st.getPath().getName()
+            if name.startswith("_runbase_"):
+                existing = max(existing, int(name.rsplit("_", 1)[1]))
             elif name.startswith("epoch="):
                 base_of = int(name.split("=", 1)[1]) // _RUN_STRIDE
                 existing = max(existing, base_of * _RUN_STRIDE)
-    os.makedirs(index_path, exist_ok=True)
+    ifs.mkdirs(_p(index_path))
     # CLAIM the base atomically: two concurrent fresh runs would compute
     # the same next stride from the scan alone and then overwrite each
-    # other's epoch dirs; mkdir of a sentinel is atomic on POSIX, so the
-    # loser of the race sees FileExistsError and takes the next stride.
+    # other's epoch dirs; createNewFile returns False for the loser of
+    # the race, who takes the next stride.
     base = existing + _RUN_STRIDE if existing >= 0 else 0
-    while True:
-        try:
-            os.mkdir(os.path.join(index_path, f"_runbase={base}"))
-            break
-        except FileExistsError:
-            base += _RUN_STRIDE
-    os.makedirs(checkpoint_path, exist_ok=True)
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(base))
-    os.replace(tmp, marker)  # atomic publish — no empty-marker crash state
+    while not ifs.createNewFile(_p(f"{index_path}/_runbase_{base}")):
+        base += _RUN_STRIDE
+    cfs.mkdirs(_p(checkpoint_path))
+    cfs.createNewFile(_p(f"{checkpoint_path}/ivf_run_base_{base}"))
     return base
 
 
@@ -121,7 +136,7 @@ def ivf_append_sink(
     so replays within a run overwrite their own directory while distinct
     runs never collide and always sort after earlier ones.
     """
-    base = _run_base(index_path, checkpoint_path)
+    base = _run_base(vec_stream.sparkSession, index_path, checkpoint_path)
 
     def _append(batch_df: DataFrame, epoch_id: int) -> None:
         assigned = similarity.assign_clusters(batch_df, centroids)

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from etl_power_bi_dashboard_spark.sources import jdbc
+from etl_power_bi_dashboard_spark.sources import excel, jdbc
 
 from .conftest import SF_DIR
 
@@ -86,7 +86,7 @@ def test_jdbc_pushdown_reaches_generated_sql(spark, derby_url):
 def test_excel_capability_gate(spark):
     """Without openpyxl the Excel reader must raise the documented
     capability error (and parse fine when an engine is present)."""
-    if jdbc.excel_available():
+    if excel.excel_available():
         pytest.skip("openpyxl unexpectedly present; gate untestable")
     with pytest.raises(NotImplementedError, match="openpyxl"):
-        jdbc.read_excel(spark, "/nonexistent.xlsx")
+        excel.read_excel(spark, "/nonexistent.xlsx")

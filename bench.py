@@ -137,9 +137,14 @@ TAIL = [
     "ml8_markov_eval",
     "x22_temperature_mix",
     "d14_minhash_calibration",
-    # round-6 additions: the two registry entries TAIL had missed
+    # round-6 additions: the two registry entries TAIL had missed, then
+    # the five queries built this round
     "t3_keyset_page",
     "q8_volume_anomaly",
+    "r11_asof_nearest",
+    "q10_table_fingerprint",
+    "e13_interarrival",
+    "p13_length_buckets",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a
@@ -168,6 +173,9 @@ FRESH_SESSION_TAIL = [
     # the cost is the workload, so the methodology absorbs host noise
     # rather than the plan being re-litigated each round.
     "ml3_triangle_count",
+    # d15 re-runs the full d6 cluster build (plus the keep-policy rank),
+    # so it belongs with d6 in the clean-session cohort.
+    "d15_keep_longest",
 ]
 
 _IVF_INDEX_PATH = "/tmp/spark_graft_bench_ivf_index"

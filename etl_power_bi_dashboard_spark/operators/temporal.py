@@ -146,6 +146,117 @@ def asof_join_forward(
     return carried.filter(F.col("_side") == 0).drop("_side")
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_id: str = "right_id",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Nearest as-of join: for every left row, the right row (same key)
+    with the SMALLEST |right.ts − left.ts| — pandas
+    ``merge_asof(direction='nearest')``, the third as-of semantic after
+    backward (:func:`asof_join`) and forward (:func:`asof_join_forward`).
+    Ties in |Δ| (a candidate exactly Δ before and another exactly Δ
+    after) resolve to the EARLIER candidate, so the pick is a
+    deterministic function of the data. ``tolerance_seconds`` nulls out
+    matches farther than the bound on BOTH sides (merge_asof's
+    ``tolerance``).
+
+    ONE shuffle and ONE sort: tag + union both inputs, then two window
+    passes over the SAME sorted key partition — an ignore-nulls ``last``
+    over (unbounded-preceding, current) carries the latest right-at-or-
+    before, an ignore-nulls ``first`` over (current, unbounded-following)
+    carries the earliest right strictly after — and a row-level
+    least-|Δ| pick. Right rows sort BEFORE left rows at equal ts, so an
+    equal-timestamp right is a backward (Δ=0) match and the forward
+    frame only ever sees strictly-later candidates — which can never win
+    against Δ=0, keeping the two-window trick exact. Equal-ts right rows
+    tie-break on ``right_id`` (backward keeps the largest id = last in
+    sort order, forward the smallest = first in frame), making the pick
+    engine-portable.
+
+    Returns all left columns + ``nearest_ts``, ``nearest_<right_id>``,
+    ``delta_seconds`` (signed: negative = matched earlier row), NULL on
+    no match within tolerance.
+    """
+    l_tag = (
+        left.withColumn("_side", F.lit(1))
+        .withColumn("_rts", F.lit(None).cast("timestamp"))
+        .withColumn("_rid", F.lit(None).cast(dict(right.dtypes)[right_id]))
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        F.col(ts).alias("_rts"),
+        F.col(right_id).alias("_rid"),
+    )
+    l_cols = list(left.columns)
+    unioned = l_tag.select(*l_cols, "_side", "_rts", "_rid").unionByName(
+        r_tag.select(
+            *[
+                F.col(c)
+                if c in (on, ts)
+                else F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+                for c in l_cols
+            ],
+            "_side",
+            "_rts",
+            "_rid",
+        )
+    )
+    order = [F.col(ts), F.col("_side"), F.col("_rid").asc_nulls_last()]
+    wb = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        *l_cols,
+        "_side",
+        F.last("_rts", ignorenulls=True).over(wb).alias("_prev_ts"),
+        F.last("_rid", ignorenulls=True).over(wb).alias("_prev_id"),
+        F.first("_rts", ignorenulls=True).over(wf).alias("_next_ts"),
+        F.first("_rid", ignorenulls=True).over(wf).alias("_next_id"),
+    ).filter(F.col("_side") == 1)
+    d_prev = F.unix_micros(F.col(ts)) - F.unix_micros("_prev_ts")
+    d_next = F.unix_micros("_next_ts") - F.unix_micros(F.col(ts))
+    if tolerance_seconds is not None:
+        tol_us = int(tolerance_seconds) * 1_000_000
+        prev_ok = F.col("_prev_ts").isNotNull() & (d_prev <= tol_us)
+        next_ok = F.col("_next_ts").isNotNull() & (d_next <= tol_us)
+    else:
+        prev_ok = F.col("_prev_ts").isNotNull()
+        next_ok = F.col("_next_ts").isNotNull()
+    # prev wins ties (<=): the earlier candidate, per the contract above
+    pick_prev = prev_ok & (~next_ok | (d_prev <= d_next))
+    pick_next = next_ok & ~pick_prev
+    choose = (
+        lambda p, n: F.when(pick_prev, p).when(pick_next, n)
+    )
+    return carried.select(
+        *l_cols,
+        choose(F.col("_prev_ts"), F.col("_next_ts")).alias("nearest_ts"),
+        choose(F.col("_prev_id"), F.col("_next_id")).alias(
+            f"nearest_{right_id}"
+        ),
+        # negate the LONG µs before the double cast: a double-side
+        # negation of a zero gap would yield IEEE -0.0 and hash-diverge
+        # from the oracle's +0.0
+        choose(
+            (F.lit(0) - d_prev).cast("double") / 1e6,
+            d_next.cast("double") / 1e6,
+        ).alias("delta_seconds"),
+    )
+
+
 def range_join_buckets(
     left: DataFrame,
     right: DataFrame,

@@ -16,26 +16,29 @@ rotates not-yet-driver-verified queries to the front:
   oracle-less ones (ml1, ax1–ax3 — rows-only checks) sit just behind
   the window and rotate in next round.
 
-Round 6 rotation (current): slot 1 is ``sc4_skew_report`` — round 5's
-only red row, an oracle-side HUGEINT->float64 hasher artifact fixed by
-``CAST(SUM(n) AS BIGINT)`` and re-proved via driver_sim before this
-rotation landed. Slots 2-18 are the 17 entries with no driver row in
-CORRECTNESS_r01-r05 (recomputed at rotation time: the late round-5
-additions a20/d13/d14/e12/m5/ml7/ml8/q8/q9/r10/sc5/t3/u7/x20-x23).
-Slots 19-42 are the §2 core flagship re-checks deferred from round 5
-(s1, p1-p5, j1-j3, a1-a11, f1/f2, dax_measures, f18). Slots 43-50
-backfill with the stalest cohort — the six entries whose only driver
-row is round 1 (set ops, q2-q4) plus q1/t1. Queries added during
-round 6 front the window and displace backfill slots bottom-first.
-Historical rotation details for rounds 1-5 live in COVERAGE.md.
+Round 6 rotation (current): slots 1-5 are the five queries built during
+round 6 (r11 nearest as-of, q10 table fingerprint, e13 inter-arrival,
+d15 keep-longest, p13 length buckets — the standing no-row-first rule).
+Slot 6 is ``sc4_skew_report`` — round 5's only red row, an oracle-side
+HUGEINT->float64 hasher artifact fixed by ``CAST(SUM(n) AS BIGINT)``
+and re-proved via driver_sim before this rotation landed. Slots 7-23
+are the 17 entries with no driver row in CORRECTNESS_r01-r05
+(recomputed at rotation time: the late round-5 additions
+a20/d13/d14/e12/m5/ml7/ml8/q8/q9/r10/sc5/t3/u7/x20-x23). Slots 24-47
+are the §2 core flagship re-checks deferred from round 5 (s1, p1-p5,
+j1-j3, a1-a11, f1/f2, dax_measures, f18). Slots 48-50 backfill with
+the set ops (round-1-only rows); the five round-6 additions displaced
+q2-q4/q1/t1, which must front round 7's backfill. Historical rotation
+details for rounds 1-5 live in COVERAGE.md.
 
 Queries added after the rotation sit BEHIND the window in module order
-and front the round-6 window per the standing no-row-first rule; do NOT
-maintain a hand-list here (hand-lists went stale within single rounds,
-twice) — recompute as ``[q for q in REGISTRY if no row in
-CORRECTNESS_r01-r05]`` at rotation time. All round-5 late additions are
-oracle-backed and each was verified at sf0.001 AND the driver's sf0.01
-via tools/driver_sim.py before committing.
+and front the NEXT round's window per the standing no-row-first rule;
+do NOT maintain a hand-list of no-row entries across rounds (hand-lists
+went stale within single rounds, twice) — recompute as ``[q for q in
+REGISTRY if no row in CORRECTNESS_r01-r06]`` at rotation time. Every
+round-6 addition was verified at sf0.001 AND the driver's sf0.01 via
+tools/driver_sim.py before committing, and the final 50-slot window was
+re-validated 50/50 green as a whole.
 
 Every query keeps its local sf0.001 DuckDB parity test regardless of
 position (tests/test_oracle_parity.py covers the whole registry).
@@ -86,17 +89,23 @@ _MODULES = [
 # first, in this order; everything else follows in module order.
 _PRIORITY = [
     # === ROUND-6 WINDOW ==============================================
-    # --- slots added during the round-6 build itself (standing
-    # no-row-first rule: any query added this round fronts the window;
-    # each displaces one backfill re-check slot at the bottom) --------
-    # (append new round-6 query names HERE as they are built)
-    # --- round-6 slot 1: sc4, the round-5 window's only red row. The
+    # --- slots 1-5: the queries added during the round-6 build itself
+    # (standing no-row-first rule: new queries front the window; each
+    # displaces one backfill re-check slot at the bottom — with 5 new,
+    # q2-q4/q1/t1 slip behind the window and must front round 7's
+    # backfill together with the never-re-checked r3 cohort) ----------
+    "r11_asof_nearest",
+    "q10_table_fingerprint",
+    "e13_interarrival",
+    "d15_keep_longest",
+    "p13_length_buckets",
+    # --- slot 6: sc4, the round-5 window's only red row. The
     # plan was already bit-exact (judge driver_sim replay); the oracle's
     # uncast SUM(n) HUGEINT -> fetchdf float64 was the hasher mismatch,
     # now CAST ... AS BIGINT (scale_plans.py SQL_SC4). Re-verified via
     # driver_sim at the driver's sf0.01 before this rotation landed. ---
     "sc4_skew_report",
-    # --- slots 2-18: every entry with NO driver row in r01-r05,
+    # --- slots 7-23: every entry with NO driver row in r01-r05,
     # recomputed from CORRECTNESS_r01-05.json at rotation time (the 17
     # late round-5 additions; all oracle-backed, all green in the
     # round-5 judge's local suite + pre-validated via driver_sim) -----
@@ -117,7 +126,7 @@ _PRIORITY = [
     "x21_bigram_score",
     "x22_temperature_mix",
     "x23_zipf_fit",
-    # --- slots 19-42: the §2 core flagship re-checks deferred from
+    # --- slots 24-47: the §2 core flagship re-checks deferred from
     # round 5 (last driver rows r1/r3; golden-replication pin
     # meanwhile) — scan, projections/filters, joins, all rollups, the
     # coercing parse + median impute, DAX measures, null-safe eq ------
@@ -145,18 +154,14 @@ _PRIORITY = [
     "f2_median_impute",
     "dax_measures",
     "f18_null_safe_eq",
-    # --- slots 43-50: backfill with the STALEST remaining entries —
-    # the six whose only driver row is round 1 (set ops, q2-q4), then
-    # q1/t1 to complete the quality-gate + top-k flagship re-check.
-    # These are the displacement buffer for round-6 additions. --------
+    # --- slots 48-50: backfill. The original round-6 plan had eight
+    # backfill slots (set ops, q2-q4, q1, t1); the five round-6 query
+    # additions displaced all but the set ops, which keep their place as
+    # the stalest cohort (round-1-only rows). q2-q4/q1/t1 follow BEHIND
+    # the window in module order and must front round 7's backfill. ---
     "set_union",
     "set_intersect",
     "set_except",
-    "q2_null_audit",
-    "q3_reconciliation",
-    "q4_shape_report",
-    "q1_fk_orphans",
-    "t1_topk",
     # --- behind the window: everything already driver-verified in
     # r01-r05 follows in module order; round-7 should front any no-row
     # entries (recompute from CORRECTNESS_r01-r06) then rotate the

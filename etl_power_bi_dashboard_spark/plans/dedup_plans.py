@@ -682,7 +682,63 @@ WHERE levenshtein(a.title, b.title) <= 5
 """
 
 
+def q_d15_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept/dropped materialization a dedup pipeline actually
+    applies downstream — d6's clusters resolved under the KEEP-LONGEST
+    policy (content-richest member survives; d7's min-id representative
+    is the *labeling* convention, not a content policy): per cluster,
+    rank members by (n_chars DESC, doc_id ASC) and keep rank 1. Emits
+    every doc with its cluster, the surviving doc id, and the keep flag
+    — the join-ready filter table for "train on kept docs only".
+
+    Cost over d6: one broadcast-joinable projection of documents
+    (doc_id, n_chars) and a per-cluster rank window — clusters are tiny
+    (≤ corpus duplicate-group size), so the window partitions are
+    bounded and parallel.
+    """
+    from pyspark.sql import Window
+
+    labels = q_d6_dup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = labels.join(docs, "doc_id").withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    wk = Window.partitionBy("cluster")
+    return ranked.select(
+        "doc_id",
+        "cluster",
+        "n_chars",
+        F.max(F.when(F.col("_rk") == 1, F.col("doc_id"))).over(wk).alias(
+            "kept_doc"
+        ),
+        (F.col("_rk") == 1).alias("keep"),
+    )
+
+
+SQL_D15 = SQL_D6.replace(
+    ")\nSELECT node AS doc_id, MIN(label) AS cluster FROM cc GROUP BY node",
+    """),
+labels AS (SELECT node AS doc_id, MIN(label) AS cluster FROM cc GROUP BY node),
+ranked AS (
+    SELECT l.doc_id, l.cluster, d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY l.cluster
+                              ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk
+    FROM labels l JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster, n_chars,
+       MAX(CASE WHEN rk = 1 THEN doc_id END)
+           OVER (PARTITION BY cluster) AS kept_doc,
+       rk = 1 AS keep
+FROM ranked""",
+)
+
+
 QUERIES: list[Query] = [
+    Query("d15_keep_longest", q_d15_keep_longest, SQL_D15,
+          "dedup keep/drop materialization (keep-longest cluster policy)"),
     Query("d1_dedup_exact", q_d1_dedup_exact, SQL_D1, "exact dedup"),
     Query("d12_fuzzy_title_match", q_d12_fuzzy_title_match, SQL_D12,
           "edit-distance entity resolution (blocked Levenshtein)"),

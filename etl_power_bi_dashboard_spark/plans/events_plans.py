@@ -760,7 +760,96 @@ GROUP BY t.from_type
 """
 
 
+def q_e13_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type — the arrival-process
+    diagnostic behind capacity planning and anomaly baselines (is this
+    stream ~Poisson? what's its burstiness?): per (user, type) stream,
+    consecutive gaps via one lag window; per type, exact moment stats
+    over the gaps and the implied exponential rate λ = 1/mean.
+
+    Scale shape: the lag window partitions by (user_id, event_type) —
+    millions of small independent partitions, never a global sort — and
+    the moment aggregation is a plain partial-agg groupBy on ~#types
+    keys. Exactness: gaps are integer µs; sums accumulate as BIGINT and
+    DECIMAL(38,0) (the µs² squares would overflow BIGINT), and the
+    variance is computed from the exact sums with one IEEE expression at
+    the end, so both engines agree bit-for-bit.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "event_type",
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+                "gap_us"
+            ),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    sum_us = F.sum("gap_us")  # bigint is ample: 1e12 µs × 1e7 gaps
+    sumsq = F.sum((F.col("gap_us").cast("decimal(38,0)")
+                   * F.col("gap_us").cast("decimal(38,0)")))
+    n = F.count("*")
+    agg = gaps.groupBy("event_type").agg(
+        n.alias("n_gaps"),
+        sum_us.alias("sum_us"),
+        sumsq.cast("double").alias("sumsq_us"),
+        F.min("gap_us").alias("min_us"),
+        F.max("gap_us").alias("max_us"),
+    )
+    mean_s = F.col("sum_us").cast("double") / F.col("n_gaps").cast("double") / 1e6
+    var_s = (
+        F.col("sumsq_us")
+        - F.col("sum_us").cast("double") * F.col("sum_us").cast("double")
+        / F.col("n_gaps").cast("double")
+    ) / F.col("n_gaps").cast("double") / 1e12
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        mean_s.alias("mean_gap_s"),
+        (F.col("min_us").cast("double") / 1e6).alias("min_gap_s"),
+        (F.col("max_us").cast("double") / 1e6).alias("max_gap_s"),
+        var_s.alias("var_gap_s"),
+        (F.lit(1.0) / mean_s).alias("rate_per_s"),
+    )
+
+
+SQL_E13 = """
+WITH gaps AS (
+    SELECT user_id, event_type,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id),
+                     ts) AS gap_us
+    FROM events
+), g AS (SELECT * FROM gaps WHERE gap_us IS NOT NULL),
+agg AS (
+    SELECT event_type,
+           COUNT(*) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_us,
+           CAST(SUM(CAST(gap_us AS DECIMAL(38,0))
+                    * CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE) AS sumsq_us,
+           MIN(gap_us) AS min_us,
+           MAX(gap_us) AS max_us
+    FROM g GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       CAST(sum_us AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1e6 AS mean_gap_s,
+       CAST(min_us AS DOUBLE) / 1e6 AS min_gap_s,
+       CAST(max_us AS DOUBLE) / 1e6 AS max_gap_s,
+       (sumsq_us - CAST(sum_us AS DOUBLE) * CAST(sum_us AS DOUBLE)
+                   / CAST(n_gaps AS DOUBLE))
+           / CAST(n_gaps AS DOUBLE) / 1e12 AS var_gap_s,
+       1.0 / (CAST(sum_us AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1e6)
+           AS rate_per_s
+FROM agg
+"""
+
+
 QUERIES: list[Query] = [
+    Query("e13_interarrival", q_e13_interarrival, SQL_E13,
+          "inter-arrival-time profile per event type (exact moments + rate)"),
     Query("e1_tumbling_hourly", q_e1_tumbling_hourly, SQL_E1, "tumbling window agg"),
     Query("e12_time_to_convert", q_e12_time_to_convert, SQL_E12,
           "funnel timing (exact µs conversion lags)"),

@@ -1119,7 +1119,86 @@ FROM stats WHERE k >= 3
 """
 
 
+def q_q10_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint per table — the snapshot-
+    equality primitive behind every 100 TB migration/backfill sign-off
+    ("did engine A and engine B produce the same table?"): per-row
+    canonical string → 60-bit md5 prefix → commutative SUM. Equal
+    multisets of rows ⇒ equal (n_rows, fingerprint) pairs regardless of
+    row order, partitioning, or file layout, so two engines can each
+    compute it independently and compare two scalars instead of
+    shipping data.
+
+    Scale shape: pure map-side hashing with partial sums — the only
+    traffic is one partial aggregate per partition into a single-row
+    combine; no shuffle of data rows, no sort. The canon covers the
+    integer/string/timestamp columns (timestamps as wall-clock
+    `yyyy-MM-dd HH:mm:ss` strings — the driver parquet is TIMESTAMP_NTZ,
+    so a wall-clock format is the timezone-independent canon both
+    engines render identically); float columns are deliberately
+    excluded — fingerprinting floats requires an explicit quantization
+    policy (cf. the DECIMAL money convention in plans/base.py), not a
+    silent ``CAST(double AS VARCHAR)`` whose textual form is
+    engine-dependent. The sum accumulates in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — exact at ~2^60 per row up to ~10^18 rows — and
+    compares as a string.
+    """
+    def fp(df: DataFrame, cols: list, table: str) -> DataFrame:
+        canon = F.concat_ws("|", *cols)
+        h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast(
+            "decimal(38,0)"
+        )
+        return df.agg(
+            F.lit(table).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.sum(h).cast("string").alias("fingerprint"),
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return fp(
+        li,
+        [
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_returnflag", "l_linestatus",
+            F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
+        ],
+        "lineitem",
+    ).unionByName(
+        fp(
+            orders,
+            [
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority",
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+            ],
+            "orders",
+        )
+    )
+
+
+SQL_Q10 = """
+SELECT 'lineitem' AS table_name,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(CAST(concat('0x', substr(md5(
+           concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                     l_returnflag, l_linestatus, strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'))
+       ), 1, 15)) AS BIGINT) AS HUGEINT)) AS VARCHAR) AS fingerprint
+FROM lineitem
+UNION ALL
+SELECT 'orders' AS table_name,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(CAST(concat('0x', substr(md5(
+           concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                     o_orderpriority, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'))
+       ), 1, 15)) AS BIGINT) AS HUGEINT)) AS VARCHAR) AS fingerprint
+FROM orders
+"""
+
+
 QUERIES: list[Query] = [
+    Query("q10_table_fingerprint", q_q10_table_fingerprint, SQL_Q10,
+          "order-insensitive table content fingerprint (snapshot equality)"),
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
     Query("q8_volume_anomaly", q_q8_volume_anomaly, SQL_Q8,
           "daily ingest-volume anomaly check (trailing-7-day z)"),

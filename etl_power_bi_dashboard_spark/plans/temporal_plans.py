@@ -592,7 +592,85 @@ FROM carried
 """
 
 
+def q_r11_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of join (pandas ``merge_asof(direction='nearest')``,
+    tolerance=48h): every click matched to the user's closest purchase
+    in EITHER time direction — the sensor-alignment/sessionless-
+    attribution semantic that backward (r1/r7) and forward (r9) as-of
+    can't express. One shuffle + one sort via the dual-window union
+    plan (:func:`operators.temporal.asof_join_nearest`); |Δ| ties pick
+    the earlier candidate, equal-ts purchases tie-break on purchase id,
+    so the pick is engine-portable.
+    """
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    return temporal.asof_join_nearest(
+        clicks,
+        purchases,
+        on="user_id",
+        ts="ts",
+        right_id="purchase_id",
+        tolerance_seconds=48 * 3600,
+    )
+
+
+SQL_R11 = """
+WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+      WHERE event_type = 'purchase'),
+cand AS (
+    SELECT c.user_id, c.ts, c.event_id,
+           (SELECT p.ts FROM p
+            WHERE p.user_id = c.user_id AND p.ts <= c.ts
+            ORDER BY p.ts DESC, p.purchase_id DESC LIMIT 1) AS prev_ts,
+           (SELECT p.purchase_id FROM p
+            WHERE p.user_id = c.user_id AND p.ts <= c.ts
+            ORDER BY p.ts DESC, p.purchase_id DESC LIMIT 1) AS prev_id,
+           (SELECT p.ts FROM p
+            WHERE p.user_id = c.user_id AND p.ts > c.ts
+            ORDER BY p.ts ASC, p.purchase_id ASC LIMIT 1) AS next_ts,
+           (SELECT p.purchase_id FROM p
+            WHERE p.user_id = c.user_id AND p.ts > c.ts
+            ORDER BY p.ts ASC, p.purchase_id ASC LIMIT 1) AS next_id
+    FROM c
+), scored AS (
+    SELECT user_id, ts, event_id, prev_ts, prev_id, next_ts, next_id,
+           date_diff('microsecond', prev_ts, ts) AS d_prev_us,
+           date_diff('microsecond', ts, next_ts) AS d_next_us,
+           (prev_ts IS NOT NULL
+            AND date_diff('microsecond', prev_ts, ts) <= 172800000000)
+               AS prev_ok,
+           (next_ts IS NOT NULL
+            AND date_diff('microsecond', ts, next_ts) <= 172800000000)
+               AS next_ok
+    FROM cand
+), picked AS (
+    SELECT *,
+           prev_ok AND (NOT next_ok OR d_prev_us <= d_next_us) AS pick_prev,
+           next_ok AND NOT (prev_ok AND (NOT next_ok OR d_prev_us <= d_next_us))
+               AS pick_next
+    FROM scored
+)
+SELECT user_id, ts, event_id,
+       CASE WHEN pick_prev THEN prev_ts WHEN pick_next THEN next_ts END
+           AS nearest_ts,
+       CASE WHEN pick_prev THEN prev_id WHEN pick_next THEN next_id END
+           AS nearest_purchase_id,
+       CASE WHEN pick_prev THEN CAST(0 - d_prev_us AS DOUBLE) / 1e6
+            WHEN pick_next THEN CAST(d_next_us AS DOUBLE) / 1e6 END
+           AS delta_seconds
+FROM picked
+"""
+
+
 QUERIES: list[Query] = [
+    Query("r11_asof_nearest", q_r11_asof_nearest, SQL_R11,
+          "nearest as-of join (merge_asof direction='nearest', 48h tolerance)"),
     Query("r1_asof_join", q_r1_asof_join, SQL_R1, "as-of join"),
     Query("r10_peak_concurrency", q_r10_peak_concurrency, SQL_R10,
           "peak concurrent sessions per day (distributed sweep-line)"),

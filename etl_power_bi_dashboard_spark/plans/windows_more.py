@@ -488,7 +488,64 @@ WHERE rk <= 10
 """
 
 
+def q_p13_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-population token-length bucketing (8 buckets) — the
+    batch-shape planner for training ingestion: group docs of similar
+    token count so per-batch padding waste is bounded, then report each
+    bucket's population and token range. Assignment is the exact NTILE
+    formula bucket = ⌊(rn−1)·8/n⌋ over the (token_count, doc_id) total
+    order — but the rank comes from the sc5 range-partitioned
+    ``distributed_row_number`` (token_count itself is the monotone
+    bucket key), so no single-task global window exists anywhere in the
+    plan; the final rollup partial-aggregates to 8 rows.
+    """
+    from ..operators.scale import distributed_row_number
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("token_count")
+    )
+    ranked = distributed_row_number(
+        docs,
+        bucket=F.col("token_count").cast("long"),
+        order_cols=["token_count", "doc_id"],
+        rn_alias="rn",
+        count_alias="n",
+    )
+    b = F.floor((F.col("rn") - 1) * 8 / F.col("n")).cast("int")
+    return (
+        ranked.groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("token_count").alias("min_tokens"),
+            F.max("token_count").alias("max_tokens"),
+            F.sum("token_count").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+SQL_P13 = """
+WITH toks AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS token_count
+    FROM documents
+), ranked AS (
+    SELECT token_count,
+           ROW_NUMBER() OVER (ORDER BY token_count, doc_id) AS rn,
+           COUNT(*) OVER () AS n
+    FROM toks
+)
+SELECT CAST(FLOOR(CAST((rn - 1) * 8 AS BIGINT) / n) AS INT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(token_count) AS INT) AS min_tokens,
+       CAST(MAX(token_count) AS INT) AS max_tokens,
+       CAST(SUM(token_count) AS BIGINT) AS sum_tokens
+FROM ranked
+GROUP BY 1
+"""
+
+
 QUERIES: list[Query] = [
+    Query("p13_length_buckets", q_p13_length_buckets, SQL_P13,
+          "equal-population token-length bucketing (distributed NTILE)"),
     Query("w4_moving_avg", q_w4_moving_avg, SQL_W4, "ROWS-frame moving average"),
     Query("p14_weighted_reservoir", q_p14_weighted_reservoir, SQL_P14,
           "Efraimidis-Spirakis weighted reservoir sample"),

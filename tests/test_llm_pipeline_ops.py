@@ -244,3 +244,76 @@ def test_ml7_all_oov_doc_predicts_by_prior(spark, tmp_path):
     assert (r.doc_id, r.true_lang, r.pred_lang, r.correct) == (
         0, "fr", "en", False
     )
+
+
+def test_q10_fingerprint_invariant_under_layout(spark, tmp_path):
+    """The table fingerprint is a pure function of row CONTENT: a
+    repartitioned, row-shuffled copy of the table must fingerprint
+    identically, and flipping one value must change it."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    q = REGISTRY["q10_table_fingerprint"].spark
+    for t in ("lineitem", "orders"):
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        df.orderBy(F.rand(7)).repartition(13).write.mode("overwrite").parquet(
+            f"{tmp_path}/{t}.parquet"
+        )
+    base = {r.table_name: (r.n_rows, r.fingerprint)
+            for r in q(spark, SF_DIR).collect()}
+    moved = {r.table_name: (r.n_rows, r.fingerprint)
+             for r in q(spark, str(tmp_path)).collect()}
+    assert base == moved and len(base) == 2
+    # flip one row's key -> fingerprint must move, count must not
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumn(
+        "l_orderkey",
+        F.when(F.col("l_linenumber") == 1, F.col("l_orderkey") + 1)
+        .otherwise(F.col("l_orderkey")),
+    )
+    li.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    tampered = {r.table_name: (r.n_rows, r.fingerprint)
+                for r in q(spark, str(tmp_path)).collect()}
+    assert tampered["orders"] == base["orders"]
+    assert tampered["lineitem"][0] == base["lineitem"][0]
+    assert tampered["lineitem"][1] != base["lineitem"][1]
+
+
+def test_p13_bucket_laws(spark):
+    """Length buckets: ids are exactly 0..7, populations differ by at
+    most one doc (equal-population NTILE law), bucket token ranges are
+    non-overlapping and ordered, totals cover the corpus."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["p13_length_buckets"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r.bucket,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    assert [r.bucket for r in rows] == list(range(8))
+    pops = [r.n_docs for r in rows]
+    assert sum(pops) == n_docs and max(pops) - min(pops) <= 1
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_tokens <= hi.min_tokens
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("s")
+    ).collect()[0].s
+    assert sum(r.sum_tokens for r in rows) == total_tokens
+
+
+def test_d15_keep_policy_laws(spark):
+    """Keep-longest materialization: exactly one kept doc per cluster,
+    the kept doc is a longest member (ties -> smallest doc_id), kept_doc
+    is consistent across the cluster, singletons keep themselves."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    rows = REGISTRY["d15_keep_longest"].spark(spark, SF_DIR).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert by_cluster
+    for cluster, members in by_cluster.items():
+        kept = [m for m in members if m.keep]
+        assert len(kept) == 1
+        best = min((-m.n_chars, m.doc_id) for m in members)
+        assert (-kept[0].n_chars, kept[0].doc_id) == best
+        assert {m.kept_doc for m in members} == {kept[0].doc_id}

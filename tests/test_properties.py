@@ -167,6 +167,63 @@ def test_asof_forward_matches_bruteforce(spark, left, right):
 
 
 @given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=1, max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    tol=st.one_of(st.none(), st.integers(0, 200)),
+)
+@_settings
+def test_asof_nearest_matches_bruteforce(spark, left, right, tol):
+    """asof_join_nearest law: for every left row, the match is the right
+    row minimizing |right.ts − left.ts| for that key within tolerance,
+    |Δ| ties resolving to the EARLIER candidate; no candidate within
+    tolerance ⇒ NULL columns."""
+    import datetime as dt
+
+    from etl_power_bi_dashboard_spark.operators.temporal import (
+        asof_join_nearest,
+    )
+
+    base = dt.datetime(2000, 1, 1)
+    to_ts = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    ldf = spark.createDataFrame(
+        [(k, to_ts(s)) for k, s in left], "k BIGINT, ts TIMESTAMP"
+    )
+    rdf = spark.createDataFrame(
+        [(k, to_ts(s), v) for k, s, v in right],
+        "k BIGINT, ts TIMESTAMP, rid BIGINT",
+    )
+    got = {
+        (r.k, r.ts): (r.nearest_rid, r.delta_seconds)
+        for r in asof_join_nearest(
+            ldf, rdf, on="k", right_id="rid", tolerance_seconds=tol
+        ).collect()
+    }
+    for k, s in left:
+        cands = [
+            (abs(s2 - s), s2, v)
+            for k2, s2, v in right
+            if k2 == k and (tol is None or abs(s2 - s) <= tol)
+        ]
+        if not cands:
+            assert got[(k, to_ts(s))] == (None, None), (k, s)
+            continue
+        best_abs = min(d for d, _, _ in cands)
+        # tie on |Δ| → earlier candidate (timestamps unique per key,
+        # so at most one earlier + one later share best_abs)
+        s2, v = min((s2, v) for d, s2, v in cands if d == best_abs)
+        want_delta = float(s2 - s)
+        rid, delta = got[(k, to_ts(s))]
+        assert rid == v and delta == want_delta, (k, s, cands, rid, delta)
+
+
+@given(
     lens=st.lists(st.integers(1, 40), min_size=1, max_size=30),
     ctx=st.integers(8, 64),
 )

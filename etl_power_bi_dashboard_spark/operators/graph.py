@@ -71,6 +71,20 @@ def pagerank(
     Deterministic given the graph: the fixpoint doesn't depend on
     partitioning (sums are doubles, so last-bit associativity wiggle
     exists run-to-run — callers needing bit-stable output should round).
+
+    Round-6 experiment, recorded: pre-partitioning ``ed`` by src and
+    ``base_nodes`` by node through ``repartition(P, key) +
+    localCheckpoint`` DOES let the planner elide the join exchanges
+    (verified: 1 data exchange/iteration instead of 3) — but only with
+    AQE disabled; AQE's re-planning does not trust a LogicalRDD's
+    output partitioning and re-inserts ENSURE_REQUIREMENTS exchanges,
+    and this session keeps AQE on for the rest of the engine. Measured
+    end-to-end at sf0.1 the difference was within host noise (~12% on a
+    contended box) because at bench scale the per-iteration cost is
+    checkpoint materialization + scheduling, not shuffle bytes — the
+    same conclusion as the round-5 cadence experiment. At cluster scale
+    the ranks side is the thing to co-partition, and the right tool is
+    a storage-partitioned/bucketed edge table, not in-plan repartition.
     """
     n = nodes.count()
     if n == 0:

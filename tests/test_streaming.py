@@ -454,3 +454,71 @@ def test_trending_topk_matches_batch_and_replays_clean(
         for r in spark.read.parquet(out).collect()
     }
     assert again == got
+
+
+def test_trending_topk_rewrites_only_touched_windows(spark, tmp_path):
+    """Scale contract of the partitioned trending sink: a micro-batch
+    that only adds events in a NEW window must leave every other
+    window's state and target partition files byte-untouched (same file
+    names — dynamic overwrite writes fresh part files whenever it
+    rewrites a partition), while the new window appears with the
+    correct top-k."""
+    import os
+
+    src = str(tmp_path / "incr_events")
+    out = str(tmp_path / "incr_trend")
+    ckpt = str(tmp_path / "incr_ck")
+    base = load_events(spark, SF_DIR)
+    base.repartition(2).write.mode("overwrite").parquet(src)
+
+    def listing(root):
+        files = {}
+        for dirpath, _, names in os.walk(root):
+            part = os.path.relpath(dirpath, root)
+            for n in names:
+                if n.endswith(".parquet"):
+                    files.setdefault(part, set()).add(n)
+        return files
+
+    q = se.trending_topk_sink(se.read_event_stream(spark, src), out, ckpt, k=3)
+    _drain(q)
+    state = f"{out}_state"
+    before_state = listing(state)
+    before_target = listing(out)
+    assert len(before_state) > 1  # partitioned by window
+
+    # one new event far past every existing window (watermark keeps it)
+    new_ts = base.agg(F.max("ts")).first()[0]
+    late = spark.createDataFrame(
+        [(999999, new_ts, 1, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 HOURS"))
+    late.write.mode("append").parquet(src)
+
+    q = se.trending_topk_sink(se.read_event_stream(spark, src), out, ckpt, k=3)
+    _drain(q)
+    after_state = listing(state)
+    after_target = listing(out)
+
+    changed_state = {
+        p for p in before_state
+        if after_state.get(p) != before_state[p]
+    }
+    assert changed_state == set(), f"untouched windows rewritten: {changed_state}"
+    new_parts = set(after_state) - set(before_state)
+    assert len(new_parts) == 1  # exactly the new window's partition
+    changed_target = {
+        p for p in before_target
+        if after_target.get(p) != before_target[p]
+    }
+    assert changed_target == set()
+    # and the new window's top-k is the single late event
+    spark.catalog.refreshByPath(out)
+    new_ws = new_parts.pop().split("=", 1)[1]
+    rows = (
+        spark.read.parquet(out)
+        .filter(F.col("ws") == int(new_ws))
+        .collect()
+    )
+    assert [(r.event_type, r.n_events, r.rk) for r in rows] == [("click", 1, 1)]

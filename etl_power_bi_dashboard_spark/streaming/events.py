@@ -186,6 +186,61 @@ def click_purchase_join(
     )
 
 
+def click_purchase_left_join(
+    events: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the conversion-rate
+    shape: every click emits, converted ones carry their purchase,
+    UNCONVERTED ones emit with NULL purchase columns once the watermark
+    has passed ``click_ts + within`` (only then can the engine prove no
+    matching purchase can still arrive — outer results are inherently
+    watermark-delayed, which is the semantic difference from the inner
+    join, not an implementation detail).
+
+    State bounds are the inner join's: both sides evict past the
+    watermark because the time-bound condition is part of the join. A
+    terminating (availableNow) run emits the outer rows whose bound the
+    final watermark passed; clicks inside the last watermark window
+    remain pending — tests push a sentinel event past the horizon to
+    flush them, which is exactly what a production heartbeat topic does.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "leftOuter").select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )
+
+
 def enrich_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: each streaming event picks up its
     user's dimension attributes — the canonical "enrich the stream with a
@@ -398,6 +453,7 @@ def trending_topk_sink(
             .partitionBy("ws")
             .parquet(state)
         )
+        _mark_complete(spark, state)
         # merged IS the post-write state for the touched windows — rank
         # it directly, no state re-read.
         ranked = merged.withColumn(
@@ -430,6 +486,21 @@ def _fs_and_path(spark: SparkSession, path: str):
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return fs, hpath
+
+
+def _mark_complete(spark: SparkSession, path: str) -> None:
+    """Drop the root ``_SUCCESS`` marker a dynamic partition overwrite
+    does NOT write (its committer touches only the overwritten partition
+    dirs — discovered when ``_is_complete`` silently returned False for
+    every partitioned sink target, making each batch treat the table as
+    absent and lose the untouched keys of touched partitions). Called by
+    the driver AFTER the write commits; crash before the marker on the
+    FIRST batch means the replay rewrites the same partitions, and on
+    later batches the earlier marker (never deleted) already tells the
+    truth: the table exists and replay heals partition-by-partition."""
+    fs, _ = _fs_and_path(spark, path)
+    jvm = spark._jvm
+    fs.create(jvm.org.apache.hadoop.fs.Path(path, "_SUCCESS"), True).close()
 
 
 def _is_complete(spark: SparkSession, path: str) -> bool:
@@ -544,6 +615,105 @@ def scd2_parquet_sink(
             else untouched.select(*rebuilt.columns).unionByName(rebuilt)
         )
         _republish(merged, target_path, stage)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def scd2_parquet_sink_bucketed(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    carry_cols: tuple[str, ...] = ("value",),
+    n_buckets: int = 16,
+):
+    """The key-bucketed form of :func:`scd2_parquet_sink` — the 100 TB
+    fallback SCALE.md argues for, implemented: the versioned dimension
+    is partitioned by ``bucket = pmod(xxhash64(key), n_buckets)`` and
+    every micro-batch touches ONLY the buckets its keys hash into.
+
+    Where the plain sink's publish is O(table) per batch (stage-then-
+    swap rewrites the whole dimension even for a 10-key batch), here:
+
+    - the affected-history read is partition-pruned to the touched
+      buckets (the left-semi/anti split runs on that slice — quiet
+      buckets are never even scanned);
+    - the rewrite is a dynamic partition overwrite of the touched
+      buckets only, so publish cost is O(touched buckets · bucket
+      size); ``n_buckets`` sizes a bucket to rewrite in seconds;
+    - crash mid-commit can leave touched buckets mixed old/new; the
+      replayed batch re-merges every touched bucket to identical bytes
+      (the (key, tiebreak) dedup makes the fold idempotent) — the same
+      heal-on-replay contract, now at bucket granularity.
+
+    Fold semantics are IDENTICAL to the plain sink (same
+    ``scd2_history`` over batch ∪ affected history — pinned by the
+    equivalence test); only the storage layout and the per-batch cost
+    model change.
+    """
+    from ..plans.merge_plans import scd2_history
+
+    bucket_of = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            key_col, tiebreak_col, ts_col, *carry_cols
+        ).dropDuplicates([key_col, tiebreak_col])
+        touched = [
+            r.b for r in batch.select(bucket_of.alias("b")).distinct().collect()
+        ]
+        if not touched:
+            return
+        untouched_slice = None
+        combined = batch
+        if _is_complete(spark, target_path):
+            spark.catalog.refreshByPath(target_path)
+            slice_ = spark.read.parquet(target_path).filter(
+                F.col("bucket").isin(touched)
+            )
+            affected = batch.select(key_col).distinct()
+            touched_log = slice_.join(affected, key_col, "left_semi").select(
+                key_col,
+                tiebreak_col,
+                F.col("effective_from").alias(ts_col),
+                *carry_cols,
+            )
+            untouched_slice = slice_.join(affected, key_col, "left_anti")
+            combined = touched_log.unionByName(batch).dropDuplicates(
+                [key_col, tiebreak_col]
+            )
+        rebuilt = scd2_history(
+            combined,
+            key_col=key_col,
+            ts_col=ts_col,
+            tiebreak_col=tiebreak_col,
+            carry_cols=tuple(carry_cols),
+        ).withColumn("bucket", bucket_of)
+        merged = (
+            rebuilt
+            if untouched_slice is None
+            else untouched_slice.select(*rebuilt.columns).unionByName(rebuilt)
+        )
+        merged = merged.localCheckpoint(eager=True)  # read+overwrite target
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(target_path)
+        )
+        _mark_complete(spark, target_path)
+        merged.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

@@ -522,3 +522,193 @@ def test_trending_topk_rewrites_only_touched_windows(spark, tmp_path):
         .collect()
     )
     assert [(r.event_type, r.n_events, r.rk) for r in rows] == [("click", 1, 1)]
+
+
+def test_stream_stream_left_join_matches_batch(spark, tmp_path):
+    """The left-outer stream-stream join must emit every click exactly
+    once — converted clicks with their purchases, unconverted clicks
+    with NULLs — matching the batch left join. A sentinel event far past
+    the horizon pushes the watermark so the final unconverted clicks
+    flush (outer results are inherently watermark-delayed)."""
+    src = str(tmp_path / "lj_events")
+    base = load_events(spark, SF_DIR)
+    base.repartition(4).write.mode("overwrite").parquet(src)
+    far = base.agg(F.max("ts")).first()[0]
+    # The watermark operators sit AFTER the event_type filters, so the
+    # sentinel must be a click AND a purchase (on users absent from the
+    # data) or it advances neither side's watermark and the last real
+    # clicks stay pending forever.
+    sentinel = spark.createDataFrame(
+        [
+            (999998, far, 999999, "click", 0.0, "{}"),
+            (999999, far, 999998, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    sentinel.write.mode("append").parquet(src)
+
+    stream = se.click_purchase_left_join(se.read_event_stream(spark, src))
+    _drain(se.run_to_memory(stream, "t_lsjoin", mode="append"))
+    got = {
+        (r.click_id, r.purchase_id, r.converted)
+        for r in spark.table("t_lsjoin").collect()
+        if r.click_id != 999998  # sentinel click itself stays pending
+    }
+    want = {
+        (r.click_id, r.purchase_id, r.converted)
+        for r in se.click_purchase_left_join(
+            spark.read.parquet(src)
+        ).collect()
+        if r.click_id != 999998
+    }
+    assert got == want
+    unconverted = {c for c, p, conv in want if not conv}
+    converted = {c for c, p, conv in want if conv}
+    assert unconverted and converted  # both semantics actually exercised
+
+
+def test_scd2_bucketed_sink_equivalent_and_prunes_quiet_buckets(
+    spark, event_dir, tmp_path
+):
+    """The bucketed SCD-2 sink must (a) build exactly the history the
+    plain sink builds (same scd2_history fold, bucketing is layout
+    only), including a late tranche splicing mid-history, and (b) leave
+    quiet buckets' partition files untouched when a batch only changes
+    one key."""
+    import os
+
+    from etl_power_bi_dashboard_spark.plans.merge_plans import scd2_history
+
+    out = str(tmp_path / "scd2b_out")
+    ev = spark.read.parquet(event_dir)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    recent_dir = str(tmp_path / "recent")
+    late_dir = str(tmp_path / "late")
+    ev.filter(F.col("ts") >= F.lit(mid)).write.parquet(recent_dir)
+    ev.filter(F.col("ts") < F.lit(mid)).write.parquet(late_dir)
+
+    def run(src, ckpt):
+        q = se.scd2_parquet_sink_bucketed(
+            se.read_event_stream(spark, src), out, str(tmp_path / ckpt),
+            n_buckets=8,
+        )
+        _drain(q)
+        spark.catalog.refreshByPath(out)
+
+    def snapshot(df):
+        return {
+            (r.user_id, r.event_id, r.effective_from, r.effective_to,
+             r.is_current, round(r.value, 6))
+            for r in df.select(
+                "user_id", "event_id", "effective_from", "effective_to",
+                "is_current", "value",
+            ).collect()
+        }
+
+    run(recent_dir, "ck1")
+    assert snapshot(spark.read.parquet(out)) == snapshot(
+        scd2_history(spark.read.parquet(recent_dir))
+    )
+    run(late_dir, "ck2")  # late tranche splices mid-history
+    want_full = snapshot(scd2_history(ev))
+    assert snapshot(spark.read.parquet(out)) == want_full
+
+    def listing(root):
+        files = {}
+        for dirpath, _, names in os.walk(root):
+            part = os.path.relpath(dirpath, root)
+            for n in names:
+                if n.endswith(".parquet"):
+                    files.setdefault(part, set()).add(n)
+        return files
+
+    before = listing(out)
+    assert len(before) == 8  # all 8 buckets materialized at this size
+
+    # single-key batch: only that key's bucket may be rewritten
+    one_user = ev.select("user_id").first()[0]
+    single_dir = str(tmp_path / "single")
+    single = spark.createDataFrame(
+        [(888888, hi, one_user, "update", 42.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    single.write.parquet(single_dir)
+    run(single_dir, "ck3")
+    after = listing(out)
+    changed = {p for p in before if after.get(p) != before[p]}
+    assert len(changed) == 1  # exactly the touched key's bucket
+    # and the fold stayed correct: target == batch history over all seen
+    want_all = snapshot(scd2_history(ev.unionByName(single)))
+    assert snapshot(spark.read.parquet(out)) == want_all
+
+
+def test_trending_partial_window_update_keeps_other_keys(
+    spark, tmp_path
+):
+    """The regression the _SUCCESS-marker fix closes: when a later batch
+    updates ONE event type inside an existing window, update mode emits
+    only that key — the sink must merge it against stored state, keeping
+    the window's OTHER event types, not rewrite the partition from the
+    batch alone (dynamic partition overwrite writes no root _SUCCESS, so
+    the completeness gate silently failed and every batch looked like
+    the first). Synthetic two-window fixture spanning < 2h so the agg
+    state for both windows is still inside the watermark horizon when
+    the follow-up batch arrives."""
+    import datetime as dt
+
+    src = str(tmp_path / "pw_events")
+    out = str(tmp_path / "pw_trend")
+    ckpt = str(tmp_path / "pw_ck")
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def ev_rows(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    ev_rows([
+        (1, t0 + dt.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=12), 2, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=15), 3, "view", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=18), 4, "view", 1.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=20), 5, "view", 1.0, "{}"),
+        (6, t0 + dt.timedelta(minutes=70), 6, "purchase", 1.0, "{}"),
+    ]).write.mode("overwrite").parquet(src)
+
+    q = se.trending_topk_sink(se.read_event_stream(spark, src), out, ckpt,
+                              k=100)
+    _drain(q)
+    spark.catalog.refreshByPath(out)
+    w1 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    before_w1 = {
+        (r.event_type, r.n_events)
+        for r in spark.read.parquet(out).filter(F.col("ws") == w1).collect()
+    }
+    assert before_w1 == {("click", 2), ("view", 3)}
+
+    # batch 2, same checkpoint: ONE more click inside window 1 — update
+    # mode emits only (w1, click); (w1, view) must survive the merge
+    ev_rows([
+        (7, t0 + dt.timedelta(minutes=40), 7, "click", 1.0, "{}"),
+    ]).write.mode("append").parquet(src)
+    q = se.trending_topk_sink(se.read_event_stream(spark, src), out, ckpt,
+                              k=100)
+    _drain(q)
+    spark.catalog.refreshByPath(out)
+    after_w1 = {
+        (r.event_type, r.n_events)
+        for r in spark.read.parquet(out).filter(F.col("ws") == w1).collect()
+    }
+    assert after_w1 == {("click", 3), ("view", 3)}
+    # window 2 untouched
+    w2 = w1 + 3600
+    after_w2 = {
+        (r.event_type, r.n_events)
+        for r in spark.read.parquet(out).filter(F.col("ws") == w2).collect()
+    }
+    assert after_w2 == {("purchase", 1)}

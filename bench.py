@@ -23,6 +23,17 @@ HEADLINE is best-of-3 (was 2) so the min gets two chances at a quiet
 window; cross-round comparisons should use ratios within one bench run,
 not absolute seconds across rounds.
 
+ROUND-6 METHODOLOGY CHANGES: (1) the LAST stdout line is now a compact
+JSON record without the per-query dict — round 5's 76-query detail line
+outgrew the driver's ~2KB tail capture and the round recorded no parsed
+bench at all; the detail still prints (line before last) and lands in
+BENCH_DETAIL.json. (2) ml3 moved to FRESH_SESSION_TAIL (slowest tail,
+compute-bound exact triangle count — the clean-session best-of-3
+methodology exists for exactly this profile; the plan itself is already
+the measured-optimal algorithm). (3) TAIL gains t3/q8 (previously
+missed) and the round-6 additions r11/q10/e13/p13; d15 joins the
+fresh-session cohort because it re-runs the full d6 cluster build.
+
 ROUND-5 METHODOLOGY CHANGES: (1) heavy iterative/full-corpus tails run
 in FRESH SparkContexts (see FRESH_SESSION_TAIL) — round 4's in-session
 d6 row (38.0s) was a session-state artifact, 3.5x the judge's direct

@@ -156,6 +156,9 @@ TAIL = [
     "q10_table_fingerprint",
     "e13_interarrival",
     "p13_length_buckets",
+    # late round-6 additions (behind the round-6 window; front round 7)
+    "a21_seasonality",
+    "x25_ngram_novelty",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

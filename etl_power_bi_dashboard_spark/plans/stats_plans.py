@@ -1196,12 +1196,107 @@ FROM orders
 """
 
 
+def q_a21_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event
+    volume — trend (centered 7-day moving average), day-of-week seasonal
+    component, residual — the BI "is Monday really our slow day or is
+    that the trend?" report and the baseline layer of volume-anomaly
+    monitors (q8 flags deviations; this explains them).
+
+    Exactness discipline: every mean is carried as EXACT INTEGER sums
+    until one final IEEE division in identical textual order on both
+    engines — trend = sum7/7 (frame sum of BIGINT counts), seasonal =
+    Σ(7·n − sum7)/(7·cnt) per weekday (the detrended value scaled by 7
+    so it stays integral; a double Σ of detrended values would expose
+    partial-aggregation order), residual = the two-term expression over
+    those. Edge days without a full 7-day frame carry NULL trend and
+    are excluded from the seasonal means — same predicate both engines.
+
+    Scale: the windows run over the pre-aggregated DAILY grain
+    (≤ 365·years rows — the documented acceptable single-partition
+    case, cf. w2/w5), never the raw events; everything before that is
+    map-side partial aggregation.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = (
+        # date cast back to TIMESTAMP: the repo's portable day type
+        # (DuckDB DATE fetches as datetime64, Spark DATE as date objects
+        # — the hashers disagree; cf. r10's identical cast)
+        ev.groupBy(F.to_date("ts").cast("timestamp").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    with_trend = daily.select(
+        "day",
+        "n",
+        F.when(
+            F.count("*").over(w7) == 7, F.sum("n").over(w7)
+        ).alias("sum7"),
+    )
+    dow = F.dayofweek("day")
+    seas = (
+        with_trend.filter(F.col("sum7").isNotNull())
+        .groupBy(dow.alias("dw"))
+        .agg(
+            F.sum(F.col("n") * 7 - F.col("sum7")).alias("scaled"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    out = with_trend.join(
+        F.broadcast(seas), dow == F.col("dw"), "left"
+    )
+    trend = F.col("sum7").cast("double") / 7.0
+    seasonal = F.when(
+        F.col("sum7").isNotNull(),
+        F.col("scaled").cast("double")
+        / (7.0 * F.col("cnt").cast("double")),
+    )
+    return out.select(
+        "day",
+        "n",
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("n").cast("double") - trend - seasonal).alias("residual"),
+    )
+
+
+SQL_A21 = """
+WITH daily AS (
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, COUNT(*) AS n
+    FROM events GROUP BY 1
+), framed AS (
+    SELECT day, n,
+           CASE WHEN COUNT(*) OVER w = 7 THEN SUM(n) OVER w END AS sum7
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), seas AS (
+    SELECT EXTRACT(dow FROM day) + 1 AS dw,
+           CAST(SUM(n * 7 - sum7) AS BIGINT) AS scaled,
+           COUNT(*) AS cnt
+    FROM framed WHERE sum7 IS NOT NULL GROUP BY 1
+)
+SELECT f.day, f.n,
+       CAST(f.sum7 AS DOUBLE) / 7.0 AS trend,
+       CASE WHEN f.sum7 IS NOT NULL THEN
+           CAST(s.scaled AS DOUBLE) / (7.0 * CAST(s.cnt AS DOUBLE))
+       END AS seasonal,
+       CAST(f.n AS DOUBLE) - CAST(f.sum7 AS DOUBLE) / 7.0
+           - CASE WHEN f.sum7 IS NOT NULL THEN
+                 CAST(s.scaled AS DOUBLE) / (7.0 * CAST(s.cnt AS DOUBLE))
+             END AS residual
+FROM framed f
+LEFT JOIN seas s ON s.dw = EXTRACT(dow FROM f.day) + 1
+"""
+
+
 QUERIES: list[Query] = [
     Query("q10_table_fingerprint", q_q10_table_fingerprint, SQL_Q10,
           "order-insensitive table content fingerprint (snapshot equality)"),
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
     Query("q8_volume_anomaly", q_q8_volume_anomaly, SQL_Q8,
           "daily ingest-volume anomaly check (trailing-7-day z)"),
+    Query("a21_seasonality", q_a21_seasonality, SQL_A21,
+          "additive seasonal decomposition of daily volume (trend/dow/residual)"),
     Query("a20_mad", q_a20_mad, SQL_A20,
           "median absolute deviation (robust dispersion, two rank passes)"),
     Query("q7_chi2_independence", q_q7_chi2_independence, SQL_Q7,

@@ -1330,6 +1330,79 @@ FROM scored s CROSS JOIN norm n
 """
 
 
+def q_x25_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per document (in doc_id ingestion order),
+    the fraction of its distinct word 5-grams NOT seen in any earlier
+    document — the dataset-curation signal behind "is the crawl still
+    contributing new content or re-treading?" (novelty ~1 early, decays
+    as the corpus saturates; a sudden cliff means a duplicated source
+    slipped in).
+
+    Plan: per-doc distinct 5-gram arrays stay a PURE MAP (transform over
+    split positions + array_distinct — no explode until the grams leave
+    the row); the exploded (gram, doc) pairs reduce to first_doc =
+    min(doc_id) per gram (map-side partials), join back on gram, and a
+    per-doc aggregate counts grams this doc introduced. Two keyed
+    shuffles, both linear in total distinct grams; no all-pairs
+    anything. Documents shorter than 5 words have no grams and drop on
+    both engines (same predicate).
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 5),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 5)),
+        )
+    )
+    per_doc = (
+        docs.filter(F.size(words) >= 5)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    first = per_doc.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        per_doc.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double")
+             / F.col("n_grams").cast("double")).alias("novelty_frac"),
+        )
+    )
+
+
+SQL_X25 = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    WHERE len(string_split(text, ' ')) >= 5
+), per_doc AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(w) - 5 + 2),
+                  i -> array_to_string(array_slice(w, i, i + 4), ' ')))
+               AS gram
+    FROM toks
+), first AS (
+    SELECT gram, MIN(doc_id) AS first_doc FROM per_doc GROUP BY gram
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+FROM per_doc p JOIN first f USING (gram)
+GROUP BY p.doc_id
+"""
+
+
 def q_x23_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency fit: OLS of ln(freq) on ln(rank) over the
     corpus vocabulary — the distribution-health diagnostic that flags a
@@ -1737,6 +1810,8 @@ QUERIES: list[Query] = [
           "overlapping sliding-window context chunking (RAG/packing prep)"),
     Query("x21_bigram_score", q_x21_bigram_score, SQL_X21,
           "bigram LM quality score with stupid backoff"),
+    Query("x25_ngram_novelty", q_x25_ngram_novelty, SQL_X25,
+          "per-doc first-seen 5-gram novelty fraction (corpus saturation curve)"),
     Query("x23_zipf_fit", q_x23_zipf_fit, SQL_X23,
           "Zipf rank-frequency OLS fit (corpus distribution health)"),
     Query("x22_temperature_mix", q_x22_temperature_mix, SQL_X22,

@@ -159,6 +159,8 @@ TAIL = [
     # late round-6 additions (behind the round-6 window; front round 7)
     "a21_seasonality",
     "x25_ngram_novelty",
+    "a22_trimmed_mean",
+    "v5_label_coherence",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a
@@ -315,6 +317,21 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    for line in emit_records(timings, sf, write_detail=True):
+        print(line)
+
+
+def emit_records(timings: dict, sf: float, write_detail: bool = False) -> list[str]:
+    """The two stdout records, LAST one driver-parseable by contract.
+
+    Per-query detail prints first (one line for humans + a committed
+    BENCH_DETAIL.json the judge can read in full). With 75+ queries the
+    detail line is ~3.4 KB, which outgrew the driver's ~2 KB tail
+    capture in round 5 and left the round with NO parsed bench record at
+    all — so the LAST line is a compact record without the per-query
+    dict, bounded well under 1 KB no matter how many queries the detail
+    grows (pinned by tests/test_registry.py::test_bench_last_line_fits_tail).
+    """
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_queries_total_wall",
@@ -323,32 +340,23 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # Per-query detail: one line for humans + a committed file the judge
-    # can read in full. With 75+ queries the detail line is ~3.4 KB,
-    # which outgrew the driver's ~2 KB tail capture in round 5 and left
-    # the round with NO parsed bench record at all — so the LAST line
-    # printed is a compact record without the per-query dict, guaranteed
-    # to fit the tail whole no matter how many queries the detail grows.
-    print(json.dumps(detail))
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_DETAIL.json"), "w"
-        ) as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
-    except OSError:
-        pass  # read-only checkout: the stdout detail line still has it
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "sf": sf,
-            }
-        )
-    )
+    if write_detail:
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_DETAIL.json"), "w"
+            ) as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # read-only checkout: the stdout detail line still has it
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    return [json.dumps(detail), json.dumps(compact)]
 
 
 if __name__ == "__main__":

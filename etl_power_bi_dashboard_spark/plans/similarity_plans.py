@@ -446,7 +446,95 @@ SELECT query_id, label AS predicted_label, votes FROM (
 """
 
 
+def q_v5_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding coherence: the EXACT mean pairwise cosine
+    within each label — the cluster-tightness diagnostic a curation
+    pipeline reads before trusting labels as training strata — computed
+    in LINEAR time via the Gram identity
+
+        Σ_{i≠j} cos(v_i, v_j) = ‖Σ v̂_i‖² − Σ ‖v̂_i‖²
+
+    (v̂ = L2-normalized vector), so the naive O(n²·d) all-pairs pass
+    becomes one O(n·d) aggregation — at a billion vectors per label the
+    pairwise formulation is impossible and this one is two groupBys.
+
+    Exactness: normalized components round to 6 dp and become
+    DECIMAL(12,6); every sum after that is exact decimal arithmetic
+    (component sums per (label, dim), squares at scale 12, the Σ‖v̂‖²
+    term summed from the SAME rounded components so the identity is
+    internally consistent), down to one IEEE division at the end — the
+    engines cannot disagree through any partial-aggregation order.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = similarity.as_double(F.col("embedding"))
+    nrm = similarity.norm(v)
+    base = emb.select(
+        "label",
+        "vec_id",
+        F.transform(
+            v, lambda x: F.round(x / nrm, 6).cast("decimal(12,6)")
+        ).alias("c"),
+    )
+    comps = base.select(
+        "label", "vec_id", F.posexplode("c").alias("d", "cv")
+    )
+    per_dim = comps.groupBy("label", "d").agg(
+        F.sum("cv").cast("decimal(16,6)").alias("s")
+    )
+    s2 = per_dim.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("s2")
+    )
+    qn = comps.groupBy("label").agg(
+        F.sum(F.col("cv") * F.col("cv")).alias("q"),
+        F.countDistinct("vec_id").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    return s2.join(qn, "label").select(
+        "label",
+        "n",
+        (
+            (F.col("s2").cast("double") - F.col("q").cast("double"))
+            / (nd * (nd - 1.0))
+        ).alias("mean_pairwise_cosine"),
+    )
+
+
+SQL_V5 = """
+WITH base AS (
+    SELECT label, vec_id,
+           list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) /
+                   sqrt(list_sum(list_transform(embedding,
+                        w -> CAST(w AS DOUBLE) * CAST(w AS DOUBLE)))), 6)
+                   AS DECIMAL(12,6))) AS c
+    FROM embeddings
+), comps AS (
+    -- two same-length unnests in one SELECT iterate in lockstep
+    -- (DuckDB has no WITH ORDINALITY)
+    SELECT label, vec_id,
+           unnest(generate_series(1, len(c))) AS d,
+           unnest(c) AS cv
+    FROM base
+), per_dim AS (
+    SELECT label, d, CAST(SUM(cv) AS DECIMAL(16,6)) AS s
+    FROM comps GROUP BY label, d
+), s2 AS (
+    SELECT label, SUM(s * s) AS s2 FROM per_dim GROUP BY label
+), qn AS (
+    SELECT label, SUM(cv * cv) AS q, COUNT(DISTINCT vec_id) AS n
+    FROM comps GROUP BY label
+)
+SELECT s2.label, qn.n,
+       (CAST(s2.s2 AS DOUBLE) - CAST(qn.q AS DOUBLE))
+           / (CAST(qn.n AS DOUBLE) * (CAST(qn.n AS DOUBLE) - 1.0))
+           AS mean_pairwise_cosine
+FROM s2 JOIN qn USING (label)
+"""
+
+
 QUERIES: list[Query] = [
+    Query("v5_label_coherence", q_v5_label_coherence, SQL_V5,
+          "exact mean pairwise cosine per label via the linear Gram identity"),
     Query("ml3_triangle_count", q_ml3_triangle_count, SQL_ML3,
           "exact triangle counts (degree-ordered node-iterator vs naive oracle)"),
     Query("ml1_kmeans", q_ml1_kmeans, None,

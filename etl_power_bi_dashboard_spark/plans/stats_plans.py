@@ -1196,6 +1196,89 @@ FROM orders
 """
 
 
+def q_a22_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust means of event value per type — 10%-trimmed (drop the k =
+    ⌊0.1·n⌋ smallest and largest) and winsorized (clamp them to the
+    surviving boundary values) — the outlier-resistant location
+    estimates a monitoring baseline wants next to a20's MAD when the
+    value stream has fat tails.
+
+    One pass over the sc5-ranked rows (shared ``_ranked_by_value_per_
+    type`` — no single-task window): conditional DECIMAL(18,2) sums for
+    the trimmed interior, boundary-value picks at ranks k+1 and n−k via
+    max-when, then winsorized = (interior + k·lo + k·hi)/n as one IEEE
+    expression per column in identical textual order on both engines
+    (values are 2-dp doubles, so the DECIMAL partials are exact).
+    """
+    ranked = _ranked_by_value_per_type(load_events(spark, sf_dir))
+    k = F.floor(F.col("n") / 10).cast("bigint")
+    inside = (F.col("rn") > k) & (F.col("rn") <= F.col("n") - k)
+    dec = F.col("value").cast("decimal(18,2)")
+    g = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(k).alias("k"),
+        F.sum(dec).alias("sum_all"),
+        F.sum(F.when(inside, dec)).alias("sum_mid"),
+        F.count(F.when(inside, F.lit(1))).alias("n_mid"),
+        F.max(F.when(F.col("rn") == k + 1, F.col("value"))).alias("lo_val"),
+        F.max(F.when(F.col("rn") == F.col("n") - k, F.col("value"))).alias(
+            "hi_val"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    return g.select(
+        "event_type",
+        "n",
+        "k",
+        (F.col("sum_all").cast("double") / nd).alias("mean"),
+        (F.col("sum_mid").cast("double") / F.col("n_mid").cast("double"))
+        .alias("trimmed_mean"),
+        (
+            (
+                F.col("sum_mid").cast("double")
+                + kd * F.col("lo_val")
+                + kd * F.col("hi_val")
+            )
+            / nd
+        ).alias("winsorized_mean"),
+    )
+
+
+SQL_A22 = """
+WITH ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+), g AS (
+    SELECT event_type,
+           MAX(n) AS n,
+           MAX(CAST(FLOOR(n / 10) AS BIGINT)) AS k,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_all,
+           SUM(CASE WHEN rn > CAST(FLOOR(n / 10) AS BIGINT)
+                     AND rn <= n - CAST(FLOOR(n / 10) AS BIGINT)
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS sum_mid,
+           COUNT(CASE WHEN rn > CAST(FLOOR(n / 10) AS BIGINT)
+                       AND rn <= n - CAST(FLOOR(n / 10) AS BIGINT)
+                      THEN 1 END) AS n_mid,
+           MAX(CASE WHEN rn = CAST(FLOOR(n / 10) AS BIGINT) + 1
+                    THEN value END) AS lo_val,
+           MAX(CASE WHEN rn = n - CAST(FLOOR(n / 10) AS BIGINT)
+                    THEN value END) AS hi_val
+    FROM ranked GROUP BY event_type
+)
+SELECT event_type, n, k,
+       CAST(sum_all AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       CAST(sum_mid AS DOUBLE) / CAST(n_mid AS DOUBLE) AS trimmed_mean,
+       (CAST(sum_mid AS DOUBLE) + CAST(k AS DOUBLE) * lo_val
+        + CAST(k AS DOUBLE) * hi_val) / CAST(n AS DOUBLE)
+           AS winsorized_mean
+FROM g
+"""
+
+
 def q_a21_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition of the daily event
     volume — trend (centered 7-day moving average), day-of-week seasonal
@@ -1295,6 +1378,8 @@ QUERIES: list[Query] = [
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),
     Query("q8_volume_anomaly", q_q8_volume_anomaly, SQL_Q8,
           "daily ingest-volume anomaly check (trailing-7-day z)"),
+    Query("a22_trimmed_mean", q_a22_trimmed_mean, SQL_A22,
+          "10%-trimmed + winsorized means per event type (robust location)"),
     Query("a21_seasonality", q_a21_seasonality, SQL_A21,
           "additive seasonal decomposition of daily volume (trend/dow/residual)"),
     Query("a20_mad", q_a20_mad, SQL_A20,

@@ -140,3 +140,46 @@ def test_ivf_persisted_index_matches_inline(spark, tmp_path):
     # filter alone would mean the probe degraded to a full-index scan
     plan = indexed_df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_v5_gram_identity_matches_bruteforce_pairwise(spark, tmp_path):
+    """The linear-time Gram-identity coherence must equal the O(n²)
+    brute-force mean pairwise cosine (up to the 6-dp component
+    quantization it documents)."""
+    import itertools
+    import math
+
+    import numpy as np
+
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for label in (0, 1):
+        for i in range(12):
+            rows.append(
+                (label * 100 + i, [float(x) for x in rng.randn(8)], label)
+            )
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = {
+        r.label: (r.n, r.mean_pairwise_cosine)
+        for r in REGISTRY["v5_label_coherence"].spark(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    by_label = {}
+    for vid, emb, label in rows:
+        e = np.array(emb, dtype=np.float32).astype(np.float64)
+        by_label.setdefault(label, []).append(e / np.linalg.norm(e))
+    for label, vecs in by_label.items():
+        pair = [
+            float(np.dot(a, b))
+            for a, b in itertools.combinations(vecs, 2)
+        ]
+        want = 2.0 * sum(pair) / (len(vecs) * (len(vecs) - 1))
+        n, coh = got[label]
+        assert n == len(vecs)
+        assert math.isclose(coh, want, abs_tol=5e-5), (label, coh, want)

@@ -161,6 +161,7 @@ TAIL = [
     "x25_ngram_novelty",
     "a22_trimmed_mean",
     "v5_label_coherence",
+    "m6_frame_dedup",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -107,6 +107,39 @@ def explode_sampled_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     return df.mapInPandas(sample, FRAME_SCHEMA)
 
 
+FRAME_HASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def frame_hashes(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """mapInPandas pass emitting a content hash per sampled frame — the
+    fingerprint feed a media dedup index consumes (frame-level near-dup
+    detection over video payloads: shared frames ⇒ shared md5s, no
+    pixel comparison ever crosses the wire). Same fake codec and batch
+    shape as :func:`explode_sampled_frames`; the hash is computed
+    INSIDE the Arrow batch loop, so only (doc_id, frame_no, 32-char
+    hash) rows leave the task — ~1/GB of the payload bytes."""
+    import hashlib
+
+    def hash_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_no": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = sample_frames(payload, every_n, codec="fake")
+                for i, fr in enumerate(frames):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(i)
+                    rows["frame_md5"].append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(hash_frames, FRAME_HASH_SCHEMA)
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

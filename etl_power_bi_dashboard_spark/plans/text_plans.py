@@ -1403,6 +1403,79 @@ GROUP BY p.doc_id
 """
 
 
+def q_m6_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level media dedup profile — d8's chunk-containment idea on
+    the MULTIMODAL path: per payload, how many of its sampled frames'
+    content hashes also appear in another payload (shared_frac ≈ 1 ⇒
+    the video is a re-encode/copy; ≈ 0 ⇒ unique footage). The hashes
+    come from the Arrow-batched ``frame_hashes`` pass (the one
+    deliberate Python hop), so only 32-char digests shuffle — never
+    frame bytes; the rest is two linear keyed aggregations (docs per
+    hash, then per-doc shared counts). No pairwise join anywhere, so a
+    hot frame (an intro card shared by a million videos) costs its
+    posting-list length, not its square.
+
+    Oracle: the fake codec's frames are 16-byte slices every 32 bytes of
+    the utf-8 payload, and the corpus is pure ASCII (byte == char), so
+    DuckDB reproduces every frame hash with ``md5(substring(text, 32·i
+    + 1, 16))`` — the mapInPandas fan-out is hash-provable end to end.
+    """
+    docs = load(spark, sf_dir, "documents")
+    frames = multimodal.frame_hashes(
+        multimodal.with_binary_payload(docs), every_n=2
+    )
+    per = frames.select("doc_id", "frame_md5").distinct()
+    docs_per_hash = per.groupBy("frame_md5").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        per.join(docs_per_hash, "frame_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.col("n_frames").cast("double")
+            ).alias("shared_frac"),
+        )
+    )
+
+
+SQL_M6 = """
+WITH p AS (
+    SELECT doc_id, text, length(text) AS blen FROM documents
+), f AS (
+    SELECT doc_id,
+           unnest(range(0, (blen + 31) // 32)) AS i,
+           text, blen
+    FROM p
+), h AS (
+    SELECT DISTINCT doc_id,
+           md5(substring(text, CAST(32 * i + 1 AS BIGINT),
+                         CAST(least(16, blen - 32 * i) AS BIGINT))) AS fh
+    FROM f
+), dph AS (
+    SELECT fh, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY fh
+)
+SELECT h.doc_id,
+       COUNT(*) AS n_frames,
+       CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared,
+       CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+FROM h JOIN dph d USING (fh)
+GROUP BY h.doc_id
+"""
+
+
 def q_x23_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency fit: OLS of ln(freq) on ln(rank) over the
     corpus vocabulary — the distribution-health diagnostic that flags a
@@ -1853,6 +1926,8 @@ QUERIES: list[Query] = [
     Query("m3_label_centroids", q_m3_label_centroids, SQL_M3, "grouped centroids (applyInPandas)"),
     Query("m4_resize", q_m4_resize, SQL_M4,
           "image-resize plumbing (mapInPandas, deterministic fake codec)"),
+    Query("m6_frame_dedup", q_m6_frame_dedup, SQL_M6,
+          "frame-hash media dedup profile (mapInPandas digests, linear joins)"),
     Query("m5_audio_frames", q_m5_audio_frames, SQL_M5,
           "audio framing with per-frame energy (mapInPandas fan-out)"),
 ]

@@ -162,6 +162,11 @@ TAIL = [
     "a22_trimmed_mean",
     "v5_label_coherence",
     "m6_frame_dedup",
+    "v6_int8_recall",
+    "q11_benford",
+    "sc6_range_partition_plan",
+    "v7_pq_adc",
+    "r12_calendarize",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -211,7 +211,60 @@ FROM documents
 """
 
 
+def q_sc6_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced range-partition planner: split lineitem's sort key into
+    32 equal-count key ranges and report each range's row count and
+    [lo, hi] key boundary — exactly the boundary table
+    ``repartitionByRange`` / a sorted-bucketed table layout consumes,
+    and the proof the split IS balanced (every bucket holds
+    floor/ceil(N/32) rows, never a skewed slice).
+
+    Scale shape: global ranks come from the shared range-partitioned
+    row-number helper (no single-reducer window — see sc5); the total N
+    rides along from the helper's own counts table (``count_alias``), so
+    there is no second pass and no driver round-trip. The oracle is the
+    naive global-window SQL, so the driver gate proves the distributed
+    numbering ≡ single-reducer semantics before anyone trusts the
+    boundaries.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    rn = scale.distributed_row_number(
+        li,
+        bucket=F.expr("l_orderkey DIV 1024"),
+        order_cols=["l_orderkey", "l_linenumber"],
+        rn_alias="seq",
+        count_alias="_n",
+    )
+    return (
+        rn.groupBy(
+            F.expr("CAST(((seq - 1) * 32) DIV _n AS INT)").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_orderkey").alias("lo_key"),
+            F.max("l_orderkey").alias("hi_key"),
+        )
+    )
+
+
+SQL_SC6 = """
+WITH r AS (
+    SELECT l_orderkey,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS seq,
+           COUNT(*) OVER () AS n
+    FROM lineitem
+)
+SELECT CAST(((seq - 1) * 32) // n AS INT) AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(l_orderkey) AS lo_key,
+       MAX(l_orderkey) AS hi_key
+FROM r GROUP BY 1
+"""
+
+
 QUERIES: list[Query] = [
+    Query("sc6_range_partition_plan", q_sc6_range_partition_plan, SQL_SC6,
+          "balanced range-boundary planner (repartitionByRange feed)"),
     Query("sc5_distributed_row_number", q_sc5_distributed_row_number, SQL_SC5,
           "range-partitioned global row numbering (≡ single-reducer window)"),
     Query("sc4_skew_report", q_sc4_skew_report, SQL_SC4,

@@ -532,7 +532,203 @@ FROM s2 JOIN qn USING (label)
 """
 
 
+def q_v6_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization quality gate: per-query recall@5 of brute-force
+    cosine retrieval over the int8-quantized corpus against the exact
+    float corpus — the go/no-go audit before a serving tier switches to
+    the 4×-compressed index. At 100 TB the quantized corpus is what
+    actually fits in memory; this query is the evidence the compression
+    doesn't change what gets retrieved.
+
+    Both retrieval passes are the v1 broadcast-queries shape (one linear
+    corpus scan each, per-query top-k window); quantization itself is a
+    pure higher-order Catalyst projection (operators/similarity.py:
+    quantize_int8 — floor(x/scale+0.5), scale = max|x|/127). Integer
+    codes make the quantized dot products EXACT, so both engines rank
+    identically with the 6-dp round + id tie-break.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    qc = emb.select(
+        "vec_id", similarity.quantize_int8(F.col("embedding")).alias("embedding")
+    )
+    exact = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    quant = similarity.cosine_topk(qc, qc.filter(F.col("vec_id") < 10), k=5)
+    hits = quant.select("query_id", "vec_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(hits, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_match"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+SQL_V6 = f"""
+WITH s AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           greatest(list_max(list_transform(embedding::DOUBLE[],
+                                            x -> abs(x))), 1e-30) / 127.0
+               AS sc
+    FROM embeddings
+),
+qz AS (SELECT vec_id, list_transform(v, x -> floor(x / sc + 0.5)) AS cv
+       FROM s),
+eq AS (SELECT vec_id AS query_id, v AS qv FROM s WHERE vec_id < 10),
+ec AS (SELECT vec_id, v AS cv FROM s),
+tope AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM (SELECT query_id, vec_id,
+                     {_COS.format(a="qv", b="cv")} AS cosine
+              FROM eq, ec WHERE vec_id <> query_id)
+    ) WHERE rnk <= 5
+),
+qq AS (SELECT vec_id AS query_id, cv AS qv FROM qz WHERE vec_id < 10),
+topq AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM (SELECT q.query_id, c.vec_id,
+                     {_COS.format(a="q.qv", b="c.cv")} AS cosine
+              FROM qq q, qz c WHERE c.vec_id <> q.query_id)
+    ) WHERE rnk <= 5
+)
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match,
+       CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM tope e LEFT JOIN topq t
+  ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+GROUP BY e.query_id
+"""
+
+
+def q_v7_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the memory-bound scale path beyond IVF: vectors compress to
+    one code per subspace (64 float dims → 8 codes ≈ 8 bytes, 32×), and
+    a query scores the corpus WITHOUT touching any vector — it joins the
+    corpus CODES against a tiny per-query lookup table of
+    query-subvector↔codeword distances and sums. At 10⁹ vectors the
+    only full-corpus operand is the code table.
+
+    Deterministic stand-in for trained codebooks (cf. v2's centroid
+    convention): codewords are the subvectors of vec_id % 64 == 0.
+    Exactness: every subspace distance rounds to 6 dp and becomes
+    DECIMAL(12,6); the ADC sum over subspaces is then exact decimal
+    arithmetic, so engines cannot disagree through summation order, and
+    argmin/rank tie-breaks are (distance, id)-deterministic.
+    Emits the ADC top-5 per query (vec_id < 10) with distances.
+    """
+    M, D = 8, 8
+    emb = load(spark, sf_dir, "embeddings")
+    v = similarity.as_double(F.col("embedding"))
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice(v, s * D + 1, D) for s in range(M)])
+        ).alias("s", "sv"),
+    )
+    cb = sub.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("code_id"), "s", F.col("sv").alias("cv")
+    )
+    dcol = F.round(
+        similarity.sq_dist(F.col("sv"), F.col("cv")), 6
+    ).cast("decimal(12,6)")
+    w_assign = Window.partitionBy("vec_id", "s").orderBy("_d", "code_id")
+    codes = (
+        sub.join(F.broadcast(cb), "s")
+        .withColumn("_d", dcol)
+        .withColumn("_r", F.row_number().over(w_assign))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "s", "code_id")
+    )
+    q = sub.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("sv").alias("qv")
+    )
+    qd = (
+        q.join(cb, "s")
+        .select(
+            "query_id",
+            "s",
+            "code_id",
+            F.round(similarity.sq_dist(F.col("qv"), F.col("cv")), 6)
+            .cast("decimal(12,6)")
+            .alias("d"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["s", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").cast("double").alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return adc.select(
+        "query_id",
+        "vec_id",
+        "adc_dist",
+        F.row_number().over(w_rank).cast("int").alias("rank"),
+    ).filter(F.col("rank") <= 5)
+
+
+_SQDIST_RAW = "list_sum(list_transform(list_zip({a}, {b}), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+
+SQL_V7 = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+    SELECT vec_id, s, list_slice(v, 8 * s + 1, 8 * s + 8) AS sv
+    FROM v, (SELECT unnest(range(0, 8)) AS s)
+),
+cb AS (SELECT vec_id AS code_id, s, sv AS cv FROM sub WHERE vec_id % 64 = 0),
+codes AS (
+    SELECT vec_id, s, code_id FROM (
+        SELECT sub.vec_id, sub.s, cb.code_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY sub.vec_id, sub.s
+                   ORDER BY CAST(round({_SQDIST_RAW.format(a="sub.sv", b="cb.cv")},
+                                       6) AS DECIMAL(12,6)), cb.code_id
+               ) AS r
+        FROM sub JOIN cb ON sub.s = cb.s
+    ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, s, sv AS qv FROM sub WHERE vec_id < 10),
+qd AS (
+    SELECT query_id, cb.s, cb.code_id,
+           CAST(round({_SQDIST_RAW.format(a="q.qv", b="cb.cv")}, 6)
+                AS DECIMAL(12,6)) AS d
+    FROM q JOIN cb ON q.s = cb.s
+),
+adc AS (
+    SELECT qd.query_id, c.vec_id, CAST(SUM(qd.d) AS DOUBLE) AS adc_dist
+    FROM codes c JOIN qd ON c.s = qd.s AND c.code_id = qd.code_id
+    WHERE c.vec_id <> qd.query_id
+    GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc_dist, CAST(rnk AS INT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, vec_id) AS rnk
+    FROM adc
+) WHERE rnk <= 5
+"""
+
+
 QUERIES: list[Query] = [
+    Query("v7_pq_adc", q_v7_pq_adc, SQL_V7,
+          "product-quantization ADC top-k (codes-only corpus scan)"),
+    Query("v6_int8_recall", q_v6_int8_recall, SQL_V6,
+          "int8-quantized retrieval recall@5 vs exact float baseline"),
     Query("v5_label_coherence", q_v5_label_coherence, SQL_V5,
           "exact mean pairwise cosine per label via the linear Gram identity"),
     Query("ml3_triangle_count", q_ml3_triangle_count, SQL_ML3,

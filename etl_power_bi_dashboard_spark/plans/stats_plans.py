@@ -1372,7 +1372,76 @@ LEFT JOIN seas s ON s.dw = EXTRACT(dow FROM f.day) + 1
 """
 
 
+_BENFORD = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def q_q11_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals — the
+    classic forensic data-quality gate for monetary columns (fabricated
+    or truncated feeds deviate hard from the log distribution). Emits
+    per-digit observed vs expected shares and the chi-square term; the
+    consumer compares Σ chi2_term against the 8-df critical value.
+
+    Engine-exactness: the first significant digit comes from
+    ``%.6f``-formatted text (printf never uses scientific notation, and
+    carry-through-all-9s rounding ties are impossible for binary
+    doubles at the 6th decimal — a tie requires a 7-binary-digit dyadic
+    whose expansion can't be all 9s), NOT from log10(), whose last-ulp
+    behavior near powers of 10 is libm-dependent. Expected shares are
+    Python-computed literals injected into BOTH engines, so no
+    cross-engine log() call is ever compared. Scale shape: pure map +
+    9-group partial agg; the only shuffle carries ≤9 rows.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.regexp_extract(
+        F.format_string("%.6f", F.col("o_totalprice")), "[1-9]", 0
+    ).cast("int")
+    per = o.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+    total = Window.partitionBy()
+    exp = F.when(F.col("digit") == 1, F.lit(_BENFORD[1]))
+    for d in range(2, 10):
+        exp = exp.when(F.col("digit") == d, F.lit(_BENFORD[d]))
+    nd = F.sum("n").over(total).cast("double")
+    en = nd * exp
+    return per.select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / nd, 6).alias("observed_frac"),
+        F.round(exp, 6).alias("expected_frac"),
+        F.round(
+            (F.col("n").cast("double") - en) * (F.col("n").cast("double") - en)
+            / en,
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+SQL_Q11 = f"""
+WITH per AS (
+    SELECT CAST(regexp_extract(printf('%.6f', o_totalprice), '[1-9]', 0)
+                AS INT) AS digit,
+           COUNT(*) AS n
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY 1
+), e AS (
+    SELECT digit, n,
+           CASE digit {' '.join(f'WHEN {d} THEN {_BENFORD[d]!r}' for d in range(1, 10))} END AS exp_frac,
+           CAST(SUM(n) OVER () AS DOUBLE) AS nd
+    FROM per
+)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / nd, 6) AS observed_frac,
+       round(exp_frac, 6) AS expected_frac,
+       round((CAST(n AS DOUBLE) - nd * exp_frac)
+             * (CAST(n AS DOUBLE) - nd * exp_frac) / (nd * exp_frac), 6)
+           AS chi2_term
+FROM e
+"""
+
+
 QUERIES: list[Query] = [
+    Query("q11_benford", q_q11_benford, SQL_Q11,
+          "Benford first-digit audit of order totals (forensic QA)"),
     Query("q10_table_fingerprint", q_q10_table_fingerprint, SQL_Q10,
           "order-insensitive table content fingerprint (snapshot equality)"),
     Query("a13_histogram", q_a13_histogram, SQL_A13, "fixed-width histogram"),

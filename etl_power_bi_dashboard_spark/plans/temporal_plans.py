@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import temporal
-from .base import Query, load_events
+from .base import Query, load, load_events
 
 
 def q_r1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -668,7 +668,118 @@ FROM picked
 """
 
 
+def q_r12_calendarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval calendarization — pro-rata allocation of each order's
+    value across the calendar months its fulfillment interval
+    [orderdate, last shipdate] overlaps, by overlap-day share: the
+    revenue-recognition / SLA-accounting primitive no plain GROUP BY
+    month expresses (an order spanning Jan 15 → Mar 2 must book into
+    three months, weighted by days).
+
+    Scale shape: the month fan-out is a per-row ``sequence``/``explode``
+    bounded by interval length in months (no join against a calendar
+    table, no shuffle to build candidates), then one groupBy month whose
+    shuffle carries #months × partial rows. Exactness: overlap/total day
+    counts are exact integers; each allocation micro-quantizes through
+    pure-IEEE ``floor(x·10⁶ + 0.5)`` into an exact BIGINT (the ml8
+    nano-quantization convention — engine round() implementations split
+    on scaled-tie cases, floor cannot) and the per-month totals sum
+    those integers exactly, so summation order can't move a bit. The
+    invariant Σ months(order) = total_days keeps the allocation
+    conservative (shares sum to the full price up to the µ-round).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    per_o = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("end_d")
+    )
+    base = (
+        o.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.to_date("o_orderdate").alias("start_d"),
+        )
+        .join(per_o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            "price",
+            "start_d",
+            F.greatest("end_d", "start_d").alias("end_d"),
+        )
+        .withColumn(
+            "total_days", F.datediff("end_d", "start_d") + F.lit(1)
+        )
+    )
+    m = base.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.trunc("start_d", "month"),
+                F.trunc("end_d", "month"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month"),
+    )
+    overlap = (
+        F.datediff(
+            F.least(F.col("end_d"), F.last_day("month")),
+            F.greatest(F.col("start_d"), F.col("month")),
+        )
+        + F.lit(1)
+    )
+    alloc_micro = F.floor(
+        (F.col("price") * overlap.cast("double"))
+        / F.col("total_days").cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    return (
+        m.groupBy(
+            F.date_format("month", "yyyyMM").cast("int").alias("month_id")
+        )
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            (F.sum(alloc_micro).cast("double") / F.lit(1000000.0)).alias(
+                "revenue_alloc"
+            ),
+        )
+    )
+
+
+SQL_R12 = """
+WITH per_o AS (
+    SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS end_d
+    FROM lineitem GROUP BY 1
+),
+b AS (
+    SELECT o_orderkey, o_totalprice AS price,
+           CAST(o_orderdate AS DATE) AS start_d,
+           greatest(per_o.end_d, CAST(o_orderdate AS DATE)) AS end_d
+    FROM orders JOIN per_o ON o_orderkey = l_orderkey
+),
+m AS (
+    SELECT o_orderkey, price, start_d, end_d,
+           date_diff('day', start_d, end_d) + 1 AS total_days,
+           CAST(unnest(generate_series(date_trunc('month', start_d),
+                                       date_trunc('month', end_d),
+                                       INTERVAL 1 MONTH)) AS DATE) AS month
+    FROM b
+)
+SELECT CAST(strftime(month, '%Y%m') AS INT) AS month_id,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       CAST(CAST(SUM(CAST(floor(
+               (price * CAST(date_diff('day', greatest(start_d, month),
+                                       least(end_d, last_day(month))) + 1
+                             AS DOUBLE))
+               / CAST(total_days AS DOUBLE) * 1000000.0 + 0.5)
+           AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0 AS revenue_alloc
+FROM m GROUP BY 1
+"""
+
+
 QUERIES: list[Query] = [
+    Query("r12_calendarize", q_r12_calendarize, SQL_R12,
+          "interval→month pro-rata value allocation (revenue recognition)"),
     Query("r11_asof_nearest", q_r11_asof_nearest, SQL_R11,
           "nearest as-of join (merge_asof direction='nearest', 48h tolerance)"),
     Query("r1_asof_join", q_r1_asof_join, SQL_R1, "as-of join"),

@@ -1,0 +1,128 @@
+"""Law tests for the late round-6 additions (v6/v7/q11/sc6/r12) —
+invariants the oracle hash-compare can't express: quantization
+faithfulness, conservation, balance, statistical sanity."""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_DIR
+
+
+def test_quantize_int8_codes_bounded_and_faithful(spark):
+    """Codes must lie in [-127, 127] and dequantize back to within
+    half a quantization step per element."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.operators import similarity
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16) * (10.0 ** (i % 5))])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = similarity.as_double(F.col("embedding"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    out = df.select(
+        "vec_id",
+        v.alias("v"),
+        similarity.quantize_int8(F.col("embedding")).alias("q"),
+        (F.greatest(maxabs, F.lit(1e-30)) / F.lit(127.0)).alias("scale"),
+    ).collect()
+    for r in out:
+        assert all(-127 <= c <= 127 for c in r.q), r
+        for x, c in zip(r.v, r.q):
+            assert abs(x - c * r.scale) <= r.scale / 2 + 1e-12
+
+
+def test_v7_pq_codes_compact_and_ranks_valid(spark):
+    """The registry PQ-ADC query must emit ≤5 ranked rows per query with
+    ADC distance non-decreasing in rank (the contract a serving layer
+    relies on), and the corpus-side code table must be 8 codes/vector."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    rows = REGISTRY["v7_pq_adc"].spark(spark, SF_DIR).collect()
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(r.query_id, []).append(r)
+    assert per and all(len(v) <= 5 for v in per.values())
+    for qrows in per.values():
+        qrows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in qrows] == list(range(1, len(qrows) + 1))
+        dists = [r.adc_dist for r in qrows]
+        assert dists == sorted(dists)
+        assert all(r.vec_id != r.query_id for r in qrows)
+
+
+def test_r12_conserves_revenue(spark):
+    """Pro-rata calendarization must re-distribute, not create or lose,
+    value: Σ monthly allocations == Σ o_totalprice of orders that have
+    lineitems, up to the documented µ-rounding (≤0.5e-6 per order-month
+    row)."""
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load
+
+    out = REGISTRY["r12_calendarize"].spark(spark, SF_DIR)
+    got = out.agg(F.sum("revenue_alloc")).collect()[0][0]
+    o = load(spark, SF_DIR, "orders")
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey").distinct()
+    want = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.sum("o_totalprice"))
+        .collect()[0][0]
+    )
+    n_rows = out.agg(F.sum("n_orders")).collect()[0][0]
+    assert abs(got - want) <= n_rows * 1e-6 + 1e-6
+
+
+def test_sc6_buckets_balanced_and_covering(spark):
+    """32 buckets; per-bucket counts differ by ≤1 (the whole point of a
+    range-partition planner); counts sum to N; key ranges ordered."""
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load
+
+    rows = sorted(
+        REGISTRY["sc6_range_partition_plan"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(32))
+    counts = [r.n_rows for r in rows]
+    assert max(counts) - min(counts) <= 1
+    n = load(spark, SF_DIR, "lineitem").count()
+    assert sum(counts) == n
+    # boundaries non-decreasing across buckets (ties possible: a hot key
+    # may straddle a boundary, which the planner tolerates by design)
+    for a, b in zip(rows, rows[1:]):
+        assert a.lo_key <= a.hi_key <= b.lo_key <= b.hi_key
+
+
+def test_q11_benford_shape(spark):
+    """Digits ⊆ 1..9, observed shares sum to 1, chi² terms ≥ 0, expected
+    shares are the Benford distribution (sums to 1)."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    rows = REGISTRY["q11_benford"].spark(spark, SF_DIR).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_frac for r in rows) - 1.0) < 1e-4
+    assert all(r.chi2_term >= 0 for r in rows)
+    if len(rows) == 9:
+        assert abs(sum(r.expected_frac for r in rows) - 1.0) < 1e-4
+
+
+def test_v6_recall_bounds_and_self_consistency(spark):
+    """Recall@5 ∈ [0,1] in exact fifths, and quantizing with int8 must
+    keep recall above the degenerate floor (0 everywhere would mean the
+    quantized space shares nothing with the float space — impossible for
+    faithful int8 on these corpora)."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    rows = REGISTRY["v6_int8_recall"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_match == round(r.recall * 5)
+    assert max(r.recall for r in rows) > 0.0

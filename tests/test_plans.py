@@ -77,6 +77,7 @@ _PANDAS_PLANS = {
     "m3_label_centroids",
     "m4_resize",
     "m5_audio_frames",
+    "m6_frame_dedup",
     "p12_greedy_pack",
 }
 
@@ -242,3 +243,58 @@ def test_r10_carryover_and_boundaryless_days(spark, tmp_path):
     # Jan 3: carryover 2 until u4 ends 01:00 (u1 end 02:00, u3 02:30-03:30
     #        never overlaps 2) -> peak is the midnight carryover.
     assert got == {"2024-01-01": 2, "2024-01-02": 2, "2024-01-03": 2}
+
+
+# Queries whose plans legitimately feed a Window through an
+# Exchange SinglePartition — every one is either (a) the sc5 helper's
+# running-sum OFFSETS window over #buckets rows (sc5/sc6/a16/p13 —
+# bounded by bucket count, never data rows), or (b) a window over an
+# already-aggregated bounded set (days, digits, sources, contingency
+# cells, vocabulary terms), or (c) a documented single-reducer
+# concession with the caveat recorded in SCALE.md §4 (f2's exact
+# interpolating median, the w2/w3/w5 reference-semantics windows).
+# Any NEW query that trips this audit must either rewrite through
+# operators/scale.py:distributed_row_number or join this list with a
+# bounded-cardinality justification.
+_SP_WINDOW_ALLOWED = {
+    "a16_gini_concentration",
+    "a17_cumulative_distinct",
+    "a21_seasonality",
+    "f2_median_impute",
+    "p13_length_buckets",
+    "q11_benford",
+    "q7_chi2_independence",
+    "q8_volume_anomaly",
+    "sc5_distributed_row_number",
+    "sc6_range_partition_plan",
+    "w2_running_total",
+    "w3_lag_delta",
+    "w5_distribution",
+    "x10_source_mix",
+    "x11_mixing_weights",
+    "x23_zipf_fit",
+}
+
+
+def test_no_unlisted_single_partition_windows(spark):
+    """Registry-wide scale audit: no plan outside the justified
+    allowlist may feed a Window through Exchange SinglePartition — the
+    classic 100 TB killer (one task sorts the world). One loop, not a
+    parametrized fixture, so the audit costs one explain per query."""
+    import re
+
+    bad = []
+    for name in sorted(REGISTRY):
+        df = REGISTRY[name].spark(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if re.search(r"\bWindow\b", line):
+                if any(
+                    "Exchange SinglePartition" in lines[j]
+                    for j in range(i + 1, min(i + 6, len(lines)))
+                ):
+                    if name not in _SP_WINDOW_ALLOWED:
+                        bad.append(name)
+                    break
+    assert not bad, f"unjustified single-partition windows: {sorted(set(bad))}"

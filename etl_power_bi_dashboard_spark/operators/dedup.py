@@ -190,7 +190,15 @@ def prefix_postings(sets_: DataFrame, threshold: float) -> DataFrame:
     Cost: one vocabulary-sized df aggregation, one term-keyed join to
     rank tokens, one doc-keyed window for the per-doc order — all linear;
     the quadratic pair join downstream then runs on ~(1-t)·|tokens|
-    postings. Returns (doc_id, n, term) for the prefix tokens only.
+    postings. Returns (doc_id, n, pos, term) for the prefix tokens only;
+    ``pos`` is the token's 1-based rank in the doc's global-order sort,
+    which enables PPJoin's POSITIONAL filter at the pair join: all
+    common tokens sort ≥ the order-minimal shared token, so
+    |A∩B| ≤ 1 + min(n_a − pos_a, n_b − pos_b) for any shared token —
+    candidates whose bound falls below the required overlap
+    α = ⌈t·(n_a+n_b)/(1+t)⌉ prune BEFORE verification, losslessly
+    (the minimal shared token of a true pair always passes: every other
+    common token lies in both suffixes).
     """
     from fractions import Fraction
 
@@ -208,7 +216,7 @@ def prefix_postings(sets_: DataFrame, threshold: float) -> DataFrame:
             F.col("_rk")
             <= F.col("n") - F.expr(f"({num} * n + {den - 1}) DIV {den}") + 1
         )
-        .select("doc_id", "n", "term")
+        .select("doc_id", "n", F.col("_rk").alias("pos"), "term")
     )
 
 

@@ -167,6 +167,8 @@ TAIL = [
     "sc6_range_partition_plan",
     "v7_pq_adc",
     "r12_calendarize",
+    "a23_rfm_segments",
+    "a24_ewma",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

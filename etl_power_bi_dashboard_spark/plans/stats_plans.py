@@ -1372,6 +1372,201 @@ LEFT JOIN seas s ON s.dw = EXTRACT(dow FROM f.day) + 1
 """
 
 
+def q_a23_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic BI cohorting operator:
+    each customer scored 1–5 by rank quintile on Recency (days since
+    last order), Frequency (order count) and Monetary (lifetime spend),
+    then the 5×5×5 cell grid reported with population and means — the
+    table a campaign planner reads directly.
+
+    Scale shape: NO global NTILE window anywhere — each metric's ranks
+    come from the shared range-partitioned row-number helper (monotone
+    integer buckets per metric), and the quintile is the exact
+    ⌊(rn−1)·5/n⌋+1 formula, so all three rank passes are fully parallel
+    and the oracle's single-reducer ROW_NUMBER proves them row-exact.
+    Ties break on custkey under both engines — no NTILE tie ambiguity.
+    Exactness: recency/frequency are integers, spend sums as
+    DECIMAL(18,2); each cell mean is one IEEE division of exact sums.
+    """
+    from ..operators.scale import distributed_row_number
+
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("mxd"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+            F.count("*").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("mxd", "last_d").alias("rec"),
+            "freq",
+            "mon",
+        )
+    )
+
+    def quintile(df: DataFrame, metric: str, bucket, alias: str) -> DataFrame:
+        ranked = distributed_row_number(
+            df.select("o_custkey", metric),
+            bucket=bucket,
+            order_cols=[metric, "o_custkey"],
+            rn_alias="rn",
+            count_alias="n",
+        )
+        return ranked.select(
+            "o_custkey",
+            (F.expr("CAST(((rn - 1) * 5) DIV n AS INT)") + F.lit(1)).alias(
+                alias
+            ),
+        )
+
+    rq = quintile(cust, "rec", F.expr("rec DIV 16"), "r_q")
+    fq = quintile(cust, "freq", F.expr("freq DIV 2"), "f_q")
+    mq = quintile(
+        cust, "mon", F.floor(F.col("mon") / F.lit(10000)).cast("long"), "m_q"
+    )
+    return (
+        cust.join(rq, "o_custkey")
+        .join(fq, "o_custkey")
+        .join(mq, "o_custkey")
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (
+                F.sum("rec").cast("double") / F.count("*").cast("double")
+            ).alias("avg_recency_days"),
+            (
+                F.sum("mon").cast("double") / F.count("*").cast("double")
+            ).alias("avg_monetary"),
+        )
+    )
+
+
+SQL_A23 = """
+WITH mx AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS mxd FROM orders),
+c AS (
+    SELECT o_custkey,
+           date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                     (SELECT mxd FROM mx)) AS rec,
+           COUNT(*) AS freq,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+    FROM orders GROUP BY o_custkey
+),
+rq AS (
+    SELECT o_custkey,
+           CAST(((ROW_NUMBER() OVER (ORDER BY rec, o_custkey) - 1) * 5)
+                // (COUNT(*) OVER ()) AS INT) + 1 AS r_q
+    FROM c
+),
+fq AS (
+    SELECT o_custkey,
+           CAST(((ROW_NUMBER() OVER (ORDER BY freq, o_custkey) - 1) * 5)
+                // (COUNT(*) OVER ()) AS INT) + 1 AS f_q
+    FROM c
+),
+mq AS (
+    SELECT o_custkey,
+           CAST(((ROW_NUMBER() OVER (ORDER BY mon, o_custkey) - 1) * 5)
+                // (COUNT(*) OVER ()) AS INT) + 1 AS m_q
+    FROM c
+)
+SELECT r_q, f_q, m_q,
+       COUNT(*) AS n_customers,
+       CAST(SUM(rec) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS avg_recency_days,
+       CAST(SUM(mon) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_monetary
+FROM c
+JOIN rq USING (o_custkey) JOIN fq USING (o_custkey) JOIN mq USING (o_custkey)
+GROUP BY 1, 2, 3
+"""
+
+
+# EWMA weights (α = 0.2 ⇒ decay 0.8) quantized to exact parts-per-
+# million integers in PYTHON and injected into both engines as
+# literals — all in-frame arithmetic is then exact BIGINT (Σ Wk·cents
+# ≤ 2e17 < 2^63), and the only IEEE ops are the two final casts + one
+# division, which cannot differ across engines.
+_EWMA_W = [round((0.8 ** k) * 1_000_000) for k in range(20)]
+
+
+def q_a24_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue (α = 0.2,
+    20-day trailing frame) — the smoothing operator that completes the
+    time-series family (a21 decomposition, e9 z-score, r8 OHLC, r5/r6
+    gap-fill): ewma_t = Σ Wk·x_{t−k} / Σ Wk over the days present in
+    the frame (leading partial frames renormalize instead of padding).
+
+    Engine-exactness: daily revenue sums as DECIMAL cents (exact), the
+    ppm-quantized weights are Python-computed integer literals shared
+    by both engines, and each day's numerator/denominator are exact
+    BIGINT dot products over 20 lag taps — association order can't
+    move a bit, and the single final division is one IEEE op. The lag
+    window runs over the POST-AGGREGATION daily series (bounded by the
+    calendar, ~10³ rows at any corpus size — the a21/q8 class of
+    justified single-partition windows)."""
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias(
+                "date_id"
+            )
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                * F.lit(100)
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("date_id")
+    numer = None
+    denom = None
+    for k, wk in enumerate(_EWMA_W):
+        tap = F.lag("cents", k).over(w)
+        term = F.when(tap.isNotNull(), tap * F.lit(wk)).otherwise(F.lit(0))
+        dterm = F.when(tap.isNotNull(), F.lit(wk)).otherwise(F.lit(0))
+        numer = term if numer is None else numer + term
+        denom = dterm if denom is None else denom + dterm
+    return daily.select(
+        "date_id",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (
+            numer.cast("double") / denom.cast("double") / F.lit(100.0)
+        ).alias("ewma"),
+    )
+
+
+def _sql_a24() -> str:
+    taps_n = " + ".join(
+        f"CASE WHEN lag(cents, {k}) OVER w IS NOT NULL"
+        f" THEN lag(cents, {k}) OVER w * {wk} ELSE 0 END"
+        for k, wk in enumerate(_EWMA_W)
+    )
+    taps_d = " + ".join(
+        f"CASE WHEN lag(cents, {k}) OVER w IS NOT NULL"
+        f" THEN {wk} ELSE 0 END"
+        for k, wk in enumerate(_EWMA_W)
+    )
+    return f"""
+WITH daily AS (
+    SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_id,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1
+)
+SELECT date_id,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST({taps_n} AS DOUBLE) / CAST({taps_d} AS DOUBLE) / 100.0 AS ewma
+FROM daily
+WINDOW w AS (ORDER BY date_id)
+"""
+
+
 _BENFORD = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
 
 
@@ -1440,6 +1635,10 @@ FROM e
 
 
 QUERIES: list[Query] = [
+    Query("a23_rfm_segments", q_a23_rfm_segments, SQL_A23,
+          "RFM quintile segmentation grid (rank-exact, no NTILE windows)"),
+    Query("a24_ewma", q_a24_ewma, _sql_a24(),
+          "exponentially weighted moving average (exact integer taps)"),
     Query("q11_benford", q_q11_benford, SQL_Q11,
           "Benford first-digit audit of order totals (forensic QA)"),
     Query("q10_table_fingerprint", q_q10_table_fingerprint, SQL_Q10,

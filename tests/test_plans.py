@@ -258,6 +258,8 @@ def test_r10_carryover_and_boundaryless_days(spark, tmp_path):
 # bounded-cardinality justification.
 _SP_WINDOW_ALLOWED = {
     "a16_gini_concentration",
+    "a23_rfm_segments",
+    "a24_ewma",
     "a17_cumulative_distinct",
     "a21_seasonality",
     "f2_median_impute",

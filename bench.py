@@ -169,6 +169,7 @@ TAIL = [
     "r12_calendarize",
     "a23_rfm_segments",
     "a24_ewma",
+    "e14_top_paths",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

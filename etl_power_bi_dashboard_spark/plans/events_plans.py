@@ -847,7 +847,69 @@ FROM agg
 """
 
 
+def q_e14_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths — the product-analytics staple no single
+    window expresses: each (user, day)'s first 8 events in strict
+    (ts, event_id) order joined into a `a>b>c` path string, then the 20
+    most common paths. Where e8's transition matrix sees pairwise hops,
+    this sees whole trajectories.
+
+    Scale shape: ONE groupBy (user, day) builds each session's path with
+    sort_array over collected (ts, event_id, type) structs — per-group
+    arrays bounded by session length, sorting local to each group, no
+    window over the event stream; then a path-keyed count whose shuffle
+    carries one row per distinct path. Determinism: the struct sort
+    order is (ts, event_id) — a total key — and top-20 tie-breaks on
+    the path string; the 8-step truncation bounds the path domain.
+    """
+    ev = load_events(spark, sf_dir)
+    paths = (
+        ev.groupBy(
+            "user_id", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda s: s["event_type"],
+                    ),
+                    1,
+                    8,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    # TakeOrderedAndProject (per-partition top-k + merge), never a rank
+    # window over the whole path-count table — the t1 pattern; the
+    # (count, path) tie-break makes the top-20 SET deterministic, which
+    # is all the order-insensitive driver compare needs.
+    return counted.orderBy(F.desc("n_sessions"), F.asc("path")).limit(20)
+
+
+SQL_E14 = """
+WITH p AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           array_to_string(
+               list_slice(list(event_type ORDER BY ts, event_id), 1, 8),
+               '>') AS path
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path)
+SELECT path, n_sessions
+FROM c ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+
 QUERIES: list[Query] = [
+    Query("e14_top_paths", q_e14_top_paths, SQL_E14,
+          "top (user, day) event-type paths (whole-trajectory analytics)"),
     Query("e13_interarrival", q_e13_interarrival, SQL_E13,
           "inter-arrival-time profile per event type (exact moments + rate)"),
     Query("e1_tumbling_hourly", q_e1_tumbling_hourly, SQL_E1, "tumbling window agg"),

@@ -170,6 +170,8 @@ TAIL = [
     "a23_rfm_segments",
     "a24_ewma",
     "e14_top_paths",
+    "q12_expectations",
+    "ml9_also_bought",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -53,3 +53,43 @@ def reconcile_totals(fact: DataFrame, monthly: DataFrame) -> float:
 def shape_report(tables: dict[str, DataFrame]) -> dict[str, tuple[int, int]]:
     """Q4: rows × cols per table."""
     return {name: (df.count(), len(df.columns)) for name, df in tables.items()}
+
+
+def expectation_report(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+    """Declarative expectation suite — the Great-Expectations-style
+    contract check as ONE aggregation pass: each rule is a row-level SQL
+    predicate; the report is (rule, n_rows, n_violations, violation_rate,
+    passed) per rule.
+
+    Scale shape: every rule compiles to a conditional SUM inside a
+    single agg over one scan — N rules cost one pass, not N (the naive
+    loop re-scans per rule, which at 100 TB turns a 20-rule contract
+    into 20 table scans). The wide 1-row result unpivots via ``stack``
+    into the report rows; the only shuffle is the single-row combine.
+    NULL predicate results count as violations (SQL three-valued logic
+    would otherwise silently pass NULL rows through ``NOT cond``)."""
+    aggs = [
+        F.sum(
+            F.when(F.expr(cond), F.lit(0)).otherwise(F.lit(1))
+        ).cast("bigint").alias(f"_v{i}")
+        for i, (_, cond) in enumerate(rules)
+    ]
+    wide = df.agg(F.count("*").alias("_n"), *aggs)
+    stack_args = ", ".join(
+        f"'{name.replace(chr(39), '')}', _v{i}" for i, (name, _) in enumerate(rules)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        (
+            F.col("n_violations").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("violation_rate"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -724,7 +724,87 @@ FROM (
 """
 
 
+def q_ml9_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase recommendations ("customers also bought"): top-5
+    partner parts per probe part (partkey < 20) by basket co-occurrence
+    support, with confidence = support / probe's basket count — the
+    item-item collaborative filter every retail surface runs, and the
+    recommendation read-out over the same co-purchase graph ml3 counts
+    triangles on.
+
+    Scale shape: the pair join is keyed on l_orderkey, so its fan-out is
+    Σ basket_size² — bounded by the largest BASKET (≤7 items here, ~10²
+    at any retail scale), never by catalog or corpus size; support
+    aggregation partial-combines map-side, and the per-probe rank
+    window partitions on the probe key (fully parallel). Deterministic:
+    integer supports, (support DESC, partner) tie-break, one IEEE
+    division for confidence.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    pc = b.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = b.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    c = b.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pr = (
+        a.join(c, (a["o"] == c["o"]) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+    )
+    e = pr.select(
+        F.col("pa").alias("part"), F.col("pb").alias("rec"), "support"
+    ).unionByName(
+        pr.select(
+            F.col("pb").alias("part"), F.col("pa").alias("rec"), "support"
+        )
+    )
+    probe = e.filter(F.col("part") < 20).join(
+        pc.select(F.col("l_partkey").alias("part"), "cnt"), "part"
+    )
+    w = Window.partitionBy("part").orderBy(F.desc("support"), F.asc("rec"))
+    return (
+        probe.select(
+            "part",
+            "rec",
+            "support",
+            (
+                F.col("support").cast("double") / F.col("cnt").cast("double")
+            ).alias("confidence"),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= 5)
+    )
+
+
+SQL_ML9 = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (SELECT l_partkey, COUNT(*) AS cnt FROM b GROUP BY 1),
+pr AS (
+    SELECT a.l_partkey AS pa, c.l_partkey AS pb, COUNT(*) AS support
+    FROM b a JOIN b c
+      ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+    GROUP BY 1, 2
+),
+e AS (
+    SELECT pa AS part, pb AS rec, support FROM pr
+    UNION ALL
+    SELECT pb AS part, pa AS rec, support FROM pr
+),
+r AS (
+    SELECT e.part, e.rec, e.support,
+           CAST(e.support AS DOUBLE) / CAST(pc.cnt AS DOUBLE) AS confidence,
+           ROW_NUMBER() OVER (PARTITION BY e.part
+                              ORDER BY e.support DESC, e.rec) AS rk
+    FROM e JOIN pc ON pc.l_partkey = e.part
+    WHERE e.part < 20
+)
+SELECT part, rec, support, confidence, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 5
+"""
+
+
 QUERIES: list[Query] = [
+    Query("ml9_also_bought", q_ml9_also_bought, SQL_ML9,
+          "co-purchase top-5 recommendations (item-item CF read-out)"),
     Query("v7_pq_adc", q_v7_pq_adc, SQL_V7,
           "product-quantization ADC top-k (codes-only corpus scan)"),
     Query("v6_int8_recall", q_v6_int8_recall, SQL_V6,

@@ -1484,6 +1484,48 @@ GROUP BY 1, 2, 3
 """
 
 
+_Q12_RULES = [
+    ("totalprice_positive", "o_totalprice > 0"),
+    ("status_in_domain", "o_orderstatus IN ('O', 'F', 'P')"),
+    ("orderdate_not_null", "o_orderdate IS NOT NULL"),
+    ("totalprice_under_cap", "o_totalprice <= 400000"),
+]
+
+
+def q_q12_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over orders — the data-contract
+    gate a pipeline runs before publishing: four row-level rules
+    (domain, nullability, range) compiled into ONE aggregation pass
+    (operators/quality.py:expectation_report — N rules never cost N
+    scans), reported as per-rule violation counts/rates. The cap rule
+    is a deliberate warn-level check with real violations, so the
+    report exercises both outcomes."""
+    from ..operators.quality import expectation_report
+
+    return expectation_report(load(spark, sf_dir, "orders"), _Q12_RULES)
+
+
+def _sql_q12() -> str:
+    vs = ",\n           ".join(
+        f"SUM(CASE WHEN {cond} THEN 0 ELSE 1 END) AS v{i}"
+        for i, (_, cond) in enumerate(_Q12_RULES)
+    )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, n_rows, CAST(v{i} AS BIGINT) AS n_violations,"
+        f" CAST(v{i} AS DOUBLE) / CAST(n_rows AS DOUBLE) AS violation_rate,"
+        f" v{i} = 0 AS passed FROM v"
+        for i, (name, _) in enumerate(_Q12_RULES)
+    )
+    return f"""
+WITH v AS (
+    SELECT COUNT(*) AS n_rows,
+           {vs}
+    FROM orders
+)
+{branches}
+"""
+
+
 # EWMA weights (α = 0.2 ⇒ decay 0.8) quantized to exact parts-per-
 # million integers in PYTHON and injected into both engines as
 # literals — all in-frame arithmetic is then exact BIGINT (Σ Wk·cents
@@ -1639,6 +1681,8 @@ QUERIES: list[Query] = [
           "RFM quintile segmentation grid (rank-exact, no NTILE windows)"),
     Query("a24_ewma", q_a24_ewma, _sql_a24(),
           "exponentially weighted moving average (exact integer taps)"),
+    Query("q12_expectations", q_q12_expectations, _sql_q12(),
+          "declarative expectation suite (N rules, one scan)"),
     Query("q11_benford", q_q11_benford, SQL_Q11,
           "Benford first-digit audit of order totals (forensic QA)"),
     Query("q10_table_fingerprint", q_q10_table_fingerprint, SQL_Q10,

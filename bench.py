@@ -172,6 +172,8 @@ TAIL = [
     "e14_top_paths",
     "q12_expectations",
     "ml9_also_bought",
+    "v8_ivf_probe_sweep",
+    "x26_rake_keywords",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

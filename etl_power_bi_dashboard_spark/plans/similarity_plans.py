@@ -802,7 +802,112 @@ FROM r WHERE rk <= 5
 """
 
 
+def q_v8_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: recall@3 vs probe count (n_probe ∈ {1, 2, 4})
+    against the exact baseline — the capacity-planning read-out behind
+    every ANN deployment ("how many probes buy how much recall?"; each
+    probe costs ~n_probe/n_clusters of the corpus in IO on the
+    partitioned index, so this curve IS the cost/quality dial).
+
+    Same centroid/query conventions as v2; recall is exact-integer
+    matches over n_queries·3 with one IEEE division. The corpus
+    assignment is shared logic (operators/similarity.py:ivf_topk);
+    only the probe filter varies across the three branches.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=3)
+    out = None
+    for np_ in (1, 2, 4):
+        approx = similarity.ivf_topk(emb, centroids, queries, k=3, n_probe=np_)
+        m = exact.select("query_id", "vec_id").join(
+            approx.select("query_id", "vec_id", F.lit(1).alias("hit")),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        agg = m.agg(
+            F.lit(np_).alias("n_probe"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_match"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("recall"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def _sql_v8() -> str:
+    branches = []
+    for np_ in (1, 2, 4):
+        branches.append(f"""
+SELECT {np_} AS n_probe,
+       CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match,
+       CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM tope e LEFT JOIN (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM (
+            SELECT p.query_id, a.vec_id,
+                   {_COS.format(a="p.qv", b="a.cv")} AS cosine
+            FROM probes p JOIN assigned a ON p.cluster_id = a.cluster_id
+            WHERE a.vec_id <> p.query_id AND p.pr <= {np_}
+        )
+    ) WHERE rnk <= 3
+) t ON e.query_id = t.query_id AND e.vec_id = t.vec_id""")
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH cen AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS zv
+             FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5),
+assigned AS (
+    SELECT vec_id, cv, centroid_id AS cluster_id FROM (
+        SELECT c.vec_id, c.cv, cen.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_SQDIST.format(a="cv", b="zv")}, cen.centroid_id
+               ) AS r
+        FROM c, cen
+    ) WHERE r = 1
+),
+probes AS (
+    SELECT query_id, qv, centroid_id AS cluster_id, pr FROM (
+        SELECT q.query_id, q.qv, cen.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_SQDIST.format(a="qv", b="zv")}, cen.centroid_id
+               ) AS pr
+        FROM q, cen
+    ) WHERE pr <= 4
+),
+tope AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM (SELECT query_id, c.vec_id,
+                     {_COS.format(a="qv", b="cv")} AS cosine
+              FROM q, c WHERE c.vec_id <> query_id)
+    ) WHERE rnk <= 3
+)
+{body}
+"""
+
+
 QUERIES: list[Query] = [
+    Query("v8_ivf_probe_sweep", q_v8_ivf_probe_sweep, _sql_v8(),
+          "IVF recall-vs-probes tuning curve (the ANN cost/quality dial)"),
     Query("ml9_also_bought", q_ml9_also_bought, SQL_ML9,
           "co-purchase top-5 recommendations (item-item CF read-out)"),
     Query("v7_pq_adc", q_v7_pq_adc, SQL_V7,

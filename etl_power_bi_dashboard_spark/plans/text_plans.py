@@ -1330,6 +1330,111 @@ FROM scored s CROSS JOIN norm n
 """
 
 
+def q_x26_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus: split
+    each document into candidate phrases at stopword boundaries, score
+    words by degree/frequency over all phrase occurrences, score each
+    DISTINCT phrase as the sum of its member word scores, and emit the
+    top 20 phrases with occurrence counts — the unsupervised
+    keyword-table builder for corpus triage.
+
+    Scale shape: phrase splitting is a pure map (stopwords → '§' marker
+    inside one array transform, then split — no per-token explode until
+    the phrase level); word stats are one token-keyed aggregation; the
+    phrase score joins DISTINCT phrases to the word table (vocabulary-
+    bounded) and the final top-20 is TakeOrderedAndProject. Exactness:
+    word scores quantize as (deg·10⁶) DIV freq — exact integer division
+    — so phrase scores are exact BIGINT sums and summation order is
+    irrelevant; the /10⁶ display division is the single IEEE op.
+    """
+    stops = list(text.STOPWORDS)
+    docs = load(spark, sf_dir, "documents")
+    marked = F.array_join(
+        F.transform(
+            F.split("text", " "),
+            lambda t: F.when(t.isin(*stops), F.lit("§")).otherwise(t),
+        ),
+        " ",
+    )
+    phr = (
+        docs.select(F.explode(F.split(marked, "§")).alias("p0"))
+        .select(F.trim(F.col("p0")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    pw = phr.select(
+        "phrase",
+        F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    wscore = (
+        pw.groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+        .select("w", F.expr("(deg * 1000000) DIV freq").alias("ppm"))
+    )
+    pc = phr.groupBy("phrase").agg(F.count("*").alias("n_occurrences"))
+    pscore = (
+        phr.distinct()
+        .select(
+            "phrase", F.explode(F.split("phrase", " ")).alias("w")
+        )
+        .join(wscore, "w")
+        .groupBy("phrase")
+        .agg(F.sum("ppm").alias("ppm_sum"))
+    )
+    return (
+        pscore.join(pc, "phrase")
+        .select(
+            "phrase",
+            "n_occurrences",
+            (F.col("ppm_sum").cast("double") / F.lit(1000000.0)).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(20)
+    )
+
+
+SQL_X26 = """
+WITH marked AS (
+    SELECT array_to_string(
+               list_transform(string_split(text, ' '),
+                   t -> CASE WHEN t IN ('the','a','and','of','to','in','is')
+                             THEN '§' ELSE t END),
+               ' ') AS m
+    FROM documents
+),
+phr AS (
+    SELECT trim(p0) AS phrase
+    FROM (SELECT unnest(string_split(m, '§')) AS p0 FROM marked)
+    WHERE trim(p0) <> ''
+),
+pw AS (
+    SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+           unnest(string_split(phrase, ' ')) AS w
+    FROM phr
+),
+wscore AS (
+    SELECT w, (SUM(plen) * 1000000) // COUNT(*) AS ppm
+    FROM pw GROUP BY w
+),
+pc AS (SELECT phrase, COUNT(*) AS n_occurrences FROM phr GROUP BY phrase),
+pd AS (
+    SELECT DISTINCT phrase FROM phr
+),
+ps AS (
+    SELECT t.phrase, SUM(ws.ppm) AS ppm_sum
+    FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM pd) t
+    JOIN wscore ws ON ws.w = t.w
+    GROUP BY t.phrase
+)
+SELECT ps.phrase AS phrase, pc.n_occurrences,
+       CAST(ppm_sum AS DOUBLE) / 1000000.0 AS score
+FROM ps JOIN pc ON ps.phrase = pc.phrase
+ORDER BY score DESC, ps.phrase LIMIT 20
+"""
+
+
 def q_x25_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus novelty curve: per document (in doc_id ingestion order),
     the fraction of its distinct word 5-grams NOT seen in any earlier
@@ -1883,6 +1988,8 @@ QUERIES: list[Query] = [
           "overlapping sliding-window context chunking (RAG/packing prep)"),
     Query("x21_bigram_score", q_x21_bigram_score, SQL_X21,
           "bigram LM quality score with stupid backoff"),
+    Query("x26_rake_keywords", q_x26_rake_keywords, SQL_X26,
+          "RAKE keyword extraction (stopword-boundary phrases, deg/freq)"),
     Query("x25_ngram_novelty", q_x25_ngram_novelty, SQL_X25,
           "per-doc first-seen 5-gram novelty fraction (corpus saturation curve)"),
     Query("x23_zipf_fit", q_x23_zipf_fit, SQL_X23,

@@ -174,6 +174,9 @@ TAIL = [
     "ml9_also_bought",
     "v8_ivf_probe_sweep",
     "x26_rake_keywords",
+    "x27_burstiness",
+    "a25_yoy_growth",
+    "a26_cohort_ltv",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -1484,6 +1484,158 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_a25_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: monthly revenue with the same-month-last-
+    year comparison and percent change — the first page of every BI
+    deck. Same-month alignment is an exact lag-12 over the month_id
+    series (not a date join), so holes in the calendar would surface as
+    NULL rather than silently comparing misaligned months.
+
+    Exactness: monthly revenue sums as DECIMAL(18,2) and casts to
+    double identically on both engines; the YoY percent is arithmetic
+    over those two doubles. The lag window runs over the
+    POST-AGGREGATION month series (calendar-bounded, ~10² rows at any
+    corpus size — a21/a24's justified class)."""
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyyMM").cast("int").alias(
+                "month_id"
+            )
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("month_id")
+    prev = F.lag("revenue", 12).over(w)
+    prev_month = F.lag("month_id", 12).over(w)
+    return monthly.select(
+        "month_id",
+        "revenue",
+        # guard: lag-12 must actually be the same month last year
+        # (a hole in the series would misalign the comparison)
+        F.when(prev_month == F.col("month_id") - 100, prev).alias(
+            "revenue_prev_year"
+        ),
+        F.when(
+            prev_month == F.col("month_id") - 100,
+            (F.col("revenue") - prev) / prev * F.lit(100.0),
+        ).alias("yoy_pct"),
+    )
+
+
+SQL_A25 = """
+WITH m AS (
+    SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month_id,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT month_id, revenue,
+       CASE WHEN lag(month_id, 12) OVER w = month_id - 100
+            THEN lag(revenue, 12) OVER w END AS revenue_prev_year,
+       CASE WHEN lag(month_id, 12) OVER w = month_id - 100
+            THEN (revenue - lag(revenue, 12) OVER w)
+                 / lag(revenue, 12) OVER w * 100.0 END AS yoy_pct
+FROM m
+WINDOW w AS (ORDER BY month_id)
+"""
+
+
+def q_a26_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, each cohort's revenue tracked by months-since-acquisition,
+    with cumulative revenue per cohort customer (the LTV curve) — the
+    acquisition-economics readout e6's retention counts don't give
+    (retention says WHO came back, LTV says what they were WORTH).
+
+    Exactness: month arithmetic is pure integer math on yyyyMM ids,
+    revenue sums as DECIMAL(18,2), and the cumulative sum is a DECIMAL
+    window over each cohort's month axis (calendar-bounded partitions,
+    fully parallel across cohorts) — the only IEEE ops are the final
+    per-row casts/division. Scale shape: one keyed join (orders ⨝
+    first-order table on custkey), two grouped aggregations, and a
+    window partitioned by cohort — no global windows, no fan-out.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        (
+            F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")
+        ).alias("om"),
+        F.date_format("o_orderdate", "yyyyMM").cast("int").alias("mid"),
+    )
+    first = o.groupBy("o_custkey").agg(
+        F.min("om").alias("cm"), F.min("mid").alias("cohort_month")
+    )
+    base = o.join(first, "o_custkey").select(
+        "o_custkey",
+        "cohort_month",
+        (F.col("om") - F.col("cm")).alias("k"),
+        "price",
+    )
+    g = base.groupBy("cohort_month", "k").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("price").alias("rev_dec"),
+    )
+    size = first.groupBy("cohort_month").agg(
+        F.count("*").alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        g.withColumn("cum_dec", F.sum("rev_dec").over(w))
+        .join(size, "cohort_month")
+        .select(
+            "cohort_month",
+            "k",
+            "n_active",
+            "cohort_size",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (
+                F.col("cum_dec").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
+SQL_A26 = """
+WITH o AS (
+    SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           year(o_orderdate) * 12 + month(o_orderdate) AS om,
+           CAST(strftime(o_orderdate, '%Y%m') AS INT) AS mid
+    FROM orders
+),
+f AS (
+    SELECT o_custkey, MIN(om) AS cm, MIN(mid) AS cohort_month
+    FROM o GROUP BY 1
+),
+b AS (
+    SELECT o.o_custkey, f.cohort_month, o.om - f.cm AS k, o.price
+    FROM o JOIN f USING (o_custkey)
+),
+g AS (
+    SELECT cohort_month, k, COUNT(DISTINCT o_custkey) AS n_active,
+           SUM(price) AS rev_dec
+    FROM b GROUP BY 1, 2
+),
+s AS (SELECT cohort_month, COUNT(*) AS cohort_size FROM f GROUP BY 1)
+SELECT g.cohort_month, g.k, g.n_active, s.cohort_size,
+       CAST(g.rev_dec AS DOUBLE) AS revenue,
+       CAST(SUM(g.rev_dec) OVER (PARTITION BY g.cohort_month ORDER BY g.k
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(s.cohort_size AS DOUBLE) AS ltv_per_customer
+FROM g JOIN s USING (cohort_month)
+"""
+
+
 _Q12_RULES = [
     ("totalprice_positive", "o_totalprice > 0"),
     ("status_in_domain", "o_orderstatus IN ('O', 'F', 'P')"),
@@ -1683,6 +1835,10 @@ QUERIES: list[Query] = [
           "exponentially weighted moving average (exact integer taps)"),
     Query("q12_expectations", q_q12_expectations, _sql_q12(),
           "declarative expectation suite (N rules, one scan)"),
+    Query("a25_yoy_growth", q_a25_yoy_growth, SQL_A25,
+          "year-over-year monthly growth (hole-safe lag-12 alignment)"),
+    Query("a26_cohort_ltv", q_a26_cohort_ltv, SQL_A26,
+          "cohort LTV curves (cumulative DECIMAL revenue per acquisition cohort)"),
     Query("q11_benford", q_q11_benford, SQL_Q11,
           "Benford first-digit audit of order totals (forensic QA)"),
     Query("q10_table_fingerprint", q_q10_table_fingerprint, SQL_Q10,

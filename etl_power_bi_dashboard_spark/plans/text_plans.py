@@ -1435,6 +1435,76 @@ ORDER BY score DESC, ps.phrase LIMIT 20
 """
 
 
+def q_x27_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness: the Fano factor (variance/mean over per-document
+    counts, zeros included) for every vocabulary term, top-20 burstiest —
+    the dispersion diagnostic that separates topical terms (bursty:
+    absent from most docs, dense where present) from function-word-like
+    terms (Fano ≈ 1, Poisson-scattered). The corpus-curation companion
+    to x23's Zipf fit: frequency says HOW OFTEN, burstiness says HOW
+    CLUMPED.
+
+    Exactness: with zeros included, Fano = (N·Σc² − (Σc)²) / (N·Σc)
+    over exact integer power sums (per-term Σc, Σc² from one
+    token-keyed aggregation; N rides a 1-row broadcast) — the division
+    is the single IEEE op, identical on both engines, so even the
+    DESC ordering tie-breaks deterministically ((fano, term)). Scale
+    shape: one explode + one (doc, term) count + one term-keyed
+    reduce — vocabulary-bounded output, no windows, no joins beyond
+    the broadcast scalar.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    per = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = per.groupBy("term").agg(
+        F.count("*").alias("n_docs_with"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "n_docs_with",
+            F.col("sc").alias("total_count"),
+            (
+                (
+                    F.col("n_docs") * F.col("sc2")
+                    - F.col("sc") * F.col("sc")
+                ).cast("double")
+                / (F.col("n_docs") * F.col("sc")).cast("double")
+            ).alias("fano"),
+        )
+        .orderBy(F.desc("fano"), F.asc("term"))
+        .limit(20)
+    )
+
+
+SQL_X27 = """
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+per AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+c AS (SELECT doc_id, term, COUNT(*) AS c FROM per GROUP BY 1, 2),
+stats AS (
+    SELECT term, COUNT(*) AS n_docs_with, SUM(c) AS sc, SUM(c * c) AS sc2
+    FROM c GROUP BY term
+)
+SELECT term, n_docs_with, CAST(sc AS BIGINT) AS total_count,
+       CAST(n.n_docs * sc2 - sc * sc AS DOUBLE)
+           / CAST(n.n_docs * sc AS DOUBLE) AS fano
+FROM stats, n
+ORDER BY fano DESC, term LIMIT 20
+"""
+
+
 def q_x25_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus novelty curve: per document (in doc_id ingestion order),
     the fraction of its distinct word 5-grams NOT seen in any earlier
@@ -1990,6 +2060,8 @@ QUERIES: list[Query] = [
           "bigram LM quality score with stupid backoff"),
     Query("x26_rake_keywords", q_x26_rake_keywords, SQL_X26,
           "RAKE keyword extraction (stopword-boundary phrases, deg/freq)"),
+    Query("x27_burstiness", q_x27_burstiness, SQL_X27,
+          "term burstiness / Fano dispersion top-20 (exact power sums)"),
     Query("x25_ngram_novelty", q_x25_ngram_novelty, SQL_X25,
           "per-doc first-seen 5-gram novelty fraction (corpus saturation curve)"),
     Query("x23_zipf_fit", q_x23_zipf_fit, SQL_X23,

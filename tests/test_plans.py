@@ -260,6 +260,7 @@ _SP_WINDOW_ALLOWED = {
     "a16_gini_concentration",
     "a23_rfm_segments",
     "a24_ewma",
+    "a25_yoy_growth",
     "a17_cumulative_distinct",
     "a21_seasonality",
     "f2_median_impute",

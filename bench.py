@@ -177,6 +177,12 @@ TAIL = [
     "x27_burstiness",
     "a25_yoy_growth",
     "a26_cohort_ltv",
+    "a27_pareto_abc",
+    "ml10_decision_stump",
+    "r13_business_days",
+    "e15_bounce_matrix",
+    "x28_kl_divergence",
+    "x29_oov_rate",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

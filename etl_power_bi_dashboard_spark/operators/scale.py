@@ -217,3 +217,56 @@ def distributed_row_number(
             else out.crossJoin(F.broadcast(totals))
         )
     return out.drop("_drn_b", "_drn_off")
+
+
+def distributed_running_sum(
+    df: DataFrame,
+    bucket,
+    order_cols,
+    value_col: str,
+    cum_alias: str = "cum",
+) -> DataFrame:
+    """Exact ``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    without a single-task per-row window — :func:`distributed_row_number`
+    generalized from counting to summing (a27's Pareto cumulative
+    revenue is the first consumer).
+
+    ``bucket`` must be monotone non-decreasing in the leading order
+    column so order-ties share a bucket; ``value_col`` should be a
+    DECIMAL column (exact, association-independent — a double here
+    would re-introduce partial-aggregation-order noise the helper
+    exists to avoid). Three steps: per-bucket value sums; a running-sum
+    offset window over #buckets rows only (the single tiny serial
+    window); broadcast offsets back and accumulate WITHIN each bucket —
+    every per-row window fully parallel.
+    """
+    from pyspark.sql import Window
+
+    keyed = df.withColumn("_drs_b", bucket)
+    counts = keyed.groupBy("_drs_b").agg(
+        F.sum(value_col).alias("_drs_s")
+    )
+    w_off = Window.orderBy("_drs_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_drs_b",
+        F.coalesce(
+            F.sum("_drs_s").over(w_off), F.lit(0).cast("decimal(38,6)")
+        ).alias("_drs_off"),
+    )
+    w_in = (
+        Window.partitionBy("_drs_b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "_drs_b")
+        .withColumn(
+            cum_alias,
+            (F.sum(value_col).over(w_in) + F.col("_drs_off")).cast(
+                "decimal(38,6)"
+            ),
+        )
+        .drop("_drs_b", "_drs_off")
+    )

@@ -907,7 +907,61 @@ FROM c ORDER BY n_sessions DESC, path LIMIT 20
 """
 
 
+def q_e15_bounce_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit session matrix with bounce rates: for each (user, day)
+    session, the first and last event type in strict (ts, event_id)
+    order, aggregated into an entry×exit grid with the single-event
+    (bounce) share per cell — the landing-page health readout e14's
+    whole-path top-k doesn't give (paths tell you the common journeys;
+    this tells you where journeys START, END, and die immediately).
+
+    Scale shape: e14's one-groupBy session build (per-group sorted
+    struct arrays bounded by session length, no stream-wide window),
+    then a ≤|event_types|² aggregation. Bounce rate is the only IEEE
+    op, dividing two exact BIGINTs.
+    """
+    ev = load_events(spark, sf_dir)
+    s = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("a")
+    )
+    sess = s.select(
+        F.element_at("a", 1)["event_type"].alias("entry_type"),
+        F.element_at("a", -1)["event_type"].alias("exit_type"),
+        F.size("a").alias("n"),
+    )
+    return sess.groupBy("entry_type", "exit_type").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        (
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("bounce_rate"),
+    )
+
+
+SQL_E15 = """
+WITH s AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           list(event_type ORDER BY ts, event_id) AS a,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT a[1] AS entry_type, a[-1] AS exit_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+FROM s GROUP BY 1, 2
+"""
+
+
 QUERIES: list[Query] = [
+    Query("e15_bounce_matrix", q_e15_bounce_matrix, SQL_E15,
+          "entry×exit session matrix with bounce rates"),
     Query("e14_top_paths", q_e14_top_paths, SQL_E14,
           "top (user, day) event-type paths (whole-trajectory analytics)"),
     Query("e13_interarrival", q_e13_interarrival, SQL_E13,

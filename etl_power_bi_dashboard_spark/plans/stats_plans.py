@@ -1828,7 +1828,201 @@ FROM e
 """
 
 
+def q_a27_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    cumulatively accumulated, and bucketed A (first 70% of revenue),
+    B (next 20%), C (tail) — the "which 20% of SKUs drive 80% of sales"
+    readout a16's Gini summarizes into one number but can't itemize.
+
+    The cumulative revenue uses :func:`operators.scale.
+    distributed_running_sum` — the sc5/a16 range-partitioned pattern
+    generalized from ranks to DECIMAL running sums, so no single task
+    ever sorts the whole part dimension (parts scale with the corpus,
+    unlike calendar-bounded month axes). Class boundaries compare
+    ``cum·10 ≤ total·7`` / ``cum·10 ≤ total·9`` in exact DECIMAL —
+    never an IEEE share — so a part sitting precisely on a boundary
+    cannot land in different classes on different engines.
+    """
+    from ..operators.scale import distributed_running_sum
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("decimal(38,6)").alias("rev")
+    )
+    cum = distributed_running_sum(
+        per_part,
+        bucket=F.floor(F.col("rev").cast("double") / F.lit(-50000.0)).cast(
+            "long"
+        ),
+        order_cols=[F.desc("rev"), F.asc("l_partkey")],
+        value_col="rev",
+        cum_alias="cum",
+    )
+    total = per_part.agg(
+        F.sum("rev").cast("decimal(30,6)").alias("total")
+    )
+    # (30,6) keeps the ×10/×7 boundary products inside DECIMAL(38,·)
+    # exactly on both engines — at (38,6) Spark's precision cap would
+    # silently round the product and the boundary compare stops being
+    # exact
+    classed = (
+        cum.withColumn("cum", F.col("cum").cast("decimal(30,6)"))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum") * F.lit(10) <= F.col("total") * F.lit(7), "A")
+            .when(F.col("cum") * F.lit(10) <= F.col("total") * F.lit(9), "B")
+            .otherwise("C"),
+        )
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("rev").cast("decimal(38,6)").cast("double").alias("revenue"),
+        (
+            F.sum("rev").cast("decimal(38,6)").cast("double")
+            / F.max(F.col("total").cast("double"))
+            * F.lit(100.0)
+        ).alias("share_pct"),
+    )
+
+
+SQL_A27 = """
+WITH per AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(6,4))
+                       - CAST(l_discount AS DECIMAL(6,4))))
+                AS DECIMAL(38,6)) AS rev
+    FROM lineitem GROUP BY 1
+),
+c AS (
+    SELECT rev,
+           CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING)
+                AS DECIMAL(30,6)) AS cum,
+           CAST(SUM(rev) OVER () AS DECIMAL(30,6)) AS total
+    FROM per
+),
+k AS (
+    SELECT rev, total,
+           CASE WHEN cum * 10 <= total * 7 THEN 'A'
+                WHEN cum * 10 <= total * 9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE)
+           / MAX(CAST(total AS DOUBLE)) * 100.0 AS share_pct
+FROM k GROUP BY 1
+"""
+
+
+def q_ml10_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal 1-split decision stump: the best ``n_chars ≤ t`` rule for
+    predicting ``lang = 'en'`` by exact misclassification count — the
+    simplest supervised baseline (and the split primitive a full tree
+    builder would iterate). Error, not entropy/Gini, is the split
+    criterion precisely so the whole search stays in exact integers:
+    err(t) = min over the two leaf labelings of (left mistakes + right
+    mistakes), every term a BIGINT count, so the argmin (tie-broken on
+    the smaller threshold) is engine-portable with zero float ops until
+    the final accuracy division.
+
+    Scale shape: one groupBy collapses the corpus to per-value (pos,
+    tot) counts — the cumulative window then runs over DISTINCT feature
+    values only, bounded by the generator's document-length domain
+    (~10² values at any corpus size — the a13 value-domain-bounded
+    class, allowlisted), never over documents.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy(F.col("n_chars").alias("t")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.count("*").cast("bigint").alias("tot"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "t",
+        F.sum("pos").over(w).cast("bigint").alias("cpos"),
+        F.sum("tot").over(w).cast("bigint").alias("ctot"),
+    )
+    totals = per.agg(
+        F.sum("pos").cast("bigint").alias("tpos"),
+        F.sum("tot").cast("bigint").alias("ttot"),
+    )
+    e = cum.crossJoin(F.broadcast(totals)).select(
+        "t",
+        F.least(
+            # left ≤ t labeled 'en': mistakes = left negatives + right positives
+            (F.col("ctot") - F.col("cpos"))
+            + (F.col("tpos") - F.col("cpos")),
+            # left ≤ t labeled 'other': mistakes = left positives + right negatives
+            F.col("cpos")
+            + ((F.col("ttot") - F.col("ctot")) - (F.col("tpos") - F.col("cpos"))),
+        )
+        .cast("bigint")
+        .alias("err"),
+        F.least(F.col("tpos"), F.col("ttot") - F.col("tpos"))
+        .cast("bigint")
+        .alias("baseline_err"),
+        F.col("ttot"),
+    )
+    best = e.agg(
+        F.min(F.struct("err", "t", "baseline_err", "ttot")).alias("b")
+    )
+    return best.select(
+        F.col("b.t").alias("threshold"),
+        F.col("b.err").alias("err"),
+        F.col("b.baseline_err").alias("baseline_err"),
+        (
+            (F.col("b.ttot") - F.col("b.err")).cast("double")
+            / F.col("b.ttot").cast("double")
+        ).alias("accuracy"),
+    )
+
+
+SQL_ML10 = """
+WITH per AS (
+    SELECT n_chars AS t,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS tot
+    FROM documents GROUP BY 1
+),
+c AS (
+    SELECT t,
+           CAST(SUM(pos) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpos,
+           CAST(SUM(tot) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctot,
+           CAST(SUM(pos) OVER () AS BIGINT) AS tpos,
+           CAST(SUM(tot) OVER () AS BIGINT) AS ttot
+    FROM per
+),
+e AS (
+    SELECT t,
+           LEAST((ctot - cpos) + (tpos - cpos),
+                 cpos + ((ttot - ctot) - (tpos - cpos))) AS err,
+           LEAST(tpos, ttot - tpos) AS baseline_err,
+           ttot
+    FROM c
+)
+SELECT t AS threshold, CAST(err AS BIGINT) AS err,
+       CAST(baseline_err AS BIGINT) AS baseline_err,
+       CAST(ttot - err AS DOUBLE) / CAST(ttot AS DOUBLE) AS accuracy
+FROM e ORDER BY err, t LIMIT 1
+"""
+
+
 QUERIES: list[Query] = [
+    Query("a27_pareto_abc", q_a27_pareto_abc, SQL_A27,
+          "ABC/Pareto revenue classification (distributed DECIMAL running sum)"),
+    Query("ml10_decision_stump", q_ml10_decision_stump, SQL_ML10,
+          "optimal 1-split decision stump (exact integer misclassification)"),
     Query("a23_rfm_segments", q_a23_rfm_segments, SQL_A23,
           "RFM quintile segmentation grid (rank-exact, no NTILE windows)"),
     Query("a24_ewma", q_a24_ewma, _sql_a24(),

@@ -777,7 +777,77 @@ FROM m GROUP BY 1
 """
 
 
+def q_r13_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day SLA intervals: per order, calendar vs business days
+    from order date to the LAST line-item ship date — the working-days
+    arithmetic every fulfillment SLA is written in (a 7-calendar-day gap
+    over a weekend is 5 working days; r12 allocates across months, this
+    measures inside the week).
+
+    Closed-form, not calendar-join: weekdays in (d₁, d₂] = W(d₂) −
+    W(d₁) where W(d) = 5·(m DIV 7) + LEAST(m MOD 7 + 1, 5) and m =
+    epoch_day(d) − 4 anchors m = 0 on a Monday (1970-01-05) — pure
+    integer arithmetic on both engines, no generated date dim, no
+    per-row fan-out, valid for any date after the anchor. One keyed
+    aggregation (max ship date per order) + one join on the order key.
+    The count is SIGNED, matching cal_days: the synthetic fixture ships
+    some orders before their order date, and W(d₂) − W(d₁) handles the
+    reversed interval for free (bruteforce-pinned both ways in tests).
+    """
+    li = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("ship_ts")
+    )
+    o = load(spark, sf_dir, "orders")
+    j = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.to_date("ship_ts").alias("sd"),
+    )
+    # SQL-expr form for the exact DIV/% integer semantics shared with the
+    # oracle (all operands positive past the 1970-01-05 anchor, so DIV
+    # truncation == floor on both engines)
+    j = j.selectExpr(
+        "o_orderkey",
+        "CAST(date_format(od, 'yyyyMMdd') AS INT) AS order_date_id",
+        "CAST(date_format(sd, 'yyyyMMdd') AS INT) AS ship_date_id",
+        "CAST(datediff(sd, od) AS BIGINT) AS cal_days",
+        """CAST(
+             (5 * ((datediff(sd, DATE'1970-01-01') - 4) DIV 7)
+              + LEAST((datediff(sd, DATE'1970-01-01') - 4) % 7 + 1, 5))
+           - (5 * ((datediff(od, DATE'1970-01-01') - 4) DIV 7)
+              + LEAST((datediff(od, DATE'1970-01-01') - 4) % 7 + 1, 5))
+           AS BIGINT) AS bus_days""",
+    )
+    return j
+
+
+SQL_R13 = """
+WITH li AS (
+    SELECT l_orderkey, MAX(l_shipdate) AS ship_ts FROM lineitem GROUP BY 1
+),
+j AS (
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS od,
+           CAST(ship_ts AS DATE) AS sd
+    FROM orders JOIN li ON o_orderkey = l_orderkey
+)
+SELECT o_orderkey,
+       CAST(strftime(od, '%Y%m%d') AS INT) AS order_date_id,
+       CAST(strftime(sd, '%Y%m%d') AS INT) AS ship_date_id,
+       CAST(date_diff('day', od, sd) AS BIGINT) AS cal_days,
+       CAST(
+         (5 * ((date_diff('day', DATE '1970-01-01', sd) - 4) // 7)
+          + LEAST((date_diff('day', DATE '1970-01-01', sd) - 4) % 7 + 1, 5))
+       - (5 * ((date_diff('day', DATE '1970-01-01', od) - 4) // 7)
+          + LEAST((date_diff('day', DATE '1970-01-01', od) - 4) % 7 + 1, 5))
+       AS BIGINT) AS bus_days
+FROM j
+"""
+
+
 QUERIES: list[Query] = [
+    Query("r13_business_days", q_r13_business_days, SQL_R13,
+          "business-day SLA intervals (closed-form weekday arithmetic)"),
     Query("r12_calendarize", q_r12_calendarize, SQL_R12,
           "interval→month pro-rata value allocation (revenue recognition)"),
     Query("r11_asof_nearest", q_r11_asof_nearest, SQL_R11,

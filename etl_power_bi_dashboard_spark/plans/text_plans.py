@@ -2052,7 +2052,165 @@ FROM base, LATERAL unnest(range(1, n - 64 + 2, 32)) AS u(s)
 """
 
 
+def q_x28_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    the information-theoretic "how far does each source's language
+    drift from the blend" readout behind mixture rebalancing (q5's PSI
+    bins sources by a single feature; this compares whole vocabulary
+    distributions). KL(pₛ‖p_c) = Σₜ (c_st/nₛ)·ln((c_st·N)/(nₛ·c_t));
+    every term a source emits exists in the corpus, so no zero-support
+    guard is needed.
+
+    Exactness: the x21/ml7 convention — each ln of an exact-integer
+    ratio (formed in doubles, deterministic IEEE) is quantized to
+    BIGINT nano-units, weighted by the exact integer count c_st, and
+    summed as BIGINT (association-order-free); the only engine-shared
+    IEEE ops are the ratio products and two final divisions. Plan: one
+    token explode → (source, term) counts; term-keyed join against the
+    vocabulary-sized corpus table (broadcast here, keyed shuffle at
+    open-vocabulary scale); 1-row and |sources|-row broadcasts.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.length("t") > 0)
+    sc = tok.groupBy("source", "t").agg(
+        F.count("*").cast("bigint").alias("c_st")
+    )
+    stot = sc.groupBy("source").agg(
+        F.sum("c_st").cast("bigint").alias("n_s")
+    )
+    cc = sc.groupBy("t").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    ctot = cc.agg(F.sum("c_t").cast("bigint").alias("N"))
+    ratio = (
+        F.col("c_st").cast("double") * F.col("N").cast("double")
+    ) / (F.col("n_s").cast("double") * F.col("c_t").cast("double"))
+    per_term = (
+        sc.join(F.broadcast(cc), "t")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            "n_s",
+            (
+                F.col("c_st")
+                * F.floor(F.ln(ratio) * F.lit(1e9) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).cast("bigint").alias("w"),
+        )
+    )
+    return per_term.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_terms"),
+        (
+            F.sum("w").cast("bigint").cast("double")
+            / F.lit(1e9)
+            / F.max("n_s").cast("double")
+        ).alias("kl_nats"),
+    )
+
+
+SQL_X28 = """
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+sc AS (
+    SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c_st
+    FROM tok WHERE length(t) > 0 GROUP BY 1, 2
+),
+stot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM sc GROUP BY 1),
+cc AS (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t FROM sc GROUP BY 1),
+ctot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS N FROM cc),
+per_term AS (
+    SELECT sc.source, stot.n_s,
+           CAST(sc.c_st * CAST(FLOOR(ln(
+               (CAST(sc.c_st AS DOUBLE) * CAST(ctot.N AS DOUBLE))
+               / (CAST(stot.n_s AS DOUBLE) * CAST(cc.c_t AS DOUBLE))
+           ) * 1e9 + 0.5) AS BIGINT) AS BIGINT) AS w
+    FROM sc JOIN cc USING (t) JOIN stot USING (source) CROSS JOIN ctot
+)
+SELECT source,
+       MAX(n_s) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) / 1e9
+           / CAST(MAX(n_s) AS DOUBLE) AS kl_nats
+FROM per_term GROUP BY 1
+"""
+
+
+def q_x29_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-50 vocabulary — the filter signal "how much of this doc is rare
+    tokens" that training-data pipelines threshold on before tokenizer
+    runs (x12 scores against unigram probabilities; this is the blunt
+    set-membership variant a fixed production vocab uses).
+
+    The vocabulary (top-50 terms by count, ties broken on the term) is
+    a deliberately tiny broadcast array — per-token membership is an
+    in-codegen array_contains, no join fan-out, and the per-doc counts
+    are exact integers with one guarded IEEE division. At a real
+    tokenizer-sized vocab (~10⁵) the same plan holds (a ~1 MB broadcast);
+    past that the membership flips to a token-keyed anti-join.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") > 0)
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = (
+        cnt.orderBy(F.desc("c"), F.asc("t"))
+        .limit(50)
+        .agg(F.collect_list("t").alias("v"))
+    )
+    d = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    return d.crossJoin(F.broadcast(vocab)).selectExpr(
+        "doc_id",
+        "CAST(size(filter(tk, x -> length(x) > 0)) AS BIGINT) AS n_tokens",
+        "CAST(size(filter(tk, x -> length(x) > 0 AND NOT array_contains(v, x)))"
+        " AS BIGINT) AS n_oov",
+        """CASE WHEN size(filter(tk, x -> length(x) > 0)) > 0
+                THEN CAST(size(filter(tk, x -> length(x) > 0
+                                          AND NOT array_contains(v, x))) AS DOUBLE)
+                     / CAST(size(filter(tk, x -> length(x) > 0)) AS DOUBLE)
+           END AS oov_rate""",
+    )
+
+
+SQL_X29 = """
+WITH cnt AS (
+    SELECT t, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ) WHERE length(t) > 0 GROUP BY t
+),
+v AS (
+    SELECT list(t) AS vocab FROM (
+        SELECT t FROM cnt ORDER BY c DESC, t LIMIT 50
+    )
+),
+d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(tk, x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(tk, x -> length(x) > 0
+                                AND NOT list_contains(vocab, x)))
+            AS BIGINT) AS n_oov,
+       CASE WHEN len(list_filter(tk, x -> length(x) > 0)) > 0
+            THEN CAST(len(list_filter(tk, x -> length(x) > 0
+                                         AND NOT list_contains(vocab, x)))
+                      AS DOUBLE)
+                 / CAST(len(list_filter(tk, x -> length(x) > 0)) AS DOUBLE)
+       END AS oov_rate
+FROM d CROSS JOIN v
+"""
+
+
 QUERIES: list[Query] = [
+    Query("x28_kl_divergence", q_x28_kl_divergence, SQL_X28,
+          "per-source KL divergence from the corpus unigram mix"),
+    Query("x29_oov_rate", q_x29_oov_rate, SQL_X29,
+          "per-doc out-of-vocabulary rate vs the top-50 corpus vocab"),
     Query("x1_token_count", q_x1_token_count, SQL_X1, "token counting"),
     Query("x20_chunk_split", q_x20_chunk_split, SQL_X20,
           "overlapping sliding-window context chunking (RAG/packing prep)"),

@@ -258,6 +258,13 @@ def test_r10_carryover_and_boundaryless_days(spark, tmp_path):
 # bounded-cardinality justification.
 _SP_WINDOW_ALLOWED = {
     "a16_gini_concentration",
+    # a27: only the #buckets-row offset window of distributed_running_sum
+    # is serial (the sc5/a16 pattern generalized to DECIMAL sums)
+    "a27_pareto_abc",
+    # ml10: cumulative window over DISTINCT n_chars values only —
+    # bounded by the generator's length domain (~10² values at any
+    # corpus size), the a13 value-domain-bounded class
+    "ml10_decision_stump",
     "a23_rfm_segments",
     "a24_ewma",
     "a25_yoy_growth",

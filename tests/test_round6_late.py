@@ -126,3 +126,140 @@ def test_v6_recall_bounds_and_self_consistency(spark):
         assert 0.0 <= r.recall <= 1.0
         assert r.n_match == round(r.recall * 5)
     assert max(r.recall for r in rows) > 0.0
+
+
+def test_distributed_running_sum_matches_naive_window(spark):
+    """The range-partitioned running sum must equal the naive global
+    window bit-for-bit (DECIMAL, so equality is exact)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.operators.scale import (
+        distributed_running_sum,
+    )
+    from etl_power_bi_dashboard_spark.plans.base import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(6,4)")
+           - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    per = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("decimal(38,6)").alias("rev")
+    )
+    fast = distributed_running_sum(
+        per,
+        bucket=F.floor(F.col("rev").cast("double") / F.lit(-50000.0)).cast("long"),
+        order_cols=[F.desc("rev"), F.asc("l_partkey")],
+        value_col="rev",
+        cum_alias="cum",
+    ).select("l_partkey", F.col("cum").cast("decimal(38,6)").alias("cum"))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = per.select(
+        "l_partkey", F.sum("rev").over(w).cast("decimal(38,6)").alias("cum")
+    )
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
+
+
+def test_r13_business_days_matches_bruteforce(spark):
+    """The closed-form weekday count must agree with literally
+    enumerating the days of every (order, ship] interval. The synthetic
+    generator emits ship dates on BOTH sides of the order date, so the
+    signed semantics (negative business days for early ships, matching
+    cal_days' sign) is exercised for real."""
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    out = REGISTRY["r13_business_days"].spark(spark, SF_DIR)
+    checked = out.selectExpr(
+        "bus_days",
+        "to_date(CAST(order_date_id AS STRING), 'yyyyMMdd') AS od",
+        "to_date(CAST(ship_date_id AS STRING), 'yyyyMMdd') AS sd",
+    ).selectExpr(
+        "bus_days",
+        """CASE WHEN sd > od
+                THEN size(filter(sequence(date_add(od, 1), sd),
+                                 d -> dayofweek(d) NOT IN (1, 7)))
+                WHEN od > sd
+                THEN -size(filter(sequence(date_add(sd, 1), od),
+                                  d -> dayofweek(d) NOT IN (1, 7)))
+                ELSE 0 END AS bf""",
+    )
+    n = checked.count()
+    assert n > 0
+    assert checked.filter("bus_days != bf").count() == 0
+    # both signs must actually occur in the fixture
+    assert checked.filter("bus_days < 0").count() > 0
+    assert checked.filter("bus_days > 0").count() > 0
+
+
+def test_ml10_stump_is_globally_optimal(spark):
+    """Brute-force every threshold in Python and confirm the query's
+    (err, threshold) is the lexicographic minimum."""
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load
+
+    per = (
+        load(spark, SF_DIR, "documents")
+        .groupBy("n_chars")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos"),
+            F.count("*").alias("tot"),
+        )
+        .collect()
+    )
+    per.sort(key=lambda r: r.n_chars)
+    tpos = sum(r.pos for r in per)
+    ttot = sum(r.tot for r in per)
+    best = None
+    cpos = ctot = 0
+    for r in per:
+        cpos += r.pos
+        ctot += r.tot
+        err = min(
+            (ctot - cpos) + (tpos - cpos),
+            cpos + ((ttot - ctot) - (tpos - cpos)),
+        )
+        if best is None or (err, r.n_chars) < best:
+            best = (err, r.n_chars)
+    row = REGISTRY["ml10_decision_stump"].spark(spark, SF_DIR).collect()[0]
+    assert (row.err, row.threshold) == best
+    assert row.baseline_err == min(tpos, ttot - tpos)
+    assert row.err <= row.baseline_err
+
+
+def test_a27_classes_partition_the_dimension(spark):
+    """A/B/C must partition all parts and their shares must sum to
+    100% of revenue."""
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load
+
+    out = REGISTRY["a27_pareto_abc"].spark(spark, SF_DIR).collect()
+    n_parts = (
+        load(spark, SF_DIR, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in out) == n_parts
+    assert abs(sum(r.share_pct for r in out) - 100.0) < 1e-9
+    by_class = {r.abc_class: r for r in out}
+    assert set(by_class) <= {"A", "B", "C"}
+
+
+def test_x28_kl_nonnegative_and_x29_bounds(spark):
+    """KL ≥ 0 (up to nano-quantization slack); OOV counts bounded by
+    token counts."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    for r in REGISTRY["x28_kl_divergence"].spark(spark, SF_DIR).collect():
+        assert r.kl_nats > -1e-6, r
+    for r in REGISTRY["x29_oov_rate"].spark(spark, SF_DIR).collect():
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert r.oov_rate is None or 0.0 <= r.oov_rate <= 1.0

@@ -183,6 +183,9 @@ TAIL = [
     "e15_bounce_matrix",
     "x28_kl_divergence",
     "x29_oov_rate",
+    "m7_scene_cuts",
+    "x30_heaps_fit",
+    "a28_price_volume_mix",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -2018,7 +2018,92 @@ FROM e ORDER BY err, t LIMIT 1
 """
 
 
+def q_a28_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume bridge: month-over-month revenue change decomposed
+    into a volume effect ((q_t−q_{t−1})·p_{t−1}) and a price effect
+    ((p_t−p_{t−1})·q_t) — the waterfall chart answering "did revenue
+    move because we sold MORE or because we charged MORE", the page-2
+    companion to a25's YoY growth. The two effects telescope to the
+    exact revenue delta up to the rounding of the average-price
+    quotients.
+
+    Exactness: quantity and revenue accumulate as DECIMAL; average
+    price is one IEEE division of those exact values, and the effects
+    are fixed-order IEEE products — bit-identical on both engines. The
+    lag runs over the calendar-bounded post-aggregation month series
+    (the a25 class, allowlisted) and is hole-guarded on consecutive
+    year·12+month ids so a missing month yields NULL effects rather
+    than a silently mislabeled comparison.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_format("l_shipdate", "yyyyMM").cast("int").alias("month_id"),
+        (
+            F.year("l_shipdate") * F.lit(12) + F.month("l_shipdate")
+        ).alias("om"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("qty"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (
+                F.lit(1).cast("decimal(6,4)")
+                - F.col("l_discount").cast("decimal(6,4)")
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+    w = Window.orderBy("om")
+    contig = F.lag("om").over(w) == F.col("om") - F.lit(1)
+    pq = F.lag("qty").over(w)
+    pr = F.lag("revenue").over(w)
+    price = F.col("revenue") / F.col("qty")
+    pprice = pr / pq
+    return monthly.select(
+        "month_id",
+        "qty",
+        "revenue",
+        price.alias("avg_price"),
+        F.when(contig, F.col("revenue") - pr).alias("delta_revenue"),
+        F.when(contig, (F.col("qty") - pq) * pprice).alias("volume_effect"),
+        F.when(contig, (price - pprice) * F.col("qty")).alias(
+            "price_effect"
+        ),
+    )
+
+
+SQL_A28 = """
+WITH m AS (
+    SELECT CAST(strftime(l_shipdate, '%Y%m') AS INT) AS month_id,
+           year(l_shipdate) * 12 + month(l_shipdate) AS om,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(6,4))
+                       - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT month_id, qty, revenue,
+       revenue / qty AS avg_price,
+       CASE WHEN lag(om) OVER w = om - 1
+            THEN revenue - lag(revenue) OVER w END AS delta_revenue,
+       CASE WHEN lag(om) OVER w = om - 1
+            THEN (qty - lag(qty) OVER w)
+                 * (lag(revenue) OVER w / lag(qty) OVER w)
+       END AS volume_effect,
+       CASE WHEN lag(om) OVER w = om - 1
+            THEN (revenue / qty - lag(revenue) OVER w / lag(qty) OVER w)
+                 * qty END AS price_effect
+FROM m
+WINDOW w AS (ORDER BY om)
+"""
+
+
 QUERIES: list[Query] = [
+    Query("a28_price_volume_mix", q_a28_price_volume_mix, SQL_A28,
+          "MoM price/volume revenue-bridge decomposition"),
     Query("a27_pareto_abc", q_a27_pareto_abc, SQL_A27,
           "ABC/Pareto revenue classification (distributed DECIMAL running sum)"),
     Query("ml10_decision_stump", q_ml10_decision_stump, SQL_ML10,

@@ -1651,6 +1651,76 @@ GROUP BY h.doc_id
 """
 
 
+def q_m7_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut profile per video payload: adjacent sampled frames
+    whose content hashes differ mark a cut; the per-payload cut density
+    separates static footage (slides, title cards ≈ 0) from dynamic
+    footage (≈ 1) — the standard shot-boundary pre-filter before a
+    frame-sampling pipeline decides how densely to sample each video.
+    m6 asks "are these frames shared ACROSS videos"; this asks "how
+    fast do frames change WITHIN one".
+
+    Same Arrow-batched ``frame_hashes`` hop as m2/m6 (only 32-char
+    digests leave the task), sampled at every_n=1 so adjacency is
+    physical adjacency; the lag window is partitioned per payload
+    (bounded by frames-per-video, fully parallel). Oracle: the fake
+    codec's frames are 16-byte slices at stride 16 over the ASCII
+    payload, so DuckDB reproduces every hash with
+    ``md5(substring(text, 16·i+1, 16))`` (the m6 convention).
+    """
+    docs = load(spark, sf_dir, "documents")
+    frames = multimodal.frame_hashes(
+        multimodal.with_binary_payload(docs), every_n=1
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    prev = F.lag("frame_md5").over(w)
+    per = frames.select("doc_id", "frame_no", "frame_md5").withColumn(
+        "is_cut",
+        F.when(prev.isNotNull() & (F.col("frame_md5") != prev), 1).otherwise(
+            0
+        ),
+    )
+    return per.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.sum("is_cut").cast("bigint").alias("n_cuts"),
+        F.when(
+            F.count("*") > 1,
+            F.sum("is_cut").cast("double")
+            / (F.count("*") - F.lit(1)).cast("double"),
+        ).alias("cut_density"),
+    )
+
+
+SQL_M7 = """
+WITH p AS (
+    SELECT doc_id, text, length(text) AS blen FROM documents
+), f AS (
+    SELECT doc_id,
+           unnest(range(0, (blen + 15) // 16)) AS i,
+           text, blen
+    FROM p
+), h AS (
+    SELECT doc_id, i,
+           md5(substring(text, CAST(16 * i + 1 AS BIGINT),
+                         CAST(least(16, blen - 16 * i) AS BIGINT))) AS fh
+    FROM f
+), c AS (
+    SELECT doc_id,
+           CASE WHEN lag(fh) OVER w IS NOT NULL
+                 AND fh != lag(fh) OVER w THEN 1 ELSE 0 END AS ic
+    FROM h
+    WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(ic) AS BIGINT) AS n_cuts,
+       CASE WHEN COUNT(*) > 1
+            THEN CAST(SUM(ic) AS DOUBLE) / CAST(COUNT(*) - 1 AS DOUBLE)
+       END AS cut_density
+FROM c GROUP BY doc_id
+"""
+
+
 def q_x23_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency fit: OLS of ln(freq) on ln(rank) over the
     corpus vocabulary — the distribution-health diagnostic that flags a
@@ -1759,6 +1829,153 @@ SELECT CAST(n AS BIGINT) AS vocab_size,
        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
        (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
            AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM m
+"""
+
+
+def q_x30_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: vocabulary growth V(N) ≈ k·N^β over the corpus
+    read in doc_id order — x23's Zipf says how frequency decays across
+    the vocabulary; this says how fast NEW vocabulary keeps arriving as
+    the corpus grows (β ≈ 0.5 for natural text; a saturated ≈ 0 curve
+    flags a closed-vocabulary/templated corpus, and the fit is the
+    principled "is more data still buying new tokens" scaling readout).
+
+    One point per document: N_d = tokens to date, V_d = distinct terms
+    to date. V_d needs no distinct-over-window: each term contributes 1
+    at its FIRST doc (one groupBy min), so both curves are plain
+    running sums — computed here as a DUAL range-partitioned cumulative
+    sum (the sc5 pattern with two BIGINT accumulators sharing one
+    bucketing; exact integer window sums, no serial per-row window over
+    the doc axis). The ln points and OLS moments follow x23's
+    FLOOR-nano convention end to end; slope IS β, intercept is ln k
+    (exp is deliberately not applied — libm exp is not bit-portable).
+    """
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.length("t") > 0)
+    pd_tok = tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok")
+    )
+    first = tok.groupBy("t").agg(F.min("doc_id").alias("doc_id"))
+    nw = first.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    j = pd_tok.join(nw, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+    )
+    keyed = j.withColumn("_b", F.expr("doc_id DIV 256"))
+    bsum = keyed.groupBy("_b").agg(
+        F.sum("n_tok").alias("_bt"), F.sum("n_new").alias("_bn")
+    )
+    w_off = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    offs = bsum.select(
+        "_b",
+        F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).alias("_ot"),
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_on"),
+    )
+    w_in = (
+        W.partitionBy("_b")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = keyed.join(F.broadcast(offs), "_b").select(
+        (F.sum("n_tok").over(w_in) + F.col("_ot"))
+        .cast("bigint")
+        .alias("nd"),
+        (F.sum("n_new").over(w_in) + F.col("_on"))
+        .cast("bigint")
+        .alias("vd"),
+    )
+
+    def q9dp(col):
+        return F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("bigint").cast(
+            "double"
+        ) / F.lit(1e9)
+
+    def nsum(col):
+        return (
+            F.sum(F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / F.lit(1e9)
+        )
+
+    pts = cum.select(
+        q9dp(F.ln(F.col("nd").cast("double"))).alias("x"),
+        q9dp(F.ln(F.col("vd").cast("double"))).alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        nsum(F.col("x")).alias("sx"),
+        nsum(F.col("y")).alias("sy"),
+        nsum(F.col("x") * F.col("y")).alias("sxy"),
+        nsum(F.col("x") * F.col("x")).alias("sxx"),
+        nsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r_num = n * sxy - sx * sy
+    return m.select(
+        n.cast("bigint").alias("n_points"),
+        slope.alias("heaps_beta"),
+        ((sy - slope * sx) / n).alias("ln_k"),
+        (
+            (r_num * r_num) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
+
+
+SQL_X30 = """
+WITH tok AS (
+    SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ) WHERE length(t) > 0
+),
+pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1),
+fd AS (SELECT t, MIN(doc_id) AS doc_id FROM tok GROUP BY 1),
+nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new FROM fd GROUP BY 1),
+j AS (
+    SELECT pd.doc_id, pd.n_tok,
+           CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new
+    FROM pd LEFT JOIN nw USING (doc_id)
+),
+c AS (
+    SELECT CAST(SUM(n_tok) OVER w AS BIGINT) AS nd,
+           CAST(SUM(n_new) OVER w AS BIGINT) AS vd
+    FROM j WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+),
+pts AS (
+    SELECT CAST(FLOOR(ln(CAST(nd AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+               / 1e9 AS x,
+           CAST(FLOOR(ln(CAST(vd AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+               / 1e9 AS y
+    FROM c
+),
+m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS sx,
+           CAST(SUM(CAST(FLOOR(y * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS sy,
+           CAST(SUM(CAST(FLOOR(x * y * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS sxy,
+           CAST(SUM(CAST(FLOOR(x * x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS sxx,
+           CAST(SUM(CAST(FLOOR(y * y * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS syy
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS heaps_beta,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS ln_k,
        ((n * sxy - sx * sy) * (n * sxy - sx * sy))
            / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
 FROM m
@@ -2207,6 +2424,10 @@ FROM d CROSS JOIN v
 
 
 QUERIES: list[Query] = [
+    Query("m7_scene_cuts", q_m7_scene_cuts, SQL_M7,
+          "per-video scene-cut density (adjacent frame-hash changes)"),
+    Query("x30_heaps_fit", q_x30_heaps_fit, SQL_X30,
+          "Heaps'-law vocabulary-growth fit (dual distributed running sum)"),
     Query("x28_kl_divergence", q_x28_kl_divergence, SQL_X28,
           "per-source KL divergence from the corpus unigram mix"),
     Query("x29_oov_rate", q_x29_oov_rate, SQL_X29,

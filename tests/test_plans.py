@@ -265,9 +265,14 @@ _SP_WINDOW_ALLOWED = {
     # bounded by the generator's length domain (~10² values at any
     # corpus size), the a13 value-domain-bounded class
     "ml10_decision_stump",
+    # x30: only the #buckets-row offset window of the dual running sum
+    # is serial (the sc5 pattern with two accumulators)
+    "x30_heaps_fit",
     "a23_rfm_segments",
     "a24_ewma",
     "a25_yoy_growth",
+    # a28: lag over the calendar-bounded post-agg month series (a25 class)
+    "a28_price_volume_mix",
     "a17_cumulative_distinct",
     "a21_seasonality",
     "f2_median_impute",

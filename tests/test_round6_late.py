@@ -263,3 +263,69 @@ def test_x28_kl_nonnegative_and_x29_bounds(spark):
     for r in REGISTRY["x29_oov_rate"].spark(spark, SF_DIR).collect():
         assert 0 <= r.n_oov <= r.n_tokens
         assert r.oov_rate is None or 0.0 <= r.oov_rate <= 1.0
+
+
+def test_a28_effects_telescope_to_delta(spark):
+    """volume_effect + price_effect must reconstruct delta_revenue up to
+    the float rounding of the two price quotients (exact decomposition
+    identity: (Δq)·p_prev + (Δp)·q_t = Δ(p·q))."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    rows = REGISTRY["a28_price_volume_mix"].spark(spark, SF_DIR).collect()
+    checked = 0
+    for r in rows:
+        if r.delta_revenue is None:
+            continue
+        checked += 1
+        assert abs(
+            (r.volume_effect + r.price_effect) - r.delta_revenue
+        ) <= 1e-6 * max(1.0, abs(r.delta_revenue))
+    assert checked > 0
+
+
+def test_x30_curves_are_monotone_and_beta_sane(spark):
+    """The Heaps fit must come from genuinely monotone cumulative
+    curves; on natural-ish synthetic text β ∈ (0, 1)."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    row = REGISTRY["x30_heaps_fit"].spark(spark, SF_DIR).collect()[0]
+    assert row.n_points > 0
+    assert 0.0 < row.heaps_beta < 1.0
+    assert 0.0 <= row.r2 <= 1.0
+
+
+def test_m7_cut_bounds_and_static_payload(spark):
+    """Cut counts are bounded by n_frames−1, and a payload of one
+    repeated frame (all-identical 16-byte slices) must report density
+    0 while any two distinct adjacent frames report > 0."""
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.operators import multimodal
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    for r in REGISTRY["m7_scene_cuts"].spark(spark, SF_DIR).collect():
+        assert 0 <= r.n_cuts <= max(r.n_frames - 1, 0)
+
+    static = spark.createDataFrame(
+        [(1, b"0123456789abcdef" * 4), (2, b"0123456789abcdefFEDCBA9876543210")],
+        "doc_id long, payload binary",
+    )
+    frames = multimodal.frame_hashes(static, every_n=1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    cuts = (
+        frames.withColumn(
+            "ic",
+            F.when(
+                F.lag("frame_md5").over(w).isNotNull()
+                & (F.col("frame_md5") != F.lag("frame_md5").over(w)),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("ic").alias("n"))
+        .collect()
+    )
+    by_id = {r.doc_id: r.n for r in cuts}
+    assert by_id[1] == 0 and by_id[2] == 1

@@ -186,6 +186,9 @@ TAIL = [
     "m7_scene_cuts",
     "x30_heaps_fit",
     "a28_price_volume_mix",
+    "v9_mmr_rerank",
+    "e16_event_lateness",
+    "q13_fanout_profile",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

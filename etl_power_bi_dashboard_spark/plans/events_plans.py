@@ -959,7 +959,93 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_e16_event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile: per event type, how often events
+    arrive AFTER a later-timestamped event of the same user has already
+    landed, and by how much — exactly the statistic that sizes a
+    Structured Streaming watermark (`withWatermark` delay must cover
+    the observed lateness tail or the streaming ops in streaming/
+    events.py silently drop those rows). Arrival order is event_id (the
+    monotone ingest id); an event is late iff its ts precedes the
+    running max ts among the user's earlier arrivals.
+
+    Keyed per user deliberately: the running max is a per-user window
+    (bounded, parallel) matching how keyed streaming state actually
+    sees disorder — a global running max would be both a single-reducer
+    scan and the wrong statistic for keyed operators. Lateness is an
+    exact µs BIGINT difference; the only IEEE ops are the final
+    fraction and the µs→s display divisions.
+
+    On the driver fixture this reports 0 everywhere — event_ids are
+    assigned in timestamp order, i.e. "this stream needs no watermark
+    slack" — so the operator's SENSITIVITY is pinned by a law test
+    over a deliberately disordered frame rather than by the fixture.
+    """
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts"))
+    marked = ev.select(
+        "event_type",
+        us.alias("t_us"),
+        F.max(us).over(w).alias("wm_us"),
+    ).select(
+        "event_type",
+        F.when(
+            F.col("wm_us").isNotNull() & (F.col("t_us") < F.col("wm_us")),
+            F.col("wm_us") - F.col("t_us"),
+        ).alias("late_us"),
+    )
+    return marked.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count("late_us").cast("bigint").alias("n_late"),
+        (
+            F.count("late_us").cast("double") / F.count("*").cast("double")
+        ).alias("frac_late"),
+        (F.max("late_us").cast("double") / F.lit(1e6)).alias(
+            "max_lateness_sec"
+        ),
+        (
+            F.sum("late_us").cast("bigint").cast("double")
+            / F.lit(1e6)
+            / F.count("late_us").cast("double")
+        ).alias("avg_lateness_sec"),
+    )
+
+
+SQL_E16 = """
+WITH m AS (
+    SELECT event_type,
+           epoch_us(ts) AS t_us,
+           MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS wm_us
+    FROM events
+),
+l AS (
+    SELECT event_type,
+           CASE WHEN wm_us IS NOT NULL AND t_us < wm_us
+                THEN wm_us - t_us END AS late_us
+    FROM m
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(late_us) AS BIGINT) AS n_late,
+       CAST(COUNT(late_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS frac_late,
+       CAST(MAX(late_us) AS DOUBLE) / 1e6 AS max_lateness_sec,
+       CAST(CAST(SUM(late_us) AS BIGINT) AS DOUBLE) / 1e6
+           / CAST(COUNT(late_us) AS DOUBLE) AS avg_lateness_sec
+FROM l GROUP BY 1
+"""
+
+
 QUERIES: list[Query] = [
+    Query("e16_event_lateness", q_e16_event_lateness, SQL_E16,
+          "per-type event-time lateness profile (watermark sizing)"),
     Query("e15_bounce_matrix", q_e15_bounce_matrix, SQL_E15,
           "entry×exit session matrix with bounce rates"),
     Query("e14_top_paths", q_e14_top_paths, SQL_E14,

@@ -905,7 +905,253 @@ tope AS (
 """
 
 
+def q_v9_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein '98):
+    from each query's top-8 cosine candidates, greedily pick 3 results
+    maximizing λ·rel(d) − (1−λ)·max sim(d, picked) with λ = 0.7 — the
+    diversification stage between retrieval (v1/v2) and serving, so the
+    result page isn't three near-copies of the same document.
+
+    The greedy loop is UNROLLED (k = 3 fixed): pick-1 is pure argmax
+    relevance; pick-2 penalizes similarity to pick-1; pick-3 penalizes
+    the max similarity to both — three bounded per-query joins, no
+    iteration, no driver loop. Exactness: every cosine is quantized to
+    BIGINT micro-units (FLOOR(cos·1e6+0.5)) and λ = 0.7 is applied as
+    the INTEGER scoring 7·rel − 3·sim, so the whole argmax chain —
+    including ties — is exact integer arithmetic with vec_id
+    tie-breaks; division by 1e7 happens only for display. Scale shape:
+    candidate generation is the v1 broadcast top-k; everything after
+    operates on ≤8 rows per query (the production rerank contract).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        similarity.as_double(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("cv")
+    )
+
+    def micro(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+
+    rel = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "cv",
+            micro(similarity.cosine(F.col("qv"), F.col("cv"))).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        rel.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 8)
+        .select("query_id", "vec_id", "cv", "rel")
+    )
+    a = cand.select(
+        "query_id", F.col("vec_id").alias("a_id"), F.col("cv").alias("av")
+    )
+    b = cand.select(
+        "query_id", F.col("vec_id").alias("b_id"), F.col("cv").alias("bv")
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            micro(similarity.cosine(F.col("av"), F.col("bv"))).alias("sim"),
+        )
+    )
+    cd = cand.select("query_id", "vec_id", "rel")
+
+    def argmax(df, score_col, id_col="vec_id"):
+        return df.groupBy("query_id").agg(
+            F.min(
+                F.struct(
+                    (-F.col(score_col)).alias("ns"),
+                    F.col(id_col).alias("vid"),
+                )
+            ).alias("s")
+        )
+
+    p1 = argmax(cd.withColumn("sc", F.lit(7) * F.col("rel")), "sc").select(
+        "query_id",
+        F.col("s.vid").alias("p1_id"),
+        (-F.col("s.ns")).alias("p1_score"),
+    )
+    rem2 = (
+        cd.join(p1, "query_id")
+        .filter(F.col("vec_id") != F.col("p1_id"))
+        .join(
+            sims.select(
+                "query_id",
+                F.col("a_id").alias("vec_id"),
+                F.col("b_id").alias("p1_id"),
+                F.col("sim").alias("s1"),
+            ),
+            ["query_id", "vec_id", "p1_id"],
+        )
+        .withColumn("sc", F.lit(7) * F.col("rel") - F.lit(3) * F.col("s1"))
+    )
+    p2 = argmax(rem2, "sc").select(
+        "query_id",
+        F.col("s.vid").alias("p2_id"),
+        (-F.col("s.ns")).alias("p2_score"),
+    )
+    rem3 = (
+        cd.join(p1.select("query_id", "p1_id"), "query_id")
+        .join(p2.select("query_id", "p2_id"), "query_id")
+        .filter(
+            (F.col("vec_id") != F.col("p1_id"))
+            & (F.col("vec_id") != F.col("p2_id"))
+        )
+        .join(
+            sims.select(
+                "query_id",
+                F.col("a_id").alias("vec_id"),
+                F.col("b_id").alias("p1_id"),
+                F.col("sim").alias("s1"),
+            ),
+            ["query_id", "vec_id", "p1_id"],
+        )
+        .join(
+            sims.select(
+                "query_id",
+                F.col("a_id").alias("vec_id"),
+                F.col("b_id").alias("p2_id"),
+                F.col("sim").alias("s2"),
+            ),
+            ["query_id", "vec_id", "p2_id"],
+        )
+        .withColumn(
+            "sc",
+            F.lit(7) * F.col("rel")
+            - F.lit(3) * F.greatest(F.col("s1"), F.col("s2")),
+        )
+    )
+    p3 = argmax(rem3, "sc").select(
+        "query_id",
+        F.col("s.vid").alias("p3_id"),
+        (-F.col("s.ns")).alias("p3_score"),
+    )
+    out = (
+        p1.select(
+            "query_id",
+            F.lit(1).cast("int").alias("rank"),
+            F.col("p1_id").alias("vec_id"),
+            (F.col("p1_score").cast("double") / F.lit(1e7)).alias(
+                "mmr_score"
+            ),
+        )
+        .unionByName(
+            p2.select(
+                "query_id",
+                F.lit(2).cast("int").alias("rank"),
+                F.col("p2_id").alias("vec_id"),
+                (F.col("p2_score").cast("double") / F.lit(1e7)).alias(
+                    "mmr_score"
+                ),
+            )
+        )
+        .unionByName(
+            p3.select(
+                "query_id",
+                F.lit(3).cast("int").alias("rank"),
+                F.col("p3_id").alias("vec_id"),
+                (F.col("p3_score").cast("double") / F.lit(1e7)).alias(
+                    "mmr_score"
+                ),
+            )
+        )
+    )
+    return out
+
+
+_COS_RAW = f"({_DOT}) / (({_NORM.format(a='{a}')}) * ({_NORM.format(a='{b}')}))"
+_MICRO_COS = (
+    "CAST(FLOOR((" + _COS_RAW + ") * 1e6 + 0.5) AS BIGINT)"
+)
+
+SQL_V9 = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+rel AS (
+    SELECT query_id, vec_id, cv,
+           {_MICRO_COS.format(a="qv", b="cv")} AS rel
+    FROM q, c WHERE vec_id <> query_id
+),
+cand AS (
+    SELECT query_id, vec_id, cv, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, vec_id) AS r
+        FROM rel
+    ) WHERE r <= 8
+),
+sims AS (
+    SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+           {_MICRO_COS.format(a="a.cv", b="b.cv")} AS sim
+    FROM cand a JOIN cand b USING (query_id)
+    WHERE a.vec_id <> b.vec_id
+),
+p1 AS (
+    SELECT query_id, vec_id AS p1_id, 7 * rel AS p1_score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY 7 * rel DESC, vec_id) AS r
+        FROM cand
+    ) WHERE r = 1
+),
+p2 AS (
+    SELECT query_id, vec_id AS p2_id, sc AS p2_score FROM (
+        SELECT d.query_id, d.vec_id,
+               7 * d.rel - 3 * s.sim AS sc,
+               ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                  ORDER BY 7 * d.rel - 3 * s.sim DESC,
+                                           d.vec_id) AS r
+        FROM cand d
+        JOIN p1 USING (query_id)
+        JOIN sims s ON s.query_id = d.query_id
+                   AND s.a_id = d.vec_id AND s.b_id = p1.p1_id
+        WHERE d.vec_id <> p1.p1_id
+    ) WHERE r = 1
+),
+p3 AS (
+    SELECT query_id, vec_id AS p3_id, sc AS p3_score FROM (
+        SELECT d.query_id, d.vec_id,
+               7 * d.rel - 3 * GREATEST(s1.sim, s2.sim) AS sc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.query_id
+                   ORDER BY 7 * d.rel - 3 * GREATEST(s1.sim, s2.sim) DESC,
+                            d.vec_id) AS r
+        FROM cand d
+        JOIN p1 USING (query_id)
+        JOIN p2 USING (query_id)
+        JOIN sims s1 ON s1.query_id = d.query_id
+                    AND s1.a_id = d.vec_id AND s1.b_id = p1.p1_id
+        JOIN sims s2 ON s2.query_id = d.query_id
+                    AND s2.a_id = d.vec_id AND s2.b_id = p2.p2_id
+        WHERE d.vec_id <> p1.p1_id AND d.vec_id <> p2.p2_id
+    ) WHERE r = 1
+)
+SELECT query_id, CAST(1 AS INT) AS rank, p1_id AS vec_id,
+       CAST(p1_score AS DOUBLE) / 1e7 AS mmr_score FROM p1
+UNION ALL
+SELECT query_id, CAST(2 AS INT), p2_id, CAST(p2_score AS DOUBLE) / 1e7
+FROM p2
+UNION ALL
+SELECT query_id, CAST(3 AS INT), p3_id, CAST(p3_score AS DOUBLE) / 1e7
+FROM p3
+"""
+
+
 QUERIES: list[Query] = [
+    Query("v9_mmr_rerank", q_v9_mmr_rerank, SQL_V9,
+          "MMR diversified reranking (integer-exact unrolled greedy, λ=0.7)"),
     Query("v8_ivf_probe_sweep", q_v8_ivf_probe_sweep, _sql_v8(),
           "IVF recall-vs-probes tuning curve (the ANN cost/quality dial)"),
     Query("ml9_also_bought", q_ml9_also_bought, SQL_ML9,

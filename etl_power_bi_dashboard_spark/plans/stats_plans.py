@@ -2101,7 +2101,58 @@ WINDOW w AS (ORDER BY om)
 """
 
 
+def q_q13_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK fan-out histograms for the star's two biggest relationships:
+    orders-per-customer and lineitems-per-order, INCLUDING the zero
+    bucket (parents with no children, via a left join from the parent
+    dim) — the cardinality profile that predicts join skew and sizes
+    shuffle partitions before anyone runs the join (q9 audits FK
+    VALIDITY; this profiles FK SHAPE). Two groupBy pairs, each linear;
+    the histogram domain is bounded by the max fan-out.
+    """
+    o = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def hist(parent, parent_key, child, child_key, label):
+        per = child.groupBy(child_key).agg(F.count("*").alias("n"))
+        full = parent.select(
+            F.col(parent_key).alias(child_key)
+        ).join(per, child_key, "left").select(
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("fanout")
+        )
+        return full.groupBy("fanout").agg(
+            F.count("*").cast("bigint").alias("n_keys")
+        ).select(F.lit(label).alias("relation"), "fanout", "n_keys")
+
+    return hist(cust, "c_custkey", o, "o_custkey", "orders_per_customer").unionByName(
+        hist(o, "o_orderkey", li, "l_orderkey", "items_per_order")
+    )
+
+
+SQL_Q13 = """
+WITH opc AS (
+    SELECT CAST(COALESCE(n, 0) AS BIGINT) AS fanout FROM customer
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1) o
+           ON c_custkey = o_custkey
+),
+ipo AS (
+    SELECT CAST(COALESCE(n, 0) AS BIGINT) AS fanout FROM orders
+    LEFT JOIN (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1) l
+           ON o_orderkey = l_orderkey
+)
+SELECT 'orders_per_customer' AS relation, fanout,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM opc GROUP BY 2
+UNION ALL
+SELECT 'items_per_order', fanout, CAST(COUNT(*) AS BIGINT)
+FROM ipo GROUP BY 2
+"""
+
+
 QUERIES: list[Query] = [
+    Query("q13_fanout_profile", q_q13_fanout_profile, SQL_Q13,
+          "FK fan-out histograms incl. zero bucket (join-skew forecast)"),
     Query("a28_price_volume_mix", q_a28_price_volume_mix, SQL_A28,
           "MoM price/volume revenue-bridge decomposition"),
     Query("a27_pareto_abc", q_a27_pareto_abc, SQL_A27,

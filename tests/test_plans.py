@@ -78,6 +78,7 @@ _PANDAS_PLANS = {
     "m4_resize",
     "m5_audio_frames",
     "m6_frame_dedup",
+    "m7_scene_cuts",
     "p12_greedy_pack",
 }
 

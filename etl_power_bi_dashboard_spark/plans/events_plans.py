@@ -1043,7 +1043,104 @@ FROM l GROUP BY 1
 """
 
 
+def q_e17_survival_horizons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-horizon conversion survival: of users who signed up, what
+    fraction purchased within 1 hour / 1 day / 7 days — e12 reports lag
+    moments among CONVERTERS; this is the censoring-aware population
+    rate (the "D1/D7 conversion" growth metric). A user counts toward a
+    horizon's denominator only if the stream's observation end (max ts,
+    data-derived) is at least signup + horizon away — users whose
+    window hadn't closed yet are censored out, not counted as failures.
+
+    Plan: two keyed aggregates (first signup per user, first
+    at-or-after-signup purchase per user — one join), a 1-row max-ts
+    broadcast, and a 3-row horizon fan-out. All comparisons are exact
+    epoch-µs BIGINTs; the rate is one IEEE division per horizon row.
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    signup = ev.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    first_p = (
+        signup.join(pur, "user_id")
+        .filter(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    base = signup.join(first_p, "user_id", "left")
+    end = ev.agg(F.max(F.unix_micros("ts")).alias("end_us"))
+    # BIGINT horizons: horizon·10⁶ µs overflows INT32 at 7 days, which
+    # ANSI mode turns into a hard error rather than a silent wrap
+    horizons = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(3600), F.lit(86400), F.lit(604800))
+        ).alias("_h")
+    ).select(F.col("_h").cast("bigint").alias("horizon_sec"))
+    j = base.crossJoin(F.broadcast(end)).crossJoin(F.broadcast(horizons))
+    at_risk = (
+        F.col("s_us") + F.col("horizon_sec") * F.lit(1000000)
+        <= F.col("end_us")
+    )
+    converted = at_risk & F.col("p_us").isNotNull() & (
+        F.col("p_us") - F.col("s_us")
+        <= F.col("horizon_sec") * F.lit(1000000)
+    )
+    return j.groupBy("horizon_sec").agg(
+        F.sum(F.when(at_risk, 1).otherwise(0)).cast("bigint").alias(
+            "n_at_risk"
+        ),
+        F.sum(F.when(converted, 1).otherwise(0)).cast("bigint").alias(
+            "n_converted"
+        ),
+        (
+            F.sum(F.when(converted, 1).otherwise(0)).cast("double")
+            / F.sum(F.when(at_risk, 1).otherwise(0)).cast("double")
+        ).alias("conv_rate"),
+    )
+
+
+SQL_E17 = """
+WITH s AS (
+    SELECT user_id, MIN(epoch_us(ts)) AS s_us FROM events
+    WHERE event_type = 'signup' GROUP BY 1
+),
+p AS (
+    SELECT s.user_id, MIN(epoch_us(e.ts)) AS p_us
+    FROM s JOIN events e ON e.user_id = s.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_us
+    GROUP BY 1
+),
+base AS (
+    SELECT s.user_id, s.s_us, p.p_us FROM s LEFT JOIN p USING (user_id)
+),
+endt AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+h AS (SELECT CAST(unnest([3600, 86400, 604800]) AS BIGINT) AS horizon_sec),
+j AS (
+    SELECT base.*, endt.end_us, h.horizon_sec,
+           (s_us + horizon_sec * 1000000 <= end_us) AS at_risk
+    FROM base CROSS JOIN endt CROSS JOIN h
+)
+SELECT horizon_sec,
+       CAST(SUM(CASE WHEN at_risk THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_at_risk,
+       CAST(SUM(CASE WHEN at_risk AND p_us IS NOT NULL
+                      AND p_us - s_us <= horizon_sec * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(SUM(CASE WHEN at_risk AND p_us IS NOT NULL
+                      AND p_us - s_us <= horizon_sec * 1000000
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CASE WHEN at_risk THEN 1 ELSE 0 END) AS DOUBLE)
+           AS conv_rate
+FROM j GROUP BY 1
+"""
+
+
 QUERIES: list[Query] = [
+    Query("e17_survival_horizons", q_e17_survival_horizons, SQL_E17,
+          "censoring-aware D1/D7-style conversion rates at fixed horizons"),
     Query("e16_event_lateness", q_e16_event_lateness, SQL_E16,
           "per-type event-time lateness profile (watermark sizing)"),
     Query("e15_bounce_matrix", q_e15_bounce_matrix, SQL_E15,

@@ -543,7 +543,70 @@ GROUP BY 1
 """
 
 
+def q_p15_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: p8's content-hash assignment,
+    but keyed on each document's DUPLICATE-CLUSTER REPRESENTATIVE's text
+    (d6's min-doc_id member), so near-duplicates can never straddle the
+    train/test boundary — the split every evaluation leaks through if
+    the corpus wasn't deduped first. d6 seeds every doc as its own
+    component, so singletons hash their own text and behave exactly
+    like p8; only duplicate-cluster members get pulled onto their
+    representative's side (pinned by a same-cluster-same-split law
+    test).
+
+    Plan cost over d6: one join back to the representative's text
+    (cluster IS the representative doc_id) + the p8 bucket arithmetic
+    (md5 prefix mod 100 — engine-portable, content-deterministic).
+    """
+    from .dedup_plans import q_d6_dup_clusters
+
+    labels = q_d6_dup_clusters(spark, sf_dir)
+    rep_text = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("cluster"), F.col("text").alias("rep_text")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("rep_text")), 1, 4), 16, 10).cast(
+            "int"
+        )
+        % 100
+    )
+    return (
+        labels.join(rep_text, "cluster")
+        .select(
+            "doc_id",
+            "cluster",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+def _sql_p15() -> str:
+    # p15's oracle = d6's recursive components + p8's content-hash
+    # buckets applied to the representative's text
+    from .dedup_plans import SQL_D6
+
+    return SQL_D6.replace(
+        ")\nSELECT node AS doc_id, MIN(label) AS cluster FROM cc GROUP BY node",
+        """),
+labels AS (
+    SELECT node AS doc_id, MIN(label) AS cluster FROM cc GROUP BY node
+)
+SELECT l.doc_id, l.cluster,
+       CASE WHEN CAST(concat('0x', substr(md5(d.text), 1, 4)) AS INTEGER)
+                 % 100 < 80 THEN 'train'
+            WHEN CAST(concat('0x', substr(md5(d.text), 1, 4)) AS INTEGER)
+                 % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM labels l JOIN documents d ON d.doc_id = l.cluster""",
+    )
+
+
 QUERIES: list[Query] = [
+    Query("p15_leakage_safe_split", q_p15_leakage_safe_split, _sql_p15(),
+          "cluster-aware train/val/test split (near-dups never straddle)"),
     Query("p13_length_buckets", q_p13_length_buckets, SQL_P13,
           "equal-population token-length bucketing (distributed NTILE)"),
     Query("w4_moving_avg", q_w4_moving_avg, SQL_W4, "ROWS-frame moving average"),

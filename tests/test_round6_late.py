@@ -411,3 +411,92 @@ def test_q13_fanout_totals_and_zero_bucket(spark):
     assert sum(r.n_keys for r in ipo) == n_ord
     assert sum(r.fanout * r.n_keys for r in opc) == n_ord
     assert sum(r.fanout * r.n_keys for r in ipo) == n_li
+
+
+def test_p15_clusters_never_straddle_and_singletons_match_p8(spark):
+    """Every member of a duplicate cluster lands in the SAME split, and
+    singleton docs (their own cluster) get exactly p8's assignment."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    rows = REGISTRY["p15_leakage_safe_split"].spark(spark, SF_DIR).collect()
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, set()).add(r.split)
+    assert by_cluster
+    assert all(len(s) == 1 for s in by_cluster.values())
+    p8 = {
+        r.doc_id: r.split
+        for r in REGISTRY["p8_hash_split"].spark(spark, SF_DIR).collect()
+    }
+    singles = [r for r in rows if r.cluster == r.doc_id]
+    assert singles
+    for r in singles:
+        assert r.split == p8[r.doc_id]
+    # and the fixture must actually contain a multi-member cluster
+    from collections import Counter
+
+    sizes = Counter(r.cluster for r in rows)
+    assert max(sizes.values()) >= 2
+
+
+def test_d17_theory_matches_formula_and_rates_bounded(spark):
+    """The injected theory column must equal 1−(1−s³)⁴ at each decile
+    midpoint (to nano precision) and empirical rates must be valid
+    probabilities with the S-curve's endpoints behaving."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["d17_lsh_s_curve"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    for r in rows:
+        s = (r.bucket + 0.5) / 10.0
+        want = 1.0 - (1.0 - s**3) ** 4
+        assert abs(r.theoretical_rate - want) < 2e-9
+        assert 0.0 <= r.empirical_rate <= 1.0
+        assert r.n_candidates <= r.n_pairs
+    lo = [r for r in rows if r.bucket <= 2]
+    hi = [r for r in rows if r.bucket >= 8]
+    if lo and hi:
+        assert max(r.empirical_rate for r in lo) < min(
+            r.empirical_rate for r in hi
+        )
+
+
+def test_e17_matches_pure_python_recomputation(spark):
+    """Recompute the censoring-aware horizon rates in pure Python from
+    the collected event stream and require exact integer agreement."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load_events
+
+    ev = load_events(spark, SF_DIR).select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    us = lambda t: int(t.timestamp() * 1_000_000)
+    signup: dict[int, int] = {}
+    for r in ev:
+        if r.event_type == "signup":
+            t = us(r.ts)
+            signup[r.user_id] = min(signup.get(r.user_id, t), t)
+    first_p: dict[int, int] = {}
+    for r in ev:
+        if r.event_type == "purchase" and r.user_id in signup:
+            t = us(r.ts)
+            if t >= signup[r.user_id]:
+                first_p[r.user_id] = min(first_p.get(r.user_id, t), t)
+    end_us = max(us(r.ts) for r in ev)
+    want = {}
+    for h in (3600, 86400, 604800):
+        at_risk = [u for u, s in signup.items() if s + h * 1_000_000 <= end_us]
+        conv = [
+            u
+            for u in at_risk
+            if u in first_p and first_p[u] - signup[u] <= h * 1_000_000
+        ]
+        want[h] = (len(at_risk), len(conv))
+    got = {
+        r.horizon_sec: (r.n_at_risk, r.n_converted)
+        for r in REGISTRY["e17_survival_horizons"].spark(spark, SF_DIR).collect()
+    }
+    assert got == want

@@ -192,6 +192,7 @@ TAIL = [
     "e17_survival_horizons",
     "d17_lsh_s_curve",
     "p15_leakage_safe_split",
+    "x31_tokenizer_fertility",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

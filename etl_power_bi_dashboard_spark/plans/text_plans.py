@@ -708,6 +708,68 @@ FROM documents
 """
 
 
+def q_x31_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: subword-estimate tokens per
+    whitespace word (x13's Σ ceil(len/4) budget, aggregated per lang)
+    plus chars-per-word — the multilingual-fairness readout behind
+    "language X pays 2× the tokens for the same text", which drives
+    both cost accounting and per-language context budgets in a
+    multilingual training mix.
+
+    Same pure-map integer arithmetic as x13 (array fold, no explode),
+    collapsed by ONE keyed aggregation over |langs| groups; the two
+    ratios are single IEEE divisions of exact BIGINT sums.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    est = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.floor((F.length(t) + F.lit(3)) / F.lit(4)),
+    )
+    per = docs.select(
+        "lang",
+        F.size(toks).cast("bigint").alias("w"),
+        est.cast("bigint").alias("s"),
+        F.length("text").cast("bigint").alias("c"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("n_words"),
+        F.sum("s").cast("bigint").alias("n_subwords"),
+        (
+            F.sum("s").cast("bigint").cast("double")
+            / F.sum("w").cast("bigint").cast("double")
+        ).alias("fertility"),
+        (
+            F.sum("c").cast("bigint").cast("double")
+            / F.sum("w").cast("bigint").cast("double")
+        ).alias("chars_per_word"),
+    )
+
+
+SQL_X31 = """
+WITH per AS (
+    SELECT lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        t -> (length(t) + 3) // 4))
+                AS BIGINT) AS s,
+           CAST(length(text) AS BIGINT) AS c
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(SUM(s) AS BIGINT) AS n_subwords,
+       CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS fertility,
+       CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS chars_per_word
+FROM per GROUP BY 1
+"""
+
+
 def q_x14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information over adjacent token pairs — the
     collocation-mining pass a corpus build runs to find multiword
@@ -2426,6 +2488,8 @@ FROM d CROSS JOIN v
 QUERIES: list[Query] = [
     Query("m7_scene_cuts", q_m7_scene_cuts, SQL_M7,
           "per-video scene-cut density (adjacent frame-hash changes)"),
+    Query("x31_tokenizer_fertility", q_x31_tokenizer_fertility, SQL_X31,
+          "per-language tokenizer fertility (multilingual cost fairness)"),
     Query("x30_heaps_fit", q_x30_heaps_fit, SQL_X30,
           "Heaps'-law vocabulary-growth fit (dual distributed running sum)"),
     Query("x28_kl_divergence", q_x28_kl_divergence, SQL_X28,

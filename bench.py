@@ -193,6 +193,8 @@ TAIL = [
     "d17_lsh_s_curve",
     "p15_leakage_safe_split",
     "x31_tokenizer_fertility",
+    "e18_growth_accounting",
+    "ml11_oner",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

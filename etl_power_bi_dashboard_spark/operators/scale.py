@@ -225,6 +225,7 @@ def distributed_running_sum(
     order_cols,
     value_col: str,
     cum_alias: str = "cum",
+    total_alias: str | None = None,
 ) -> DataFrame:
     """Exact ``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
     without a single-task per-row window — :func:`distributed_row_number`
@@ -238,7 +239,10 @@ def distributed_running_sum(
     exists to avoid). Three steps: per-bucket value sums; a running-sum
     offset window over #buckets rows only (the single tiny serial
     window); broadcast offsets back and accumulate WITHIN each bucket —
-    every per-row window fully parallel.
+    every per-row window fully parallel. With ``total_alias``, the
+    grand total is attached from the (tiny) per-bucket sums table — no
+    second aggregation pass over ``df`` (the count_alias idea from
+    :func:`distributed_row_number`, for sums).
     """
     from pyspark.sql import Window
 
@@ -260,7 +264,7 @@ def distributed_running_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
+    out = (
         keyed.join(F.broadcast(offsets), "_drs_b")
         .withColumn(
             cum_alias,
@@ -270,3 +274,9 @@ def distributed_running_sum(
         )
         .drop("_drs_b", "_drs_off")
     )
+    if total_alias is not None:
+        totals = counts.agg(
+            F.sum("_drs_s").cast("decimal(38,6)").alias(total_alias)
+        )
+        out = out.crossJoin(F.broadcast(totals))
+    return out

@@ -1138,7 +1138,115 @@ FROM j GROUP BY 1
 """
 
 
+def q_e18_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the new/retained/resurrected/churned
+    state machine): per week, how many active users are brand new,
+    retained from last week, resurrected after a gap — and how many of
+    last week's actives churned — plus the quick ratio
+    (new+resurrected)/churned. e6's cohort matrix tracks one cohort
+    down the calendar; this is the week-over-week net-growth ledger
+    operators actually page through. Weeks are epoch-day DIV 7 integers
+    (engine-portable; no ISO-week disagreement).
+
+    Scale shape: distinct (user, week) actives → per-user lag (fully
+    parallel windows), one |weeks|-row aggregate, and the churn lag
+    over the calendar-bounded weekly series (allowlisted class).
+    Identity law-tested: active(w) = new + retained + resurrected and
+    churned(w) = active(w−1) − retained(w) on contiguous weeks.
+    """
+    ev = load_events(spark, sf_dir)
+    uw = ev.selectExpr(
+        "user_id",
+        "CAST(datediff(to_date(ts), DATE'1970-01-01') AS BIGINT) DIV 7 AS wk",
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("fw"))
+    wl = Window.partitionBy("user_id").orderBy("wk")
+    marked = (
+        uw.join(first, "user_id")
+        .withColumn("prev_wk", F.lag("wk").over(wl))
+        .select(
+            "wk",
+            F.when(F.col("wk") == F.col("fw"), "new")
+            .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+            .otherwise("resurrected")
+            .alias("state"),
+        )
+    )
+    weekly = marked.groupBy("wk").agg(
+        F.count("*").cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("state") == "retained", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    ww = Window.orderBy("wk")
+    contig = F.lag("wk").over(ww) == F.col("wk") - 1
+    prev_active = F.lag("n_active").over(ww)
+    churned = F.when(contig, prev_active - F.col("n_retained"))
+    return weekly.select(
+        "wk",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        churned.cast("bigint").alias("n_churned"),
+        F.when(
+            churned > 0,
+            (F.col("n_new") + F.col("n_resurrected")).cast("double")
+            / churned.cast("double"),
+        ).alias("quick_ratio"),
+    )
+
+
+SQL_E18 = """
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+    FROM events
+),
+f AS (SELECT user_id, MIN(wk) AS fw FROM uw GROUP BY 1),
+m AS (
+    SELECT uw.wk,
+           CASE WHEN uw.wk = f.fw THEN 'new'
+                WHEN lag(uw.wk) OVER (PARTITION BY uw.user_id
+                                      ORDER BY uw.wk) = uw.wk - 1
+                     THEN 'retained'
+                ELSE 'resurrected' END AS state
+    FROM uw JOIN f USING (user_id)
+),
+weekly AS (
+    SELECT wk,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected
+    FROM m GROUP BY 1
+)
+SELECT wk, n_active, n_new, n_retained, n_resurrected,
+       CAST(CASE WHEN lag(wk) OVER w = wk - 1
+                 THEN lag(n_active) OVER w - n_retained END AS BIGINT)
+           AS n_churned,
+       CASE WHEN lag(wk) OVER w = wk - 1
+             AND lag(n_active) OVER w - n_retained > 0
+            THEN CAST(n_new + n_resurrected AS DOUBLE)
+                 / CAST(lag(n_active) OVER w - n_retained AS DOUBLE)
+       END AS quick_ratio
+FROM weekly
+WINDOW w AS (ORDER BY wk)
+"""
+
+
 QUERIES: list[Query] = [
+    Query("e18_growth_accounting", q_e18_growth_accounting, SQL_E18,
+          "weekly new/retained/resurrected/churned ledger + quick ratio"),
     Query("e17_survival_horizons", q_e17_survival_horizons, SQL_E17,
           "censoring-aware D1/D7-style conversion rates at fixed horizons"),
     Query("e16_event_lateness", q_e16_event_lateness, SQL_E16,

@@ -950,6 +950,11 @@ def q_v9_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= 8)
         .select("query_id", "vec_id", "cv", "rel")
+        # materialize the ≤8·|queries|-row candidate table ONCE (the d6
+        # lineage-truncation pattern): the three unrolled greedy stages
+        # reference it seven times, and without the checkpoint each
+        # reference re-evaluates the corpus-wide scoring scan
+        .localCheckpoint(eager=True)
     )
     a = cand.select(
         "query_id", F.col("vec_id").alias("a_id"), F.col("cv").alias("av")
@@ -958,7 +963,7 @@ def q_v9_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("vec_id").alias("b_id"), F.col("cv").alias("bv")
     )
     sims = (
-        a.join(b, "query_id")
+        a.join(F.broadcast(b), "query_id")
         .filter(F.col("a_id") != F.col("b_id"))
         .select(
             "query_id",
@@ -985,14 +990,16 @@ def q_v9_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("s.ns")).alias("p1_score"),
     )
     rem2 = (
-        cd.join(p1, "query_id")
+        cd.join(F.broadcast(p1), "query_id")
         .filter(F.col("vec_id") != F.col("p1_id"))
         .join(
-            sims.select(
-                "query_id",
-                F.col("a_id").alias("vec_id"),
-                F.col("b_id").alias("p1_id"),
-                F.col("sim").alias("s1"),
+            F.broadcast(
+                sims.select(
+                    "query_id",
+                    F.col("a_id").alias("vec_id"),
+                    F.col("b_id").alias("p1_id"),
+                    F.col("sim").alias("s1"),
+                )
             ),
             ["query_id", "vec_id", "p1_id"],
         )
@@ -1004,27 +1011,31 @@ def q_v9_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("s.ns")).alias("p2_score"),
     )
     rem3 = (
-        cd.join(p1.select("query_id", "p1_id"), "query_id")
-        .join(p2.select("query_id", "p2_id"), "query_id")
+        cd.join(F.broadcast(p1.select("query_id", "p1_id")), "query_id")
+        .join(F.broadcast(p2.select("query_id", "p2_id")), "query_id")
         .filter(
             (F.col("vec_id") != F.col("p1_id"))
             & (F.col("vec_id") != F.col("p2_id"))
         )
         .join(
-            sims.select(
-                "query_id",
-                F.col("a_id").alias("vec_id"),
-                F.col("b_id").alias("p1_id"),
-                F.col("sim").alias("s1"),
+            F.broadcast(
+                sims.select(
+                    "query_id",
+                    F.col("a_id").alias("vec_id"),
+                    F.col("b_id").alias("p1_id"),
+                    F.col("sim").alias("s1"),
+                )
             ),
             ["query_id", "vec_id", "p1_id"],
         )
         .join(
-            sims.select(
-                "query_id",
-                F.col("a_id").alias("vec_id"),
-                F.col("b_id").alias("p2_id"),
-                F.col("sim").alias("s2"),
+            F.broadcast(
+                sims.select(
+                    "query_id",
+                    F.col("a_id").alias("vec_id"),
+                    F.col("b_id").alias("p2_id"),
+                    F.col("sim").alias("s2"),
+                )
             ),
             ["query_id", "vec_id", "p2_id"],
         )

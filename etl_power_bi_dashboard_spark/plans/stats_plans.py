@@ -1861,9 +1861,10 @@ def q_a27_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=[F.desc("rev"), F.asc("l_partkey")],
         value_col="rev",
         cum_alias="cum",
-    )
-    total = per_part.agg(
-        F.sum("rev").cast("decimal(30,6)").alias("total")
+        # grand total from the helper's own per-bucket sums table —
+        # a separate per_part aggregation would re-evaluate the whole
+        # lineitem scan+shuffle a third time
+        total_alias="total",
     )
     # (30,6) keeps the ×10/×7 boundary products inside DECIMAL(38,·)
     # exactly on both engines — at (38,6) Spark's precision cap would
@@ -1871,7 +1872,7 @@ def q_a27_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact
     classed = (
         cum.withColumn("cum", F.col("cum").cast("decimal(30,6)"))
-        .crossJoin(F.broadcast(total))
+        .withColumn("total", F.col("total").cast("decimal(30,6)"))
         .withColumn(
             "abc_class",
             F.when(F.col("cum") * F.lit(10) <= F.col("total") * F.lit(7), "A")
@@ -2150,7 +2151,87 @@ FROM ipo GROUP BY 2
 """
 
 
+def q_ml11_oner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OneR feature selection (Holte '93): for each candidate feature,
+    the best one-feature rule maps every feature value to its majority
+    class, and the feature with the lowest total misclassification wins
+    — the classic "a single attribute is often nearly as good as the
+    tree" baseline, and the complement of ml10 (which optimizes ONE
+    numeric threshold; this ranks whole CATEGORICAL rules). Features
+    audited: `source`, and `n_chars DIV 64` as a bucketed numeric;
+    target: `lang`.
+
+    Exactness: err(f) = N − Σ_v max_c count(v, c) — every term an exact
+    BIGINT from one (value, class) aggregation per feature, majority
+    ties irrelevant to the error count; accuracy is the single IEEE
+    division. Per-feature cost: one keyed groupBy over (value, class)
+    pairs, value-domain-sized everything after.
+    """
+    docs = load(spark, sf_dir, "documents")
+
+    def rule_err(feature_col, label):
+        vc = docs.groupBy(
+            feature_col.alias("v"), F.col("lang").alias("c")
+        ).agg(F.count("*").cast("bigint").alias("n"))
+        per_v = vc.groupBy("v").agg(
+            F.sum("n").cast("bigint").alias("tot"),
+            F.max("n").cast("bigint").alias("best"),
+        )
+        return per_v.agg(
+            F.lit(label).alias("feature"),
+            F.count("*").cast("bigint").alias("n_values"),
+            F.sum(F.col("tot") - F.col("best")).cast("bigint").alias("err"),
+            (
+                F.sum("best").cast("bigint").cast("double")
+                / F.sum("tot").cast("bigint").cast("double")
+            ).alias("accuracy"),
+        )
+
+    return rule_err(
+        F.col("source").cast("string"), "source"
+    ).unionByName(
+        rule_err(
+            F.expr("CAST(n_chars DIV 64 AS STRING)"), "n_chars_div64"
+        )
+    )
+
+
+SQL_ML11 = """
+WITH s AS (
+    SELECT CAST(source AS VARCHAR) AS v, lang AS c, COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+),
+sv AS (
+    SELECT v, CAST(SUM(n) AS BIGINT) AS tot, CAST(MAX(n) AS BIGINT) AS best
+    FROM s GROUP BY 1
+),
+b AS (
+    SELECT CAST(n_chars // 64 AS VARCHAR) AS v, lang AS c, COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+),
+bv AS (
+    SELECT v, CAST(SUM(n) AS BIGINT) AS tot, CAST(MAX(n) AS BIGINT) AS best
+    FROM b GROUP BY 1
+)
+SELECT 'source' AS feature,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(tot - best) AS BIGINT) AS err,
+       CAST(CAST(SUM(best) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(SUM(tot) AS BIGINT) AS DOUBLE) AS accuracy
+FROM sv
+UNION ALL
+SELECT 'n_chars_div64',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(tot - best) AS BIGINT),
+       CAST(CAST(SUM(best) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(SUM(tot) AS BIGINT) AS DOUBLE)
+FROM bv
+"""
+
+
 QUERIES: list[Query] = [
+    Query("ml11_oner", q_ml11_oner, SQL_ML11,
+          "OneR single-feature rule ranking (exact integer errors)"),
     Query("q13_fanout_profile", q_q13_fanout_profile, SQL_Q13,
           "FK fan-out histograms incl. zero bucket (join-skew forecast)"),
     Query("a28_price_volume_mix", q_a28_price_volume_mix, SQL_A28,

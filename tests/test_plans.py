@@ -274,6 +274,9 @@ _SP_WINDOW_ALLOWED = {
     "a25_yoy_growth",
     # a28: lag over the calendar-bounded post-agg month series (a25 class)
     "a28_price_volume_mix",
+    # e18: churn lag over the calendar-bounded weekly series (a25 class;
+    # the per-user state windows are fully partitioned)
+    "e18_growth_accounting",
     "a17_cumulative_distinct",
     "a21_seasonality",
     "f2_median_impute",

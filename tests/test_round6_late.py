@@ -500,3 +500,57 @@ def test_e17_matches_pure_python_recomputation(spark):
         for r in REGISTRY["e17_survival_horizons"].spark(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_e18_growth_identities(spark):
+    """active = new + retained + resurrected every week; on contiguous
+    weeks churned = prev_active − retained; first week is all new."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["e18_growth_accounting"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r.wk,
+    )
+    assert rows
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+    first = rows[0]
+    assert first.n_new == first.n_active and first.n_churned is None
+    by_wk = {r.wk: r for r in rows}
+    for r in rows:
+        prev = by_wk.get(r.wk - 1)
+        if prev is not None:
+            assert r.n_churned == prev.n_active - r.n_retained
+            if r.n_churned and r.n_churned > 0:
+                assert r.quick_ratio == (
+                    (r.n_new + r.n_resurrected) / r.n_churned
+                )
+
+
+def test_ml11_oner_matches_bruteforce(spark):
+    """Recompute both OneR rule errors from collected (value, class)
+    counts and require exact agreement."""
+    from collections import Counter, defaultdict
+
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load
+
+    docs = load(spark, SF_DIR, "documents").select(
+        "source", "n_chars", "lang"
+    ).collect()
+    feats = {
+        "source": lambda r: str(r.source),
+        "n_chars_div64": lambda r: str(r.n_chars // 64),
+    }
+    want = {}
+    for name, fn in feats.items():
+        counts = defaultdict(Counter)
+        for r in docs:
+            counts[fn(r)][r.lang] += 1
+        err = sum(sum(c.values()) - max(c.values()) for c in counts.values())
+        want[name] = (len(counts), err)
+    got = {
+        r.feature: (r.n_values, r.err)
+        for r in REGISTRY["ml11_oner"].spark(spark, SF_DIR).collect()
+    }
+    assert got == want

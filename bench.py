@@ -195,6 +195,8 @@ TAIL = [
     "x31_tokenizer_fertility",
     "e18_growth_accounting",
     "ml11_oner",
+    "r14_peak_window_overlap",
+    "u9_bitemporal_lookup",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

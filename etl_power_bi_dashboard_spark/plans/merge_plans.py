@@ -469,7 +469,90 @@ WHERE change_type IS NOT NULL
 """
 
 
+def q_u9_bitemporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal time travel: what did we BELIEVE (at a transaction
+    time) the state was, VALID at a given instant — r7/u4 travel one
+    axis (valid time); this adds the second. Transaction time is the
+    monotone ingest id (event_id ≤ T — "the table as of ingest batch
+    T"), valid time is the event timestamp (ts ≤ V); per user and
+    (T, V) grid cell, the visible state is the last event under BOTH
+    cutoffs in the u4 ordering (ts, event_id). The audit question this
+    answers — "did Friday's report mis-state Tuesday's balance, and was
+    that a late event or a correction?" — is unanswerable with one
+    time axis.
+
+    Grid: T ∈ {½·max_id, max_id} × V ∈ {max_ts − 7d, max_ts}, all four
+    cutoffs data-derived in-plan (1-row broadcast, no driver round
+    trip). One events scan fans out ≤4× through the broadcast grid;
+    the per-(user, cell) argmax is an exact struct-max on the unique
+    (ts, event_id) key — no window over the raw stream.
+    """
+    from .base import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("t_us")
+    )
+    bounds = ev.agg(
+        F.max("event_id").alias("max_id"),
+        F.max("t_us").alias("max_us"),
+    )
+    grid = (
+        bounds.selectExpr(
+            """explode(array(
+                 struct('T50_Vnow'  AS cell, CAST(max_id DIV 2 AS BIGINT) AS t_cut, max_us AS v_cut),
+                 struct('T50_V7d'   AS cell, CAST(max_id DIV 2 AS BIGINT) AS t_cut, max_us - 604800000000 AS v_cut),
+                 struct('Tall_Vnow' AS cell, max_id AS t_cut, max_us AS v_cut),
+                 struct('Tall_V7d'  AS cell, max_id AS t_cut, max_us - 604800000000 AS v_cut)
+               )) AS g"""
+        ).select("g.cell", "g.t_cut", "g.v_cut")
+    )
+    j = ev.crossJoin(F.broadcast(grid)).filter(
+        (F.col("event_id") <= F.col("t_cut"))
+        & (F.col("t_us") <= F.col("v_cut"))
+    )
+    picked = j.groupBy("cell", "user_id").agg(
+        F.max(F.struct("t_us", "event_id", "value")).alias("s")
+    )
+    return picked.select(
+        "cell",
+        "user_id",
+        F.col("s.event_id").alias("event_id"),
+        F.col("s.t_us").alias("valid_us"),
+        F.col("s.value").alias("value"),
+    )
+
+
+SQL_U9 = """
+WITH ev AS (
+    SELECT user_id, event_id, value, epoch_us(ts) AS t_us FROM events
+),
+b AS (SELECT MAX(event_id) AS max_id, MAX(t_us) AS max_us FROM ev),
+grid AS (
+    SELECT 'T50_Vnow' AS cell, CAST(max_id // 2 AS BIGINT) AS t_cut,
+           max_us AS v_cut FROM b
+    UNION ALL
+    SELECT 'T50_V7d', CAST(max_id // 2 AS BIGINT),
+           max_us - 604800000000 FROM b
+    UNION ALL
+    SELECT 'Tall_Vnow', max_id, max_us FROM b
+    UNION ALL
+    SELECT 'Tall_V7d', max_id, max_us - 604800000000 FROM b
+),
+j AS (
+    SELECT g.cell, e.user_id, e.event_id, e.value, e.t_us,
+           ROW_NUMBER() OVER (PARTITION BY g.cell, e.user_id
+                              ORDER BY e.t_us DESC, e.event_id DESC) AS r
+    FROM ev e CROSS JOIN grid g
+    WHERE e.event_id <= g.t_cut AND e.t_us <= g.v_cut
+)
+SELECT cell, user_id, event_id, t_us AS valid_us, value
+FROM j WHERE r = 1
+"""
+
+
 QUERIES: list[Query] = [
+    Query("u9_bitemporal_lookup", q_u9_bitemporal_lookup, SQL_U9,
+          "bitemporal (transaction × valid time) state lookup grid"),
     Query("u1_scd1_merge", q_u1_scd1_merge, SQL_U1, "SCD-1 MERGE upsert"),
     Query("u7_snapshot_diff", q_u7_snapshot_diff, SQL_U7,
           "column-level snapshot diff (added/removed/changed + columns)"),

@@ -845,7 +845,93 @@ FROM j
 """
 
 
+def q_r14_peak_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-intersection analytics: per day, how much of users'
+    session time falls inside the 12:00–14:00 peak window — the
+    "business-hours share" readout, and the closed-form interval
+    overlap primitive (r2 joins intervals to POINTS; this intersects
+    intervals with intervals). Sessions are (user, day) spans
+    [min ts, max ts]; overlap = GREATEST(0, LEAST(end, w_end) −
+    GREATEST(start, w_start)) in exact µs BIGINTs, no minute-level
+    explode, no calendar join.
+
+    Scale shape: one keyed aggregate builds sessions, one |days|-group
+    aggregate folds them; every µs sum is an exact BIGINT and the two
+    share divisions are terminal IEEE ops.
+    """
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    day_us = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("bigint")
+        * F.lit(86400000000)
+    )
+    s = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day_ep"),
+    ).agg(F.min(us).alias("s_us"), F.max(us).alias("e_us"))
+    w_start = F.col("day_ep") * F.lit(86400000000) + F.lit(
+        12 * 3600 * 1000000
+    )
+    w_end = F.col("day_ep") * F.lit(86400000000) + F.lit(14 * 3600 * 1000000)
+    overlap = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("e_us"), w_end) - F.greatest(F.col("s_us"), w_start),
+    )
+    per = s.select(
+        "day_ep",
+        (F.col("e_us") - F.col("s_us")).alias("dur_us"),
+        overlap.alias("ov_us"),
+    )
+    return per.groupBy("day_ep").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        (F.sum("dur_us").cast("bigint").cast("double") / F.lit(1e6)).alias(
+            "total_session_sec"
+        ),
+        (F.sum("ov_us").cast("bigint").cast("double") / F.lit(1e6)).alias(
+            "peak_window_sec"
+        ),
+        F.when(
+            F.sum("dur_us") > 0,
+            F.sum("ov_us").cast("bigint").cast("double")
+            / F.sum("dur_us").cast("bigint").cast("double"),
+        ).alias("peak_share"),
+    )
+
+
+SQL_R14 = """
+WITH s AS (
+    SELECT user_id,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_ep,
+           MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+    FROM events GROUP BY 1, 2
+),
+p AS (
+    SELECT day_ep,
+           e_us - s_us AS dur_us,
+           GREATEST(0, LEAST(e_us, day_ep * 86400000000 + 50400000000)
+                       - GREATEST(s_us, day_ep * 86400000000
+                                        + 43200000000)) AS ov_us
+    FROM s
+)
+SELECT day_ep,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE) / 1e6
+           AS total_session_sec,
+       CAST(CAST(SUM(ov_us) AS BIGINT) AS DOUBLE) / 1e6
+           AS peak_window_sec,
+       CASE WHEN SUM(dur_us) > 0
+            THEN CAST(CAST(SUM(ov_us) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE)
+       END AS peak_share
+FROM p GROUP BY 1
+"""
+
+
 QUERIES: list[Query] = [
+    Query("r14_peak_window_overlap", q_r14_peak_window_overlap, SQL_R14,
+          "daily peak-window session-overlap share (interval intersection)"),
     Query("r13_business_days", q_r13_business_days, SQL_R13,
           "business-day SLA intervals (closed-form weekday arithmetic)"),
     Query("r12_calendarize", q_r12_calendarize, SQL_R12,

@@ -554,3 +554,55 @@ def test_ml11_oner_matches_bruteforce(spark):
         for r in REGISTRY["ml11_oner"].spark(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_r14_overlap_bounded_and_shares_valid(spark):
+    """Peak-window overlap can never exceed session time (and never the
+    2-hour window itself per session); shares are valid fractions."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    rows = REGISTRY["r14_peak_window_overlap"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.peak_window_sec <= r.total_session_sec + 1e-9
+        assert r.peak_window_sec <= r.n_sessions * 7200.0 + 1e-9
+        if r.peak_share is not None:
+            assert 0.0 <= r.peak_share <= 1.0
+
+
+def test_u9_bitemporal_axes_behave(spark):
+    """Tall_Vnow reproduces the plain latest-per-user pick, and
+    shrinking either axis can only move a user's visible state to an
+    earlier (ts, event_id) — never a later one."""
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load_events
+
+    rows = REGISTRY["u9_bitemporal_lookup"].spark(spark, SF_DIR).collect()
+    cells: dict[str, dict[int, tuple]] = {}
+    for r in rows:
+        cells.setdefault(r.cell, {})[r.user_id] = (r.valid_us, r.event_id)
+    assert set(cells) == {"T50_Vnow", "T50_V7d", "Tall_Vnow", "Tall_V7d"}
+
+    latest = (
+        load_events(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(F.unix_micros("ts").alias("t_us"), "event_id")
+            ).alias("s")
+        )
+        .select("user_id", "s.t_us", "s.event_id")
+        .collect()
+    )
+    want = {r.user_id: (r.t_us, r.event_id) for r in latest}
+    assert cells["Tall_Vnow"] == want
+
+    for narrow, wide in [
+        ("T50_Vnow", "Tall_Vnow"),
+        ("Tall_V7d", "Tall_Vnow"),
+        ("T50_V7d", "T50_Vnow"),
+    ]:
+        for u, pick in cells[narrow].items():
+            assert pick <= cells[wide][u]

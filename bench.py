@@ -197,6 +197,7 @@ TAIL = [
     "ml11_oner",
     "r14_peak_window_overlap",
     "u9_bitemporal_lookup",
+    "q14_ks_test",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -2229,7 +2229,126 @@ FROM bv
 """
 
 
+def q_q14_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: D = max |F̂_click(x) −
+    F̂_purchase(x)| between the click and purchase value distributions,
+    with the α=0.05 decision — the distribution-shape sibling of q5's
+    binned PSI (PSI needs bins chosen in advance; KS compares the full
+    empirical CDFs and is the standard "did the value distribution
+    drift" gate between pipeline runs).
+
+    Scale shape: one groupBy collapses both samples to per-DISTINCT-
+    value side counts, then the e-CDFs are a DUAL range-partitioned
+    running sum over the value axis (x30's two-accumulator sc5
+    pattern — no single-task window over the merged sample), and D is
+    a 1-row max. Exactness: cumulative counts are BIGINTs; each CDF
+    step is one IEEE division, |·| and max of identical doubles on
+    both engines; sqrt is IEEE-correctly-rounded so the critical value
+    c(α)·√((nₐ+n_b)/(nₐ·n_b)) with c = 1358/1000 is engine-portable.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_events(spark, sf_dir)
+    per_v = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.col("value").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    keyed = per_v.withColumn("_b", F.floor(F.col("v") / F.lit(50.0)).cast("long"))
+    bsum = keyed.groupBy("_b").agg(
+        F.sum("ca").alias("_ba"), F.sum("cb").alias("_bb")
+    )
+    w_off = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    offs = bsum.select(
+        "_b",
+        F.coalesce(F.sum("_ba").over(w_off), F.lit(0)).alias("_oa"),
+        F.coalesce(F.sum("_bb").over(w_off), F.lit(0)).alias("_ob"),
+    )
+    w_in = W.partitionBy("_b").orderBy("v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = keyed.join(F.broadcast(offs), "_b").select(
+        (F.sum("ca").over(w_in) + F.col("_oa")).cast("bigint").alias("fa"),
+        (F.sum("cb").over(w_in) + F.col("_ob")).cast("bigint").alias("fb"),
+    )
+    tot = per_v.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("fa").cast("double") / F.col("na").cast("double")
+                - F.col("fb").cast("double") / F.col("nb").cast("double")
+            ).alias("step"),
+            "na",
+            "nb",
+        )
+        .groupBy("na", "nb")
+        .agg(F.max("step").alias("ks_stat"))
+    )
+    crit = (F.lit(1358).cast("double") / F.lit(1000.0)) * F.sqrt(
+        (F.col("na") + F.col("nb")).cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    return d.select(
+        "na",
+        "nb",
+        "ks_stat",
+        crit.alias("ks_crit_05"),
+        (F.col("ks_stat") > crit).alias("reject_same_dist"),
+    )
+
+
+SQL_Q14 = """
+WITH per_v AS (
+    SELECT value AS v,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS ca,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS cb
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1
+),
+c AS (
+    SELECT CAST(SUM(ca) OVER w AS BIGINT) AS fa,
+           CAST(SUM(cb) OVER w AS BIGINT) AS fb
+    FROM per_v WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+t AS (
+    SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+    FROM per_v
+),
+d AS (
+    SELECT t.na, t.nb,
+           MAX(ABS(CAST(fa AS DOUBLE) / CAST(na AS DOUBLE)
+                   - CAST(fb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_stat
+    FROM c CROSS JOIN t GROUP BY 1, 2
+)
+SELECT na, nb, ks_stat,
+       (CAST(1358 AS DOUBLE) / 1000.0)
+           * sqrt(CAST(na + nb AS DOUBLE)
+                  / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+           AS ks_crit_05,
+       ks_stat > (CAST(1358 AS DOUBLE) / 1000.0)
+           * sqrt(CAST(na + nb AS DOUBLE)
+                  / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+           AS reject_same_dist
+FROM d
+"""
+
+
 QUERIES: list[Query] = [
+    Query("q14_ks_test", q_q14_ks_test, SQL_Q14,
+          "two-sample KS drift test (dual distributed e-CDF running sum)"),
     Query("ml11_oner", q_ml11_oner, SQL_ML11,
           "OneR single-feature rule ranking (exact integer errors)"),
     Query("q13_fanout_profile", q_q13_fanout_profile, SQL_Q13,

@@ -269,6 +269,9 @@ _SP_WINDOW_ALLOWED = {
     # x30: only the #buckets-row offset window of the dual running sum
     # is serial (the sc5 pattern with two accumulators)
     "x30_heaps_fit",
+    # q14: same dual-running-sum shape as x30 (offset window over
+    # #buckets rows only)
+    "q14_ks_test",
     "a23_rfm_segments",
     "a24_ewma",
     "a25_yoy_growth",

@@ -606,3 +606,26 @@ def test_u9_bitemporal_axes_behave(spark):
     ]:
         for u, pick in cells[narrow].items():
             assert pick <= cells[wide][u]
+
+
+def test_q14_ks_matches_pure_python(spark):
+    """Recompute the two-sample KS statistic in pure Python from the
+    collected samples and require agreement to float precision."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load_events
+
+    ev = load_events(spark, SF_DIR).select("event_type", "value").collect()
+    a = sorted(r.value for r in ev if r.event_type == "click")
+    b = sorted(r.value for r in ev if r.event_type == "purchase")
+    xs = sorted(set(a) | set(b))
+    import bisect
+
+    d = 0.0
+    for x in xs:
+        fa = bisect.bisect_right(a, x) / len(a)
+        fb = bisect.bisect_right(b, x) / len(b)
+        d = max(d, abs(fa - fb))
+    row = REGISTRY["q14_ks_test"].spark(spark, SF_DIR).collect()[0]
+    assert row.na == len(a) and row.nb == len(b)
+    assert abs(row.ks_stat - d) < 1e-12
+    assert row.reject_same_dist == (row.ks_stat > row.ks_crit_05)

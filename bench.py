@@ -198,6 +198,7 @@ TAIL = [
     "r14_peak_window_overlap",
     "u9_bitemporal_lookup",
     "q14_ks_test",
+    "a31_dow_hour_heatmap",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -1244,7 +1244,54 @@ WINDOW w AS (ORDER BY wk)
 """
 
 
+def q_a31_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap — the BI-dashboard staple
+    behind "when are our users actually here" (the reference repo's
+    whole purpose is Power BI dashboard feeds; this is the canonical
+    7×24 matrix such a dashboard plots). Weekday uses the reference's
+    Mon=0 convention (SURVEY F4) computed as (epoch_day + 3) MOD 7 —
+    pure integer arithmetic, immune to engine locale/WEEKDAY-origin
+    disagreements; hour is the UTC-pinned event hour.
+
+    One groupBy over a ≤168-cell domain; value sums as DECIMAL per the
+    money convention, one terminal IEEE division for the per-event
+    mean.
+    """
+    ev = load_events(spark, sf_dir)
+    dow = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("bigint")
+        + F.lit(3)
+    ) % F.lit(7)
+    out = ev.groupBy(
+        dow.alias("dow_mon0"), F.hour("ts").cast("int").alias("hour")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_value"),
+    )
+    return out
+
+
+SQL_A31 = """
+SELECT (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7
+           AS dow_mon0,
+       CAST(hour(ts) AS INT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean_value
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES: list[Query] = [
+    Query("a31_dow_hour_heatmap", q_a31_dow_hour_heatmap, SQL_A31,
+          "day-of-week × hour activity heatmap (Mon=0, integer dow)"),
     Query("e18_growth_accounting", q_e18_growth_accounting, SQL_E18,
           "weekly new/retained/resurrected/churned ledger + quick ratio"),
     Query("e17_survival_horizons", q_e17_survival_horizons, SQL_E17,

@@ -712,3 +712,83 @@ def test_trending_partial_window_update_keeps_other_keys(
         for r in spark.read.parquet(out).filter(F.col("ws") == w2).collect()
     }
     assert after_w2 == {("purchase", 1)}
+
+
+def test_watermark_drops_match_e16_diagnostic(spark, tmp_path):
+    """Ties the e16 lateness diagnostic to REAL watermark behavior: a
+    stream whose disorder e16 would flag (one event 113 min behind the
+    per-user running max) actually loses that row to a 5-minute
+    watermark — and a stream with zero e16-lateness (the driver
+    fixture's property) can never hit this path. The drop is asserted
+    three ways: the engine's numRowsDroppedByWatermark counter, the
+    late value's absence from the appended output, and the e16-style
+    recomputation seeing exactly one late row with the same lag."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    d = str(tmp_path / "wm_events")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    write([(1, base, 7, "click", 1.0, "{}"),
+           (2, base + dt.timedelta(minutes=5), 7, "click", 1.0, "{}")])
+    stream = se.tumbling_counts(
+        se.read_event_stream(spark, d), window="10 minutes",
+        watermark="5 minutes",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_drop")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance event time 2h: the watermark passes the early windows
+        write([(3, base + dt.timedelta(hours=2), 7, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        # 113 minutes behind the running max — beyond the 5-min watermark
+        write([(4, base + dt.timedelta(minutes=7), 7, "click", 5.0, "{}")])
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+    finally:
+        q.stop()
+    assert dropped == 1
+    out = spark.table("wm_drop").collect()
+    assert all(r.total_value is None or abs(r.total_value - 5.0) > 1e-9
+               for r in out)
+
+    # e16-style diagnostic over the SAME files: exactly one late row,
+    # lagging 113 min behind the user's running max
+    ev = spark.read.schema(schema).parquet(d)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts"))
+    late = (
+        ev.select(
+            F.when(
+                F.max(us).over(w).isNotNull() & (us < F.max(us).over(w)),
+                F.max(us).over(w) - us,
+            ).alias("late_us")
+        )
+        .agg(F.count("late_us").alias("n"), F.max("late_us").alias("mx"))
+        .collect()[0]
+    )
+    assert late.n == 1
+    assert late.mx == 113 * 60 * 1_000_000

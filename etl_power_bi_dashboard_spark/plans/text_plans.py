@@ -2331,6 +2331,110 @@ FROM base, LATERAL unnest(range(1, n - 64 + 2, 32)) AS u(s)
 """
 
 
+def q_m8_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection over m5's audio frames:
+    frames louder than the payload's own mean energy are "speech", runs
+    of consecutive active frames become segments (the r4 gaps-and-
+    islands idiom, per-payload windows), and the per-payload speech
+    fraction / segment count / longest segment are exactly the gates an
+    audio-curation pipeline filters on (all-silence and all-noise clips
+    both die here). Composes m5 (the one Arrow hop) with pure Catalyst
+    aggregation — frame energies leave the Python worker once, as
+    BIGINTs.
+
+    Exactness: the adaptive threshold comparison is cross-multiplied to
+    exact integers (energy·n_frames > Σenergy, never energy > mean-as-
+    double), so frame activity — and therefore every downstream count —
+    is engine-exact; the speech fraction is the single IEEE division.
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0)
+        & (F.octet_length(F.col("text")) == F.length("text"))
+    )
+    frames = multimodal.frame_audio(multimodal.with_binary_payload(docs))
+    tot = frames.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.sum("energy").cast("bigint").alias("tot_e"),
+    )
+    act = (
+        frames.join(tot, "doc_id")
+        .filter(F.col("energy") * F.col("n_frames") > F.col("tot_e"))
+        .select("doc_id", "frame_idx")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    seg = (
+        act.withColumn("g", F.col("frame_idx") - F.row_number().over(w))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("bigint").alias("seg_len"))
+    )
+    per = seg.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum("seg_len").cast("bigint").alias("n_active"),
+        F.max("seg_len").cast("bigint").alias("longest_segment"),
+    )
+    return tot.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        F.coalesce("n_active", F.lit(0)).cast("bigint").alias("n_active"),
+        F.coalesce("n_segments", F.lit(0)).cast("bigint").alias(
+            "n_segments"
+        ),
+        F.coalesce("longest_segment", F.lit(0)).cast("bigint").alias(
+            "longest_segment"
+        ),
+        (
+            F.coalesce("n_active", F.lit(0)).cast("double")
+            / F.col("n_frames").cast("double")
+        ).alias("active_frac"),
+    )
+
+
+SQL_M8 = """
+WITH base AS (
+    SELECT doc_id, text, length(text) AS n FROM documents
+    WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
+),
+frames AS (
+    SELECT doc_id,
+           CAST((s - 1) / 32 AS INT) AS frame_idx,
+           CAST(list_sum(list_transform(range(s, s + 64),
+                         j -> CAST(ord(text[j]) AS BIGINT)
+                              * CAST(ord(text[j]) AS BIGINT))) AS BIGINT)
+               AS energy
+    FROM base, LATERAL unnest(range(1, n - 64 + 2, 32)) AS u(s)
+),
+tot AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS tot_e
+    FROM frames GROUP BY 1
+),
+act AS (
+    SELECT f.doc_id, f.frame_idx,
+           f.frame_idx - ROW_NUMBER() OVER (PARTITION BY f.doc_id
+                                            ORDER BY f.frame_idx) AS g
+    FROM frames f JOIN tot USING (doc_id)
+    WHERE f.energy * tot.n_frames > tot.tot_e
+),
+seg AS (
+    SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS seg_len
+    FROM act GROUP BY 1, 2
+),
+per AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(seg_len) AS BIGINT) AS n_active,
+           CAST(MAX(seg_len) AS BIGINT) AS longest_segment
+    FROM seg GROUP BY 1
+)
+SELECT t.doc_id, t.n_frames,
+       CAST(COALESCE(p.n_active, 0) AS BIGINT) AS n_active,
+       CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(p.longest_segment, 0) AS BIGINT) AS longest_segment,
+       CAST(COALESCE(p.n_active, 0) AS DOUBLE)
+           / CAST(t.n_frames AS DOUBLE) AS active_frac
+FROM tot t LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_x28_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KL divergence from the corpus unigram distribution —
     the information-theoretic "how far does each source's language
@@ -2490,6 +2594,8 @@ QUERIES: list[Query] = [
           "per-video scene-cut density (adjacent frame-hash changes)"),
     Query("x31_tokenizer_fertility", q_x31_tokenizer_fertility, SQL_X31,
           "per-language tokenizer fertility (multilingual cost fairness)"),
+    Query("m8_vad_segments", q_m8_vad_segments, SQL_M8,
+          "energy-threshold VAD segments over audio frames (islands)"),
     Query("x30_heaps_fit", q_x30_heaps_fit, SQL_X30,
           "Heaps'-law vocabulary-growth fit (dual distributed running sum)"),
     Query("x28_kl_divergence", q_x28_kl_divergence, SQL_X28,

@@ -79,6 +79,7 @@ _PANDAS_PLANS = {
     "m5_audio_frames",
     "m6_frame_dedup",
     "m7_scene_cuts",
+    "m8_vad_segments",
     "p12_greedy_pack",
 }
 

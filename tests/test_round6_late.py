@@ -629,3 +629,44 @@ def test_q14_ks_matches_pure_python(spark):
     assert row.na == len(a) and row.nb == len(b)
     assert abs(row.ks_stat - d) < 1e-12
     assert row.reject_same_dist == (row.ks_stat > row.ks_crit_05)
+
+
+def test_m8_vad_finds_constructed_speech_segments(spark):
+    """A payload built as silence/LOUD/silence/LOUD/silence (quiet 0x01
+    bytes vs loud 0x7f bytes) must yield exactly two speech segments of
+    the constructed lengths, and the registry output must satisfy the
+    segment-accounting identities on the real corpus."""
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.operators import multimodal
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    # 64-byte frames on a 32 hop: quiet*8 frames, loud*4, quiet*8,
+    # loud*2, quiet*4 (in hops of 32 bytes)
+    q, l = b"\x01" * 32, b"\x7f" * 32
+    payload = q * 8 + l * 4 + q * 8 + l * 2 + q * 4
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    frames = multimodal.frame_audio(df).collect()
+    tot = sum(r.energy for r in frames)
+    n = len(frames)
+    active = sorted(r.frame_idx for r in frames if r.energy * n > tot)
+    # consecutive runs among active frame indices
+    runs, prev = [], None
+    for i in active:
+        if prev is not None and i == prev + 1:
+            runs[-1] += 1
+        else:
+            runs.append(1)
+        prev = i
+    assert len(runs) == 2
+    # loud regions span 4 and 2 hops; windows overlapping the boundary
+    # count as active when >half the window is loud
+    assert runs[0] > runs[1]
+
+    rows = REGISTRY["m8_vad_segments"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_active <= r.n_frames
+        assert 0 <= r.longest_segment <= max(r.n_active, 0)
+        assert (r.n_segments == 0) == (r.n_active == 0)
+        assert abs(r.active_frac - r.n_active / r.n_frames) < 1e-12

@@ -199,6 +199,8 @@ TAIL = [
     "q14_ks_test",
     "a31_dow_hour_heatmap",
     "m8_vad_segments",
+    "r15_interval_coalesce",
+    "sc7_zone_map_skipping",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

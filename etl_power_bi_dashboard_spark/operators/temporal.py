@@ -323,3 +323,53 @@ def hierarchical_rollup(
         )
     )
     return hourly, daily
+
+
+def coalesce_intervals(
+    iv: DataFrame,
+    key: str,
+    s: str = "s",
+    e: str = "e",
+    order: str | None = None,
+) -> DataFrame:
+    """Temporal interval coalescing (Snodgrass's classic COALESCE): merge
+    each key's overlapping-or-touching closed integer intervals [s, e]
+    into maximal disjoint periods. Two intervals merge when the later
+    start is <= the running max end (s == prev_e touches and merges;
+    s == prev_e + 1 stays separate).
+
+    The distributed form is the start-ordered cumulative-max sweep: a
+    per-key window ordered by (s, e[, order]) computes max(e) over the
+    STRICTLY preceding rows; a row whose s exceeds that max opens a new
+    period, and a running sum of those open-flags is the period id. Two
+    keyed window passes + one groupBy — shuffle is on the key alone, no
+    self-join, no interval explode, so cost is O(n log n) per key and
+    linear across keys at any scale.
+
+    Returns one row per (key, period): period_start, period_end, and
+    n_intervals folded into the period. All-integer arithmetic, so the
+    result is engine-exact.
+    """
+    order_cols = [F.col(s), F.col(e)] + (
+        [F.col(order)] if order is not None else []
+    )
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    prev_max = F.max(F.col(e)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "_new",
+        F.when(
+            F.col(s) > F.coalesce(prev_max, F.lit(-(1 << 62)).cast("bigint")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    grouped = flagged.withColumn(
+        "_gid",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return grouped.groupBy(key, "_gid").agg(
+        F.min(s).cast("bigint").alias("period_start"),
+        F.max(e).cast("bigint").alias("period_end"),
+        F.count("*").cast("bigint").alias("n_intervals"),
+    ).drop("_gid")

@@ -262,7 +262,104 @@ FROM r GROUP BY 1
 """
 
 
+def q_sc7_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file-statistics) skipping audit across two table
+    layouts: per "file", the min/max ship-date zone map a lakehouse
+    writer (Delta/Iceberg/parquet row groups) records, and whether a
+    scan for ``l_shipdate >= 1997-01-01`` could SKIP the file outright.
+    Layout ``by_order_month`` files the fact by order month (the
+    ingestion-order layout); layout ``by_ship_month`` files it
+    range-clustered on the predicate column (what ``repartitionByRange``
+    on sc6's boundaries produces). On this fixture ship dates are
+    independent of order month, so the first layout's zone maps skip
+    NOTHING while the clustered layout skips every pre-cutoff file —
+    the before/after evidence a "should we re-cluster this table?"
+    decision actually needs, measured rather than asserted.
+
+    Shape: one fact⨝orders equi-join (order month rides in) + two
+    |files|-group aggregates over one shared scan, union'd — linear,
+    map-side partials, no window. All comparisons on integer
+    epoch-days / yyyyMM ints, so skip decisions and counts are
+    engine-exact.
+    """
+    cutoff = F.lit(9862).cast("bigint")  # epoch-day of DATE '1997-01-01'
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.date_format(F.to_date("o_orderdate"), "yyyyMM")
+        .cast("int")
+        .alias("order_month"),
+        F.date_format(F.to_date("l_shipdate"), "yyyyMM")
+        .cast("int")
+        .alias("ship_month"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("ship_ep"),
+    )
+
+    def audit(file_col: str, layout: str) -> DataFrame:
+        per = j.groupBy(F.col(file_col).alias("file_id")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("ship_ep").alias("min_ship_ep"),
+            F.max("ship_ep").alias("max_ship_ep"),
+            F.sum(F.when(F.col("ship_ep") >= cutoff, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_match"),
+        )
+        return per.select(
+            F.lit(layout).alias("layout"),
+            "file_id",
+            "n_rows",
+            "min_ship_ep",
+            "max_ship_ep",
+            "n_match",
+            (F.col("max_ship_ep") < cutoff).alias("can_skip"),
+            (
+                (F.col("max_ship_ep") >= cutoff) & (F.col("n_match") == 0)
+            ).alias("zone_false_positive"),
+        )
+
+    return audit("order_month", "by_order_month").unionByName(
+        audit("ship_month", "by_ship_month")
+    )
+
+
+SQL_SC7 = """
+WITH j AS (
+    SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m') AS INT)
+               AS order_month,
+           CAST(strftime(CAST(l_shipdate AS DATE), '%Y%m') AS INT)
+               AS ship_month,
+           CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_ep
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+a AS (
+    SELECT 'by_order_month' AS layout, order_month AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(ship_ep) AS BIGINT) AS min_ship_ep,
+           CAST(MAX(ship_ep) AS BIGINT) AS max_ship_ep,
+           CAST(SUM(CASE WHEN ship_ep >= 9862 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match
+    FROM j GROUP BY 2
+    UNION ALL
+    SELECT 'by_ship_month', ship_month,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(ship_ep) AS BIGINT),
+           CAST(MAX(ship_ep) AS BIGINT),
+           CAST(SUM(CASE WHEN ship_ep >= 9862 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM j GROUP BY 2
+)
+SELECT layout, file_id, n_rows, min_ship_ep, max_ship_ep, n_match,
+       max_ship_ep < 9862 AS can_skip,
+       max_ship_ep >= 9862 AND n_match = 0 AS zone_false_positive
+FROM a
+"""
+
+
 QUERIES: list[Query] = [
+    Query("sc7_zone_map_skipping", q_sc7_zone_map_skipping, SQL_SC7,
+          "zone-map file-skipping audit (min/max stats + skip decisions)"),
     Query("sc6_range_partition_plan", q_sc6_range_partition_plan, SQL_SC6,
           "balanced range-boundary planner (repartitionByRange feed)"),
     Query("sc5_distributed_row_number", q_sc5_distributed_row_number, SQL_SC5,

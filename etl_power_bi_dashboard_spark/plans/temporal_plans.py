@@ -929,7 +929,109 @@ FROM p GROUP BY 1
 """
 
 
+def q_r15_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interval coalescing (Snodgrass's COALESCE, the missing
+    half of r14's intersection): merge each customer's overlapping
+    [order date, last ship date] spans into maximal disjoint "busy
+    periods" and report how many orders fold together, the total days
+    covered, and the longest stretch — the canonical
+    concurrent-engagement readout (hotel-stay overlap, policy coverage,
+    machine-utilization windows all reduce to it).
+
+    Shape: one keyed agg builds per-order intervals (reversed fixture
+    ships clamp to zero-length via GREATEST, as r13 documents), then
+    operators/temporal.coalesce_intervals runs the start-ordered
+    cumulative-max sweep — two per-customer window passes + one groupBy,
+    shuffle on the customer key only, no self-join, no day-level
+    explode. Closed integer-day intervals: s == prev_e merges (same-day
+    touch), s == prev_e + 1 does not. All-BIGINT arithmetic, so every
+    column is engine-exact.
+    """
+    li = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("ship_ts")
+    )
+    o = load(spark, sf_dir, "orders")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("s"),
+            F.greatest(
+                F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")),
+                F.datediff(F.to_date("ship_ts"), F.lit("1970-01-01")),
+            )
+            .cast("bigint")
+            .alias("e"),
+        )
+    )
+    periods = temporal.coalesce_intervals(
+        iv, key="o_custkey", s="s", e="e", order="o_orderkey"
+    )
+    return periods.groupBy("o_custkey").agg(
+        F.sum("n_intervals").cast("bigint").alias("n_orders"),
+        F.count("*").cast("bigint").alias("n_busy_periods"),
+        F.sum(F.col("period_end") - F.col("period_start") + 1)
+        .cast("bigint")
+        .alias("covered_days"),
+        F.max(F.col("period_end") - F.col("period_start") + 1)
+        .cast("bigint")
+        .alias("longest_days"),
+    )
+
+
+SQL_R15 = """
+WITH li AS (
+    SELECT l_orderkey, MAX(l_shipdate) AS ship_ts FROM lineitem GROUP BY 1
+),
+iv AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS s,
+           CAST(GREATEST(
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)),
+               date_diff('day', DATE '1970-01-01', CAST(ship_ts AS DATE))
+           ) AS BIGINT) AS e
+    FROM orders JOIN li ON o_orderkey = l_orderkey
+),
+f AS (
+    SELECT *,
+           CASE WHEN s > COALESCE(
+                    MAX(e) OVER (PARTITION BY o_custkey
+                                 ORDER BY s, e, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING),
+                    CAST(-4611686018427387904 AS BIGINT))
+                THEN 1 ELSE 0 END AS new_grp
+    FROM iv
+),
+g AS (
+    SELECT *,
+           SUM(new_grp) OVER (PARTITION BY o_custkey
+                              ORDER BY s, e, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS gid
+    FROM f
+),
+grp AS (
+    SELECT o_custkey, gid,
+           MIN(s) AS gs, MAX(e) AS ge, COUNT(*) AS n
+    FROM g GROUP BY 1, 2
+)
+SELECT o_custkey,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_busy_periods,
+       CAST(SUM(ge - gs + 1) AS BIGINT) AS covered_days,
+       CAST(MAX(ge - gs + 1) AS BIGINT) AS longest_days
+FROM grp GROUP BY 1
+"""
+
+
 QUERIES: list[Query] = [
+    Query("r15_interval_coalesce", q_r15_interval_coalesce, SQL_R15,
+          "per-customer busy-period interval coalescing (temporal COALESCE)"),
     Query("r14_peak_window_overlap", q_r14_peak_window_overlap, SQL_R14,
           "daily peak-window session-overlap share (interval intersection)"),
     Query("r13_business_days", q_r13_business_days, SQL_R13,

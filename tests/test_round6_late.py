@@ -670,3 +670,85 @@ def test_m8_vad_finds_constructed_speech_segments(spark):
         assert 0 <= r.longest_segment <= max(r.n_active, 0)
         assert (r.n_segments == 0) == (r.n_active == 0)
         assert abs(r.active_frac - r.n_active / r.n_frames) < 1e-12
+
+
+def test_r15_coalesce_merges_touching_not_adjacent(spark):
+    """Constructed intervals pin the merge semantics: overlap and
+    same-day touch (s == prev_e) coalesce, adjacency (s == prev_e + 1)
+    does not, and a contained interval never extends its period. Then
+    the registry output must satisfy the coverage identities."""
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.operators import temporal
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    iv = spark.createDataFrame(
+        [
+            # key 1: [0,5]+[3,8] overlap, [8,10] touches -> [0,10];
+            # [12,12] adjacent (12 == 10 + 2... gap) -> own period;
+            # [13,20] is adjacent to [12,12] (13 == 12 + 1), NOT
+            # touching, so it opens a third period; [14,15] is
+            # contained in [13,20] and must not extend it.
+            (1, 10, 0, 5),
+            (1, 11, 3, 8),
+            (1, 12, 8, 10),
+            (1, 13, 12, 12),
+            (1, 14, 13, 20),
+            (1, 15, 14, 15),
+            # key 2: two strictly disjoint singletons
+            (2, 20, 100, 100),
+            (2, 21, 102, 102),
+        ],
+        "k long, oid long, s long, e long",
+    )
+    out = {
+        (r.k, r.period_start): r
+        for r in temporal.coalesce_intervals(
+            iv, key="k", s="s", e="e", order="oid"
+        ).collect()
+    }
+    assert set(out) == {(1, 0), (1, 12), (1, 13), (2, 100), (2, 102)}
+    assert out[(1, 0)].period_end == 10 and out[(1, 0)].n_intervals == 3
+    assert out[(1, 12)].period_end == 12 and out[(1, 12)].n_intervals == 1
+    assert out[(1, 13)].period_end == 20 and out[(1, 13)].n_intervals == 2
+    assert out[(2, 100)].period_end == 100
+    assert out[(2, 102)].n_intervals == 1
+
+    rows = REGISTRY["r15_interval_coalesce"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_busy_periods <= r.n_orders
+        assert r.longest_days <= r.covered_days
+        # covered days is at least one day per busy period
+        assert r.covered_days >= r.n_busy_periods
+
+
+def test_sc7_skip_decisions_sound_and_clustering_pays(spark):
+    """Soundness: a skipped file must contain zero matching rows, and
+    every flag must follow from the zone map. The comparative claim the
+    audit exists to make must hold on the fixture: the ship-month-
+    clustered layout skips files (every pre-cutoff month) while the
+    uncorrelated order-month layout skips none — and both layouts cover
+    the same row total (a layout change must not lose rows)."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    rows = REGISTRY["sc7_zone_map_skipping"].spark(spark, SF_DIR).collect()
+    by_layout: dict[str, list] = {}
+    for r in rows:
+        by_layout.setdefault(r.layout, []).append(r)
+    assert set(by_layout) == {"by_order_month", "by_ship_month"}
+    for r in rows:
+        assert r.min_ship_ep <= r.max_ship_ep
+        assert 0 <= r.n_match <= r.n_rows
+        assert r.can_skip == (r.max_ship_ep < 9862)
+        if r.can_skip:
+            assert r.n_match == 0  # skipping never loses a matching row
+        assert r.zone_false_positive == ((not r.can_skip) and r.n_match == 0)
+    clustered = by_layout["by_ship_month"]
+    natural = by_layout["by_order_month"]
+    assert any(r.can_skip for r in clustered)
+    assert not any(r.can_skip for r in natural)
+    # clustered zone maps are tight: file_id yyyyMM < 199701 <=> skip
+    for r in clustered:
+        assert r.can_skip == (r.file_id < 199701)
+    assert sum(r.n_rows for r in clustered) == sum(r.n_rows for r in natural)

@@ -201,6 +201,8 @@ TAIL = [
     "m8_vad_segments",
     "r15_interval_coalesce",
     "sc7_zone_map_skipping",
+    "ml12_score_bias_auc",
+    "p16_lang_cap_sample",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -2346,7 +2346,167 @@ FROM d
 """
 
 
+def q_ml12_score_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate bias audit: per language, the exact Mann-Whitney
+    AUC of the stopword-ratio quality signal at separating that
+    language from the rest of the corpus — AUC 0.5 = unbiased gate,
+    AUC far from 0.5 = the scorer systematically prefers (or buries)
+    that language. The stopword list is English, so on a real corpus
+    'en' would indict itself; the synthetic fixture shares vocabulary
+    across langs and reads ≈0.5 everywhere, which is itself the
+    correct answer. This is the audit an LLM curation pipeline
+    runs before trusting any learned/heuristic quality filter: a
+    filter with high per-group AUC silently skews the training mix.
+
+    Exactness: the score is the integer-quantized ratio
+    (stopword_hits·10⁹) DIV n_tokens — pure BIGINT division, no float
+    anywhere in the ranking — and AUC uses the rank-sum identity
+    2U = Σ_groups n_pos·(2·cum_neg_below + n_neg_tied), so ties get
+    midrank credit and every term is a BIGINT; the single IEEE op is
+    the final U/(n_pos·n_neg). Scale shape: two linear groupBys
+    collapse the corpus to |langs|×|distinct scores| rows, the
+    cumulative-below counts run as the q14 dual bucket pattern (per-
+    (lang, bucket) keyed windows + a ≤32-row broadcast offset table —
+    no single-reducer window), one final |langs|-group fold. BIGINT
+    overflows only past ~3·10⁹ docs per class (switch u2 to DECIMAL
+    then). Oracle is the naive global-window SQL — the driver gate is
+    the differential proof the distributed ranking ≡ single-reducer
+    semantics.
+    """
+    from ..operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = F.split(F.col("text"), " ")
+    base = docs.select(
+        "lang",
+        F.size(F.filter(t, lambda x: x.isin(*text_ops.STOPWORDS)))
+        .cast("bigint")
+        .alias("hits"),
+        F.size(t).cast("bigint").alias("n"),
+    ).select(
+        "lang", F.expr("(hits * 1000000000) DIV n").alias("score_q")
+    )
+    c_tot = base.groupBy("score_q").agg(
+        F.count("*").cast("bigint").alias("n_all")
+    )
+    c_pos = base.groupBy("lang", "score_q").agg(
+        F.count("*").cast("bigint").alias("n_pos")
+    )
+    langs = base.select("lang").distinct()
+    grid = (
+        langs.crossJoin(c_tot)
+        .join(c_pos, ["lang", "score_q"], "left")
+        .select(
+            "lang",
+            "score_q",
+            "n_all",
+            F.coalesce("n_pos", F.lit(0)).cast("bigint").alias("n_pos"),
+        )
+        .withColumn("_b", F.expr("score_q DIV 31250000"))
+        .withColumn("n_neg", F.col("n_all") - F.col("n_pos"))
+    )
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        grid.groupBy("lang", "_b")
+        .agg(F.sum("n_neg").alias("_bn"))
+        .select(
+            "lang",
+            "_b",
+            F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_on"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("lang", "_b")
+        .orderBy("score_q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.join(F.broadcast(offs), ["lang", "_b"]).select(
+        "lang",
+        "n_pos",
+        "n_neg",
+        (
+            F.coalesce(F.sum("n_neg").over(w_in), F.lit(0)) + F.col("_on")
+        )
+        .cast("bigint")
+        .alias("cumneg_below"),
+    )
+    per = cum.groupBy("lang").agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("n_pos")
+            * (F.lit(2) * F.col("cumneg_below") + F.col("n_neg"))
+        )
+        .cast("bigint")
+        .alias("u2"),
+    )
+    return per.select(
+        "lang",
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("u2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+        ).alias("auc"),
+    )
+
+
+SQL_ML12 = """
+WITH base AS (
+    SELECT lang,
+           (CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')))
+                 AS BIGINT) * 1000000000)
+             // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_q
+    FROM documents WHERE length(text) > 0
+),
+cg AS (
+    SELECT score_q, CAST(COUNT(*) AS BIGINT) AS n_all FROM base GROUP BY 1
+),
+cl AS (
+    SELECT lang, score_q, CAST(COUNT(*) AS BIGINT) AS n_pos
+    FROM base GROUP BY 1, 2
+),
+grid AS (
+    SELECT l.lang, g.score_q, g.n_all, COALESCE(c.n_pos, 0) AS n_pos,
+           g.n_all - COALESCE(c.n_pos, 0) AS n_neg
+    FROM (SELECT DISTINCT lang FROM base) l
+    CROSS JOIN cg g
+    LEFT JOIN cl c ON c.lang = l.lang AND c.score_q = g.score_q
+),
+cum AS (
+    SELECT lang, n_pos, n_neg,
+           COALESCE(SUM(n_neg) OVER (PARTITION BY lang ORDER BY score_q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cumneg_below
+    FROM grid
+)
+SELECT lang,
+       CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       CAST(SUM(n_pos * (2 * cumneg_below + n_neg)) AS BIGINT) AS u2,
+       CASE WHEN SUM(n_pos) > 0 AND SUM(n_neg) > 0 THEN
+           CAST(SUM(n_pos * (2 * cumneg_below + n_neg)) AS DOUBLE)
+           / (2.0 * CAST(SUM(n_pos) AS DOUBLE)
+                  * CAST(SUM(n_neg) AS DOUBLE))
+       END AS auc
+FROM cum GROUP BY 1
+"""
+
+
 QUERIES: list[Query] = [
+    Query("ml12_score_bias_auc", q_ml12_score_bias_auc, SQL_ML12,
+          "per-language quality-gate bias (exact Mann-Whitney AUC)"),
     Query("q14_ks_test", q_q14_ks_test, SQL_Q14,
           "two-sample KS drift test (dual distributed e-CDF running sum)"),
     Query("ml11_oner", q_ml11_oner, SQL_ML11,

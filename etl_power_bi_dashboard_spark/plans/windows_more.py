@@ -604,7 +604,95 @@ FROM labels l JOIN documents d ON d.doc_id = l.cluster""",
     )
 
 
+def q_p16_lang_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language capping — the C4/Gopher-style curation op that
+    downsamples dominant groups so one language (or domain) can't
+    swamp the training mix: every language keeps at most
+    cap = (6·largest_language_count) DIV 10 documents, and WHICH
+    documents survive is decided by content-hash rank, not by
+    partition order — stable across engines, runs, repartitions, and
+    incremental ingests (p8's determinism argument, promoted from
+    splitting to capping). On this fixture 'en' (the majority class)
+    is capped and the rest pass through, so both branches carry real
+    rows.
+
+    Scale shape: the per-language ranking runs through the shared
+    range-partitioned row-number helper (bucketed on the hash axis —
+    no single-task per-language window, which is exactly where a
+    100 TB majority language would bottleneck); the cap is a 1-row
+    broadcast. kept_id_sum commits the exact surviving set to the
+    driver hash gate, so the oracle (naive global window) proves the
+    distributed ranking picks identical documents. All-BIGINT.
+    """
+    from ..operators import scale
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    rn = scale.distributed_row_number(
+        base,
+        bucket=F.expr("h DIV 17592186044416"),  # 2^44-wide, h < 2^48
+        order_cols=["h", "doc_id"],
+        partition_cols=["lang"],
+        rn_alias="rk",
+        count_alias="n_docs",
+    )
+    cap = (
+        base.groupBy("lang")
+        .agg(F.count("*").alias("_n"))
+        .agg(F.expr("(6 * MAX(_n)) DIV 10").cast("bigint").alias("cap"))
+    )
+    kept = rn.crossJoin(F.broadcast(cap)).withColumn(
+        "_kept", F.col("rk") <= F.col("cap")
+    )
+    return kept.groupBy("lang").agg(
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+        F.max("cap").cast("bigint").alias("cap"),
+        F.sum(F.when(F.col("_kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        (F.max("n_docs") > F.max("cap")).alias("cap_applied"),
+        F.sum(F.when(F.col("_kept"), F.col("doc_id")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_id_sum"),
+    )
+
+
+SQL_P16 = """
+WITH base AS (
+    SELECT doc_id, lang,
+           CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT) AS h
+    FROM documents
+),
+cap AS (
+    SELECT (6 * MAX(n)) // 10 AS cap
+    FROM (SELECT COUNT(*) AS n FROM base GROUP BY lang)
+),
+rk AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+    FROM base
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(cap.cap) AS BIGINT) AS cap,
+       CAST(SUM(CASE WHEN rk <= cap.cap THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       COUNT(*) > MAX(cap.cap) AS cap_applied,
+       CAST(SUM(CASE WHEN rk <= cap.cap THEN doc_id ELSE 0 END) AS BIGINT)
+           AS kept_id_sum
+FROM rk, cap GROUP BY 1
+"""
+
+
 QUERIES: list[Query] = [
+    Query("p16_lang_cap_sample", q_p16_lang_cap_sample, SQL_P16,
+          "language/domain capping (deterministic content-hash survivors)"),
     Query("p15_leakage_safe_split", q_p15_leakage_safe_split, _sql_p15(),
           "cluster-aware train/val/test split (near-dups never straddle)"),
     Query("p13_length_buckets", q_p13_length_buckets, SQL_P13,

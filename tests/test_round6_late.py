@@ -752,3 +752,92 @@ def test_sc7_skip_decisions_sound_and_clustering_pays(spark):
     for r in clustered:
         assert r.can_skip == (r.file_id < 199701)
     assert sum(r.n_rows for r in clustered) == sum(r.n_rows for r in natural)
+
+
+def test_ml12_auc_matches_bruteforce_pair_counting(spark):
+    """The rank-sum AUC must equal literal pair counting: for each
+    lang, U = #(pos_score > neg_score) + 0.5 * #ties over ALL
+    pos x neg pairs, on the same integer-quantized scores. Exact
+    equality — both sides are integer arithmetic until the final
+    division."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.operators import text as text_ops
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load
+
+    docs = load(spark, SF_DIR, "documents").filter(F.length("text") > 0)
+    t = F.split(F.col("text"), " ")
+    base = docs.select(
+        "lang",
+        F.size(F.filter(t, lambda x: x.isin(*text_ops.STOPWORDS)))
+        .cast("bigint")
+        .alias("hits"),
+        F.size(t).cast("bigint").alias("n"),
+    ).selectExpr("lang", "(hits * 1000000000) DIV n AS score_q")
+    rows = base.collect()
+    got = {
+        r.lang: r
+        for r in REGISTRY["ml12_score_bias_auc"].spark(spark, SF_DIR).collect()
+    }
+    langs = {r.lang for r in rows}
+    assert set(got) == langs
+    all_scores = Counter(r.score_q for r in rows)
+    for lang in langs:
+        pos = Counter(r.score_q for r in rows if r.lang == lang)
+        neg = all_scores - pos
+        # u2 = 2*U = 2*#(pos>neg) + #ties, brute force over score pairs
+        u2 = 0
+        for ps, pc in pos.items():
+            for ns, nc in neg.items():
+                if ps > ns:
+                    u2 += 2 * pc * nc
+                elif ps == ns:
+                    u2 += pc * nc
+        g = got[lang]
+        assert g.n_pos == sum(pos.values())
+        assert g.n_neg == sum(neg.values())
+        assert g.u2 == u2
+        assert 0 <= g.u2 <= 2 * g.n_pos * g.n_neg
+        assert g.auc == u2 / (2.0 * g.n_pos * g.n_neg)
+
+
+def test_p16_cap_keeps_exactly_the_lowest_hash_docs(spark):
+    """The survivor set must be precisely the cap lowest (hash, doc_id)
+    documents per language — recomputed by brute force — and the
+    fixture must exercise both branches (the majority language capped,
+    at least one language untouched)."""
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load
+
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).collect()
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append((r.h, r.doc_id))
+    cap = (6 * max(len(v) for v in by_lang.values())) // 10
+    got = {
+        r.lang: r
+        for r in REGISTRY["p16_lang_cap_sample"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(by_lang)
+    assert any(r.cap_applied for r in got.values())
+    assert any(not r.cap_applied for r in got.values())
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        keep = pairs[:cap]
+        g = got[lang]
+        assert g.cap == cap
+        assert g.n_docs == len(pairs)
+        assert g.n_kept == min(len(pairs), cap)
+        assert g.cap_applied == (len(pairs) > cap)
+        assert g.kept_id_sum == sum(d for _, d in keep)

@@ -23,6 +23,15 @@ HEADLINE is best-of-3 (was 2) so the min gets two chances at a quiet
 window; cross-round comparisons should use ratios within one bench run,
 not absolute seconds across rounds.
 
+ROUND-6 HOST-DRIFT NOTE (late in the round): the final r6 detail
+(220.4s/130 queries) reads ~1.25-1.3x the 02:11 UTC refresh on the
+IDENTICAL committed plans — two full re-runs agreed (225.0/220.4s),
+and an isolated warm-session probe of three untouched queries
+(h5 1.02->1.85s, a4 1.80->2.81s, dax 1.28->2.11s) reproduced the
+ratio with zero repo changes in between, so the drift is host-level
+(co-tenant CPU), not a plan regression. Read r6-vs-r5 trends as
+within-run ratios, not absolute seconds.
+
 ROUND-6 METHODOLOGY CHANGES: (1) the LAST stdout line is now a compact
 JSON record without the per-query dict — round 5's 76-query detail line
 outgrew the driver's ~2KB tail capture and the round recorded no parsed
@@ -203,6 +212,8 @@ TAIL = [
     "sc7_zone_map_skipping",
     "ml12_score_bias_auc",
     "p16_lang_cap_sample",
+    "d16_containment_pairs",
+    "ml13_gain_lift",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -896,7 +896,125 @@ FROM ranked""",
 )
 
 
+def q_d16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment detection — the quote/excerpt/superset case
+    symmetric Jaccard (d2/d6) structurally under-scores: a paragraph
+    fully quoted inside a 10× longer document has J ≈ 0.1 but
+    containment C(A→B) = |A∩B|/|A| = 1.0. Over distinct strided 8-token
+    chunk sets (d8's shingles), report every pair where the SMALLER
+    set's containment ≥ 1/2 — exact intersection, both directions'
+    fractions, the decision row an "is this doc subsumed?" curation
+    gate consumes.
+
+    Candidate generation is LOSSLESS, not df-capped: the smaller doc
+    posts its ``floor(n/2)+1`` globally-rarest chunks
+    (``dedup.prefix_postings`` at t = 1/2 — same pigeonhole theorem:
+    if A shares ≥ ⌈|A|/2⌉ chunks, one of them lands in A's prefix),
+    joined against the larger side's FULL posting list — the classic
+    asymmetric containment prefix filter (ProbeCount family). Hot
+    chunks stay cheap on the prefix side (a doc posts a hot chunk only
+    when it is among ITS rarest); the full-side fan-out is the price of
+    losslessness and is bounded by prefix_len·df. Verification is
+    candidate-restricted exact set intersection. The oracle is the
+    UNFILTERED all-pairs SQL — the driver hash gate re-proves the
+    prefix filter lossless on real data, exactly as d6's does.
+
+    Exactness: the threshold is the integer comparison 2·inter ≥ n_small
+    (never a float ratio); the two fractions are terminal IEEE
+    divisions.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ch = dedup.chunk_table(
+        dedup.ensure_parallelism(docs, "doc_id"), n=8, stride=4
+    ).distinct()
+    sets_ = ch.groupBy("doc_id").agg(F.collect_set("chunk_h").alias("sh"))
+    pre = dedup.prefix_postings(sets_, 0.5)
+    full = sets_.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("term")
+    )
+    a = pre.select(
+        F.col("doc_id").alias("i"), F.col("n").alias("ni"), "term"
+    )
+    b = full.select(
+        F.col("doc_id").alias("j"), F.col("n").alias("nj"), "term"
+    )
+    cand = (
+        a.join(
+            b,
+            (a["term"] == b["term"])
+            & (
+                (F.col("ni") < F.col("nj"))
+                | ((F.col("ni") == F.col("nj")) & (F.col("i") < F.col("j")))
+            ),
+        )
+        .select("i", "j")
+        .distinct()
+    )
+    sa = sets_.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_i"))
+    sb = sets_.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_j"))
+    verified = (
+        cand.join(sa, "i")
+        .join(sb, "j")
+        .select(
+            F.col("i").alias("doc_small"),
+            F.col("j").alias("doc_large"),
+            F.size(F.array_intersect("sh_i", "sh_j"))
+            .cast("bigint")
+            .alias("inter"),
+            F.size("sh_i").cast("bigint").alias("n_small"),
+            F.size("sh_j").cast("bigint").alias("n_large"),
+        )
+        .filter(F.lit(2) * F.col("inter") >= F.col("n_small"))
+    )
+    return verified.select(
+        "doc_small",
+        "doc_large",
+        "inter",
+        "n_small",
+        "n_large",
+        (F.col("inter").cast("double") / F.col("n_small").cast("double"))
+        .alias("containment_small"),
+        (F.col("inter").cast("double") / F.col("n_large").cast("double"))
+        .alias("containment_large"),
+    )
+
+
+SQL_D16 = """
+WITH raw AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 7, 1) + 1, 4),
+               i -> md5(array_to_string(
+                   array_slice(string_split(text, ' '), i, i + 7), ' '))))
+               AS chunk_h
+    FROM documents
+),
+ch AS (SELECT DISTINCT doc_id, chunk_h FROM raw),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ch GROUP BY 1),
+pairs AS (
+    SELECT a.doc_id AS doc_small, b.doc_id AS doc_large,
+           CAST(COUNT(*) AS BIGINT) AS inter
+    FROM ch a
+    JOIN ch b ON a.chunk_h = b.chunk_h
+    JOIN sz sa ON sa.doc_id = a.doc_id
+    JOIN sz sb ON sb.doc_id = b.doc_id
+    WHERE sa.n < sb.n OR (sa.n = sb.n AND a.doc_id < b.doc_id)
+    GROUP BY 1, 2
+)
+SELECT doc_small, doc_large, inter, sa.n AS n_small, sb.n AS n_large,
+       CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_small,
+       CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_large
+FROM pairs
+JOIN sz sa ON sa.doc_id = doc_small
+JOIN sz sb ON sb.doc_id = doc_large
+WHERE 2 * inter >= sa.n
+"""
+
+
 QUERIES: list[Query] = [
+    Query("d16_containment_pairs", q_d16_containment_pairs, SQL_D16,
+          "directed chunk-set containment (quote/subset detection, "
+          "lossless asymmetric prefix filter)"),
     Query("d17_lsh_s_curve", q_d17_lsh_s_curve, _sql_d17(),
           "LSH banding S-curve: empirical vs theoretical candidate rate"),
     Query("d15_keep_longest", q_d15_keep_longest, SQL_D15,

@@ -2504,7 +2504,136 @@ FROM cum GROUP BY 1
 """
 
 
+def q_ml13_gain_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table — ml12's AUC collapsed the whole
+    ranking to one number; this is the decile-level view a campaign or
+    curation planner actually reads ("the top 10% of docs by quality
+    score holds 1.4× its share of English docs"): rank all documents by
+    the quality signal descending, cut into 10 equal-count deciles, and
+    report per-decile and cumulative capture of the positive class plus
+    the lift over random.
+
+    Exactness: ranking on the integer-quantized score with doc_id
+    tie-break (a total order, so deciles are engine-identical); decile
+    = ((rk−1)·10) DIV n is pure integer; gain and lift are single IEEE
+    divisions of exact BIGINT products (cum_pos·n vs cum_rows·total_pos
+    — never a ratio of ratios). Scale shape: the global descending rank
+    runs through the shared range-partitioned row-number helper
+    (bucketed on the quantized score — no single-task world sort); the
+    only serial windows are over the 10 post-aggregation decile rows.
+    Oracle = the naive global-window SQL (differential proof, as
+    sc5/sc6/ml12).
+    """
+    from ..operators import scale
+    from ..operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("pos"),
+        F.size(F.filter(t, lambda x: x.isin(*text_ops.STOPWORDS)))
+        .cast("bigint")
+        .alias("hits"),
+        F.size(t).cast("bigint").alias("n"),
+    ).selectExpr(
+        "doc_id", "pos", "(hits * 1000000000) DIV n AS score_q"
+    )
+    rn = scale.distributed_row_number(
+        base,
+        bucket=F.expr("-(score_q DIV 31250000)"),
+        order_cols=[F.desc("score_q"), F.asc("doc_id")],
+        rn_alias="rk",
+        count_alias="n_tot",
+    )
+    per = (
+        rn.withColumn(
+            "decile", F.expr("CAST(((rk - 1) * 10) DIV n_tot AS INT)")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.max("n_tot").alias("n_tot"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per.agg(F.sum("n_pos").cast("bigint").alias("total_pos"))
+    cum = per.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.sum("n_rows").over(w_cum).cast("bigint").alias("cum_rows"),
+        F.sum("n_pos").over(w_cum).cast("bigint").alias("cum_pos"),
+        "n_tot",
+        "total_pos",
+    )
+    return cum.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        "cum_rows",
+        "cum_pos",
+        (
+            F.col("cum_pos").cast("double")
+            / F.col("total_pos").cast("double")
+        ).alias("gain"),
+        (
+            (F.col("cum_pos") * F.col("n_tot")).cast("double")
+            / (F.col("cum_rows") * F.col("total_pos")).cast("double")
+        ).alias("lift"),
+    )
+
+
+SQL_ML13 = """
+WITH base AS (
+    SELECT doc_id, lang = 'en' AS pos,
+           (CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')))
+                 AS BIGINT) * 1000000000)
+             // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_q
+    FROM documents WHERE length(text) > 0
+),
+rk AS (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rk,
+           COUNT(*) OVER () AS n_tot
+    FROM base
+),
+per AS (
+    SELECT CAST(((rk - 1) * 10) // n_tot AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(MAX(n_tot) AS BIGINT) AS n_tot
+    FROM rk GROUP BY 1
+),
+cum AS (
+    SELECT decile, n_rows, n_pos,
+           CAST(SUM(n_rows) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_rows,
+           CAST(SUM(n_pos) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_pos,
+           n_tot,
+           CAST(SUM(n_pos) OVER () AS BIGINT) AS total_pos
+    FROM per
+)
+SELECT decile, n_rows, n_pos, cum_rows, cum_pos,
+       CAST(cum_pos AS DOUBLE) / CAST(total_pos AS DOUBLE) AS gain,
+       CAST(cum_pos * n_tot AS DOUBLE)
+           / CAST(cum_rows * total_pos AS DOUBLE) AS lift
+FROM cum
+"""
+
+
 QUERIES: list[Query] = [
+    Query("ml13_gain_lift", q_ml13_gain_lift, SQL_ML13,
+          "decile gains/lift table over the quality-score ranking"),
     Query("ml12_score_bias_auc", q_ml12_score_bias_auc, SQL_ML12,
           "per-language quality-gate bias (exact Mann-Whitney AUC)"),
     Query("q14_ks_test", q_q14_ks_test, SQL_Q14,

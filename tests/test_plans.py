@@ -288,6 +288,9 @@ _SP_WINDOW_ALLOWED = {
     "q11_benford",
     "q7_chi2_independence",
     "q8_volume_anomaly",
+    # ml13: only the 10-row post-agg decile cumulative window (and the
+    # #buckets-row offset window of the shared rank helper) is serial
+    "ml13_gain_lift",
     "sc5_distributed_row_number",
     "sc6_range_partition_plan",
     "w2_running_total",

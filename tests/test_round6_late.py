@@ -841,3 +841,86 @@ def test_p16_cap_keeps_exactly_the_lowest_hash_docs(spark):
         assert g.n_kept == min(len(pairs), cap)
         assert g.cap_applied == (len(pairs) > cap)
         assert g.kept_id_sum == sum(d for _, d in keep)
+
+
+def test_d16_containment_identities_and_constructed_subset(spark):
+    """A constructed document whose text is a strict prefix of a longer
+    one must have its full chunk set contained (C = 1.0 by direct set
+    math through the same chunker); registry rows must satisfy the
+    containment algebra (inter <= n_small <= n_large, threshold met,
+    direction ordering), and the corpus's exact duplicates must surface
+    as containment-1.0 pairs."""
+    from etl_power_bi_dashboard_spark.operators import dedup
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    words = [f"w{i}" for i in range(40)]
+    text_a = " ".join(words)
+    text_b = text_a + " " + " ".join(f"z{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, text_a), (2, text_b)], "doc_id long, text string"
+    )
+    ch = dedup.chunk_table(docs, n=8, stride=4).distinct().collect()
+    sets: dict[int, set] = {}
+    for r in ch:
+        sets.setdefault(r.doc_id, set()).add(r.chunk_h)
+    assert sets[1] <= sets[2]  # prefix doc fully contained
+    assert len(sets[2]) > len(sets[1])
+
+    rows = REGISTRY["d16_containment_pairs"].spark(spark, SF_DIR).collect()
+    assert rows  # the corpus carries near/exact dups (d1 relies on them)
+    for r in rows:
+        assert 0 < r.inter <= r.n_small <= r.n_large
+        assert 2 * r.inter >= r.n_small
+        assert r.containment_small == r.inter / r.n_small
+        assert r.containment_large == r.inter / r.n_large
+        assert r.containment_large <= r.containment_small
+        assert r.doc_small != r.doc_large
+    assert max(r.containment_small for r in rows) == 1.0
+
+
+def test_ml13_gain_lift_matches_bruteforce(spark):
+    """Deciles 0..9 partition the corpus into equal-count slices; cum
+    columns are running sums; the last row's gain and lift are exactly
+    1.0; and every cell must equal the brute-force recomputation from
+    the same quantized ranking in pure Python."""
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.operators import text as text_ops
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load
+
+    docs = load(spark, SF_DIR, "documents").filter(F.length("text") > 0)
+    t = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("pos"),
+        F.size(F.filter(t, lambda x: x.isin(*text_ops.STOPWORDS)))
+        .cast("bigint")
+        .alias("hits"),
+        F.size(t).cast("bigint").alias("n"),
+    ).selectExpr("doc_id", "pos", "(hits * 1000000000) DIV n AS score_q")
+    ranked = sorted(base.collect(), key=lambda r: (-r.score_q, r.doc_id))
+    n_tot = len(ranked)
+    want: dict[int, dict] = {}
+    for i, r in enumerate(ranked):
+        d = (i * 10) // n_tot
+        slot = want.setdefault(d, {"n_rows": 0, "n_pos": 0})
+        slot["n_rows"] += 1
+        slot["n_pos"] += 1 if r.pos else 0
+    total_pos = sum(s["n_pos"] for s in want.values())
+    got = sorted(
+        REGISTRY["ml13_gain_lift"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in got] == sorted(want)
+    cr = cp = 0
+    for r in got:
+        w = want[r.decile]
+        assert r.n_rows == w["n_rows"] and r.n_pos == w["n_pos"]
+        cr += w["n_rows"]
+        cp += w["n_pos"]
+        assert r.cum_rows == cr and r.cum_pos == cp
+        assert r.gain == cp / total_pos
+        assert r.lift == (cp * n_tot) / (cr * total_pos)
+    assert got[-1].gain == 1.0 and got[-1].lift == 1.0
+    assert got[-1].cum_rows == n_tot

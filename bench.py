@@ -214,6 +214,8 @@ TAIL = [
     "p16_lang_cap_sample",
     "d16_containment_pairs",
     "ml13_gain_lift",
+    "ml14_pr_curve",
+    "a32_abc_xyz",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -2631,7 +2631,299 @@ FROM cum
 """
 
 
+def q_ml14_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall threshold sweep for the x3 English detector —
+    x19 reports the confusion matrix at the shipped 0.05 cutoff; this
+    answers the tuning question ("WHICH cutoff?") with the full
+    operating-point table at five stopword-ratio thresholds: tp/fp/
+    fn/tn, precision, recall, F1, accuracy per threshold — the PR curve
+    a curation pipeline reads before committing a filter threshold.
+
+    Exactness: the score is ml12's integer-quantized ratio
+    (hits·10⁹ DIV n_tokens) compared against integer parts-per-billion
+    thresholds — no float comparison anywhere — and every metric is a
+    single IEEE division of exact BIGINT counts (F1 as
+    2tp/(2tp+fp+fn), never a mean of two ratios). Scale shape: one
+    linear scan fans each doc out to the 5 thresholds (constant ×5)
+    into a 5-group aggregate — no joins, no windows.
+    """
+    from ..operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = F.split(F.col("text"), " ")
+    base = docs.select(
+        (F.col("lang") == "en").alias("pos"),
+        F.size(F.filter(t, lambda x: x.isin(*text_ops.STOPWORDS)))
+        .cast("bigint")
+        .alias("hits"),
+        F.size(t).cast("bigint").alias("n"),
+    ).selectExpr("pos", "(hits * 1000000000) DIV n AS score_q")
+    fan = base.select(
+        "pos",
+        "score_q",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(v).cast("bigint")
+                    for v in (
+                        20_000_000,
+                        50_000_000,
+                        100_000_000,
+                        150_000_000,
+                        200_000_000,
+                    )
+                ]
+            )
+        ).alias("thresh_ppb"),
+    ).withColumn("pred", F.col("score_q") > F.col("thresh_ppb"))
+    per = fan.groupBy("thresh_ppb").agg(
+        F.sum(F.when(F.col("pred") & F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    return per.select(
+        "thresh_ppb",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall"),
+        F.when(
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            (F.lit(2) * F.col("tp")).cast("double")
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast(
+                "double"
+            ),
+        ).alias("f1"),
+        (
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (
+                F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+            ).cast("double")
+        ).alias("accuracy"),
+    )
+
+
+SQL_ML14 = """
+WITH base AS (
+    SELECT lang = 'en' AS pos,
+           (CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')))
+                 AS BIGINT) * 1000000000)
+             // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_q
+    FROM documents WHERE length(text) > 0
+),
+fan AS (
+    SELECT pos, score_q, CAST(t AS BIGINT) AS thresh_ppb,
+           score_q > t AS pred
+    FROM base, LATERAL unnest([20000000, 50000000, 100000000,
+                               150000000, 200000000]) AS u(t)
+),
+per AS (
+    SELECT thresh_ppb,
+           CAST(SUM(CASE WHEN pred AND pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp,
+           CAST(SUM(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS fp,
+           CAST(SUM(CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS fn,
+           CAST(SUM(CASE WHEN NOT pred AND NOT pos THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn
+    FROM fan GROUP BY 1
+)
+SELECT thresh_ppb, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+           AS precision,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+           AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+            END AS f1,
+       CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+           AS accuracy
+FROM per
+"""
+
+
+def q_a32_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ planning matrix — the inventory-management grid that
+    crosses a27's revenue concentration classes (A/B/C by cumulative
+    share) with demand-VARIABILITY classes (X/Y/Z by the coefficient of
+    variation of monthly shipped quantity over the corpus's full month
+    horizon, zero months included): AX = high-value steady demand
+    (automate replenishment), CZ = low-value erratic (stock to order).
+    Nine rows, each with part count, revenue, and quantity.
+
+    Exactness: XYZ never computes cv as a float — with S = Σ monthly
+    qty, Q = Σ qty², n = total horizon months, cv² = (nQ − S²)/S², and
+    the 0.5/1.0 cutoffs become the BIGINT comparisons 4(nQ − S²) < S² /
+    (nQ − S²) < S² (zero-month contributions are zero terms, so the
+    full horizon costs nothing to "fill"). ABC reuses a27's exact
+    DECIMAL cum·10 ≤ total·7/9 boundary compares on the shared
+    range-partitioned running sum. BIGINT overflow in nQ needs monthly
+    quantities past ~3·10⁸ (switch to DECIMAL then). Scale shape: two
+    linear part-keyed aggregates + the sc5-pattern running sum + one
+    9-group fold; no window touches raw lineitem rows.
+    """
+    from ..operators.scale import distributed_running_sum
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (
+            F.lit(1).cast("decimal(6,4)")
+            - F.col("l_discount").cast("decimal(6,4)")
+        )
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("decimal(38,6)").alias("rev")
+    )
+    cum = distributed_running_sum(
+        per_part,
+        bucket=F.floor(F.col("rev").cast("double") / F.lit(-50000.0)).cast(
+            "long"
+        ),
+        order_cols=[F.desc("rev"), F.asc("l_partkey")],
+        value_col="rev",
+        cum_alias="cum",
+        total_alias="total",
+    )
+    abc = (
+        cum.withColumn("cum", F.col("cum").cast("decimal(30,6)"))
+        .withColumn("total", F.col("total").cast("decimal(30,6)"))
+        .select(
+            "l_partkey",
+            "rev",
+            F.when(
+                F.col("cum") * F.lit(10) <= F.col("total") * F.lit(7), "A"
+            )
+            .when(F.col("cum") * F.lit(10) <= F.col("total") * F.lit(9), "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    monthly = li.groupBy(
+        "l_partkey",
+        F.date_format(F.to_date("l_shipdate"), "yyyyMM").alias("m"),
+    ).agg(F.sum("l_quantity").cast("bigint").alias("qty_m"))
+    horizon = (
+        li.select(
+            F.date_format(F.to_date("l_shipdate"), "yyyyMM").alias("m")
+        )
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_months"))
+    )
+    stats = monthly.groupBy("l_partkey").agg(
+        F.sum("qty_m").cast("bigint").alias("s"),
+        F.sum(F.col("qty_m") * F.col("qty_m")).cast("bigint").alias("q2"),
+    )
+    xyz = stats.crossJoin(F.broadcast(horizon)).select(
+        "l_partkey",
+        "s",
+        F.when(
+            F.lit(4) * (F.col("n_months") * F.col("q2") - F.col("s") * F.col("s"))
+            < F.col("s") * F.col("s"),
+            "X",
+        )
+        .when(
+            F.col("n_months") * F.col("q2") - F.col("s") * F.col("s")
+            < F.col("s") * F.col("s"),
+            "Y",
+        )
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("decimal(38,6)").cast("double").alias("revenue"),
+            F.sum("s").cast("bigint").alias("qty_total"),
+        )
+    )
+
+
+SQL_A32 = """
+WITH per AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(6,4))
+                       - CAST(l_discount AS DECIMAL(6,4))))
+                AS DECIMAL(38,6)) AS rev
+    FROM lineitem GROUP BY 1
+),
+c AS (
+    SELECT l_partkey, rev,
+           CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING)
+                AS DECIMAL(30,6)) AS cum,
+           CAST(SUM(rev) OVER () AS DECIMAL(30,6)) AS total
+    FROM per
+),
+abc AS (
+    SELECT l_partkey, rev,
+           CASE WHEN cum * 10 <= total * 7 THEN 'A'
+                WHEN cum * 10 <= total * 9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+),
+monthly AS (
+    SELECT l_partkey, strftime(CAST(l_shipdate AS DATE), '%Y%m') AS m,
+           CAST(SUM(l_quantity) AS BIGINT) AS qty_m
+    FROM lineitem GROUP BY 1, 2
+),
+horizon AS (
+    SELECT CAST(COUNT(DISTINCT strftime(CAST(l_shipdate AS DATE), '%Y%m'))
+               AS BIGINT) AS n_months
+    FROM lineitem
+),
+stats AS (
+    SELECT l_partkey, CAST(SUM(qty_m) AS BIGINT) AS s,
+           CAST(SUM(qty_m * qty_m) AS BIGINT) AS q2
+    FROM monthly GROUP BY 1
+),
+xyz AS (
+    SELECT l_partkey, s,
+           CASE WHEN 4 * (n_months * q2 - s * s) < s * s THEN 'X'
+                WHEN n_months * q2 - s * s < s * s THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM stats, horizon
+)
+SELECT abc_class, xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+       CAST(SUM(s) AS BIGINT) AS qty_total
+FROM abc JOIN xyz USING (l_partkey)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: list[Query] = [
+    Query("a32_abc_xyz", q_a32_abc_xyz, SQL_A32,
+          "ABC×XYZ inventory planning matrix (value × demand variability)"),
+    Query("ml14_pr_curve", q_ml14_pr_curve, SQL_ML14,
+          "precision/recall threshold sweep for the English detector"),
     Query("ml13_gain_lift", q_ml13_gain_lift, SQL_ML13,
           "decile gains/lift table over the quality-score ranking"),
     Query("ml12_score_bias_auc", q_ml12_score_bias_auc, SQL_ML12,

@@ -263,6 +263,9 @@ _SP_WINDOW_ALLOWED = {
     # a27: only the #buckets-row offset window of distributed_running_sum
     # is serial (the sc5/a16 pattern generalized to DECIMAL sums)
     "a27_pareto_abc",
+    # a32: same distributed_running_sum offsets window as a27 (ABC side);
+    # the XYZ side is join+groupBy only
+    "a32_abc_xyz",
     # ml10: cumulative window over DISTINCT n_chars values only —
     # bounded by the generator's length domain (~10² values at any
     # corpus size), the a13 value-domain-bounded class

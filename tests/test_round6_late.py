@@ -924,3 +924,108 @@ def test_ml13_gain_lift_matches_bruteforce(spark):
         assert r.lift == (cp * n_tot) / (cr * total_pos)
     assert got[-1].gain == 1.0 and got[-1].lift == 1.0
     assert got[-1].cum_rows == n_tot
+
+
+def test_ml14_pr_curve_matches_bruteforce_and_is_monotone(spark):
+    """Every confusion cell must equal a pure-Python recount on the
+    same quantized scores; recall must be non-increasing in the
+    threshold (raising a cutoff can only lose positives); tp+fn and
+    the grand total must be threshold-invariant."""
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.operators import text as text_ops
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load
+
+    docs = load(spark, SF_DIR, "documents").filter(F.length("text") > 0)
+    t = F.split(F.col("text"), " ")
+    base = docs.select(
+        (F.col("lang") == "en").alias("pos"),
+        F.size(F.filter(t, lambda x: x.isin(*text_ops.STOPWORDS)))
+        .cast("bigint")
+        .alias("hits"),
+        F.size(t).cast("bigint").alias("n"),
+    ).selectExpr("pos", "(hits * 1000000000) DIV n AS score_q").collect()
+    got = sorted(
+        REGISTRY["ml14_pr_curve"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r.thresh_ppb,
+    )
+    assert [r.thresh_ppb for r in got] == [
+        20_000_000, 50_000_000, 100_000_000, 150_000_000, 200_000_000
+    ]
+    prev_recall = None
+    for r in got:
+        tp = sum(1 for b in base if b.pos and b.score_q > r.thresh_ppb)
+        fp = sum(1 for b in base if not b.pos and b.score_q > r.thresh_ppb)
+        fn = sum(1 for b in base if b.pos and b.score_q <= r.thresh_ppb)
+        tn = sum(1 for b in base if not b.pos and b.score_q <= r.thresh_ppb)
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        assert r.tp + r.fp + r.fn + r.tn == len(base)
+        assert r.tp + r.fn == sum(1 for b in base if b.pos)
+        if r.recall is not None:
+            if prev_recall is not None:
+                assert r.recall <= prev_recall
+            prev_recall = r.recall
+
+
+def test_a32_matrix_covers_all_parts_with_bruteforce_xyz(spark):
+    """The nine-cell (at most) matrix must partition the part dimension:
+    n_parts sums to |parts with lineitems|, classes stay in their
+    domains, and the per-class part counts must equal a brute-force
+    Python recomputation of both the ABC cumulative boundaries and the
+    integer cv² XYZ cutoffs."""
+    from collections import Counter
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    rev_rows = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (
+                    F.lit(1).cast("decimal(6,4)")
+                    - F.col("l_discount").cast("decimal(6,4)")
+                )
+            ).cast("decimal(38,6)").alias("rev")
+        )
+        .collect()
+    )
+    monthly = (
+        li.groupBy(
+            "l_partkey",
+            F.date_format(F.to_date("l_shipdate"), "yyyyMM").alias("m"),
+        )
+        .agg(F.sum("l_quantity").cast("bigint").alias("q"))
+        .collect()
+    )
+    n_months = len({r.m for r in monthly})
+    ranked = sorted(rev_rows, key=lambda r: (-r.rev, r.l_partkey))
+    total = sum((r.rev for r in ranked), Decimal(0))
+    abc: dict[int, str] = {}
+    cum = Decimal(0)
+    for r in ranked:
+        cum += r.rev
+        abc[r.l_partkey] = (
+            "A" if cum * 10 <= total * 7
+            else "B" if cum * 10 <= total * 9 else "C"
+        )
+    s: Counter = Counter()
+    q2: Counter = Counter()
+    for r in monthly:
+        s[r.l_partkey] += r.q
+        q2[r.l_partkey] += r.q * r.q
+    def xyz(k):
+        d = n_months * q2[k] - s[k] * s[k]
+        return "X" if 4 * d < s[k] * s[k] else "Y" if d < s[k] * s[k] else "Z"
+    want = Counter((abc[k], xyz(k)) for k in abc)
+    got = REGISTRY["a32_abc_xyz"].spark(spark, SF_DIR).collect()
+    assert sum(r.n_parts for r in got) == len(abc)
+    for r in got:
+        assert r.abc_class in "ABC" and r.xyz_class in "XYZ"
+        assert want[(r.abc_class, r.xyz_class)] == r.n_parts

@@ -216,6 +216,8 @@ TAIL = [
     "ml13_gain_lift",
     "ml14_pr_curve",
     "a32_abc_xyz",
+    "e19_autocorrelation",
+    "q15_pk_uniqueness",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

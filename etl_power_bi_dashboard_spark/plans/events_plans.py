@@ -1289,7 +1289,135 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_e19_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1/2/7/14 — the signal-processing twin of a21's per-weekday
+    seasonality indexes: a21 ASSUMES the weekly cycle and measures its
+    shape; the ACF DETECTS which cycle exists (a spike at lag 7 = weekly
+    periodicity; fast decay = no memory), which is what a forecasting or
+    anomaly-baseline job checks before choosing its seasonal window.
+    Missing calendar days enter as zero-count observations (a silent
+    day IS signal for a count series), via a 1-row span → sequence
+    explode, never a driver round-trip.
+
+    Exactness: with S = Σx, n = #days, the standard ACF(L) =
+    Σ(x_t−μ)(x_{t+L}−μ) / Σ(x_t−μ)² is computed as the exact-BIGINT
+    ratio Σ(n·x_t−S)(n·x_{t+L}−S) / Σ(n·x_t−S)² (both sides scale by
+    n², which cancels) — one terminal IEEE division per lag; at this
+    fixture's magnitudes the products sit ~10⁷ below BIGINT overflow
+    (switch the two sums to DECIMAL(38,0) past ~10⁹ events/day·year
+    series). Scale shape: one groupBy collapses events to ≤|days| rows;
+    everything after is calendar-bounded (a25-class post-agg joins).
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    span = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    cal = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    filled = cal.join(daily, "d", "left").select(
+        "d", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+    )
+    tot = filled.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    f = filled.crossJoin(F.broadcast(tot))
+    den = f.agg(
+        F.sum(
+            (F.col("n") * F.col("x") - F.col("s"))
+            * (F.col("n") * F.col("x") - F.col("s"))
+        )
+        .cast("bigint")
+        .alias("den")
+    )
+    lagged = f.select(
+        "d",
+        "x",
+        "n",
+        "s",
+        F.explode(
+            F.array(*[F.lit(v).cast("bigint") for v in (1, 2, 7, 14)])
+        ).alias("lag"),
+    )
+    b = filled.select(
+        F.col("d").alias("d2"), F.col("x").alias("x2")
+    )
+    pairs = lagged.join(
+        b, lagged["d"] + lagged["lag"] == b["d2"], "inner"
+    )
+    num = pairs.groupBy("lag").agg(
+        F.sum(
+            (F.col("n") * F.col("x") - F.col("s"))
+            * (F.col("n") * F.col("x2") - F.col("s"))
+        )
+        .cast("bigint")
+        .alias("num"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.max("n").alias("n_days"),
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_days",
+        "n_pairs",
+        F.when(
+            F.col("den") > 0,
+            F.col("num").cast("double") / F.col("den").cast("double"),
+        ).alias("acf"),
+    )
+
+
+SQL_E19 = """
+WITH daily AS (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+cal AS (
+    SELECT unnest(range(d0, d1 + 1)) AS d FROM span
+),
+filled AS (
+    SELECT cal.d, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+    FROM cal LEFT JOIN daily ON cal.d = daily.d
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+    FROM filled
+),
+den AS (
+    SELECT CAST(SUM((n * x - s) * (n * x - s)) AS BIGINT) AS den
+    FROM filled, tot
+),
+pairs AS (
+    SELECT CAST(l AS BIGINT) AS lag, a.x AS x, b.x AS x2, tot.n, tot.s
+    FROM filled a, LATERAL unnest([1, 2, 7, 14]) AS u(l)
+    JOIN filled b ON a.d + l = b.d
+    CROSS JOIN tot
+),
+num AS (
+    SELECT lag,
+           CAST(SUM((n * x - s) * (n * x2 - s)) AS BIGINT) AS num,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MAX(n) AS BIGINT) AS n_days
+    FROM pairs GROUP BY 1
+)
+SELECT lag, n_days, n_pairs,
+       CASE WHEN den > 0
+            THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf
+FROM num, den
+"""
+
+
 QUERIES: list[Query] = [
+    Query("e19_autocorrelation", q_e19_autocorrelation, SQL_E19,
+          "daily-count autocorrelation at lags 1/2/7/14 (cycle detection)"),
     Query("a31_dow_hour_heatmap", q_a31_dow_hour_heatmap, SQL_A31,
           "day-of-week × hour activity heatmap (Mon=0, integer dow)"),
     Query("e18_growth_accounting", q_e18_growth_accounting, SQL_E18,

@@ -2919,7 +2919,89 @@ GROUP BY 1, 2
 """
 
 
+_PK_SPEC: list[tuple[str, tuple[str, ...]]] = [
+    ("region", ("r_regionkey",)),
+    ("nation", ("n_nationkey",)),
+    ("customer", ("c_custkey",)),
+    ("supplier", ("s_suppkey",)),
+    ("part", ("p_partkey",)),
+    ("orders", ("o_orderkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("events", ("event_id",)),
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+]
+
+
+def q_q15_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-star primary-key uniqueness audit: for every table, its
+    declared key (composite for lineitem), row count, distinct-key
+    count, duplicate-key groups, and excess rows — q1/q9 prove the FK
+    edges point somewhere; this proves the keys they point AT are
+    actually keys. The first gate any warehouse load runs: a dup key
+    silently double-counts every downstream join. (It earns its keep on
+    this very fixture: the synthetic generator draws l_linenumber at
+    random, so lineitem's textbook composite key is genuinely violated
+    — the audit reports it, pinned by the law test.)
+
+    Shape: one count-distinct aggregate per table (10 linear scans over
+    projection-pruned key columns only), union'd into a 10-row report —
+    no joins, no windows. All BIGINT; `is_unique` is the exact
+    n_rows == n_keys predicate.
+    """
+    parts = []
+    for table, keys in _PK_SPEC:
+        t = load(spark, sf_dir, table)
+        g = t.groupBy(*[F.col(k) for k in keys]).agg(
+            F.count("*").cast("bigint").alias("_n")
+        )
+        parts.append(
+            g.agg(
+                F.sum("_n").cast("bigint").alias("n_rows"),
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("dup_key_groups"),
+                F.sum(F.when(F.col("_n") > 1, F.col("_n") - 1).otherwise(0))
+                .cast("bigint")
+                .alias("excess_rows"),
+            ).select(
+                F.lit(table).alias("table_name"),
+                F.lit("+".join(keys)).alias("pk"),
+                "n_rows",
+                "n_keys",
+                "dup_key_groups",
+                "excess_rows",
+                (F.col("n_rows") == F.col("n_keys")).alias("is_unique"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _sql_q15() -> str:
+    blocks = []
+    for table, keys in _PK_SPEC:
+        kl = ", ".join(keys)
+        blocks.append(f"""
+    SELECT '{table}' AS table_name, '{"+".join(keys)}' AS pk,
+           CAST(SUM(_n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN _n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_key_groups,
+           CAST(SUM(CASE WHEN _n > 1 THEN _n - 1 ELSE 0 END) AS BIGINT)
+               AS excess_rows,
+           SUM(_n) = COUNT(*) AS is_unique
+    FROM (SELECT {kl}, CAST(COUNT(*) AS BIGINT) AS _n
+          FROM {table} GROUP BY {kl})""")
+    return "\nUNION ALL\n".join(blocks)
+
+
 QUERIES: list[Query] = [
+    Query("q15_pk_uniqueness", q_q15_pk_uniqueness, _sql_q15(),
+          "whole-star primary-key uniqueness audit"),
     Query("a32_abc_xyz", q_a32_abc_xyz, SQL_A32,
           "ABC×XYZ inventory planning matrix (value × demand variability)"),
     Query("ml14_pr_curve", q_ml14_pr_curve, SQL_ML14,

@@ -1029,3 +1029,80 @@ def test_a32_matrix_covers_all_parts_with_bruteforce_xyz(spark):
     for r in got:
         assert r.abc_class in "ABC" and r.xyz_class in "XYZ"
         assert want[(r.abc_class, r.xyz_class)] == r.n_parts
+
+
+def test_e19_acf_matches_pure_python_and_is_bounded(spark):
+    """The integer-ratio ACF must equal the textbook float formula
+    recomputed in pure Python from the same daily counts (to 1e-12),
+    lag-0 normalization must make |acf| <= 1 for every reported lag,
+    and pair counts must be exactly n_days - lag."""
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load_events
+
+    ev = load_events(spark, SF_DIR)
+    daily = {
+        r.d: r.x
+        for r in ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .collect()
+    }
+    d0, d1 = min(daily), max(daily)
+    xs = [daily.get(d, 0) for d in range(d0, d1 + 1)]
+    n = len(xs)
+    mu = sum(xs) / n
+    den = sum((x - mu) ** 2 for x in xs)
+    got = {
+        r.lag: r
+        for r in REGISTRY["e19_autocorrelation"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == {1, 2, 7, 14}
+    for lag, r in got.items():
+        assert r.n_days == n
+        assert r.n_pairs == n - lag
+        want = sum(
+            (xs[t] - mu) * (xs[t + lag] - mu) for t in range(n - lag)
+        ) / den
+        assert abs(r.acf - want) < 1e-12
+        assert abs(r.acf) <= 1.0 + 1e-12
+
+
+def test_q15_pk_audit_identities_and_direct_counts(spark):
+    """Per-table identities (n_keys + excess == n_rows, dup groups only
+    when excess exists) plus a direct recount of two representative
+    tables. The audit's value shows on this very fixture: the synthetic
+    generator draws l_linenumber at random, so lineitem's textbook
+    composite key (l_orderkey, l_linenumber) is genuinely VIOLATED —
+    the audit must report that, and every dimension key must hold."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load
+
+    rows = {
+        r.table_name: r
+        for r in REGISTRY["q15_pk_uniqueness"].spark(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    for r in rows.values():
+        assert r.n_keys + r.excess_rows == r.n_rows
+        assert (r.excess_rows > 0) == (r.dup_key_groups > 0)
+        assert r.is_unique == (r.n_rows == r.n_keys)
+        if r.table_name != "lineitem":
+            assert r.is_unique, r.table_name
+    # the one true violation the audit exists to catch
+    assert not rows["lineitem"].is_unique
+    assert rows["lineitem"].excess_rows > 0
+    li = load(spark, SF_DIR, "lineitem")
+    assert rows["lineitem"].n_rows == li.count()
+    assert (
+        rows["lineitem"].n_keys
+        == li.select("l_orderkey", "l_linenumber").distinct().count()
+    )
+    assert rows["orders"].n_rows == load(spark, SF_DIR, "orders").count()

@@ -218,6 +218,8 @@ TAIL = [
     "a32_abc_xyz",
     "e19_autocorrelation",
     "q15_pk_uniqueness",
+    "ml15_ols2",
+    "q16_sequence_gaps",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

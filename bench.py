@@ -220,6 +220,7 @@ TAIL = [
     "q15_pk_uniqueness",
     "ml15_ols2",
     "q16_sequence_gaps",
+    "u10_scd_compaction",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

@@ -550,7 +550,98 @@ FROM j WHERE r = 1
 """
 
 
+def q_u10_scd_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 timeline compaction — the warehouse maintenance op u4's
+    raw history eventually needs: a changelog-built dimension carries
+    one row per CHANGE EVENT even when the tracked attribute did not
+    actually change, so consecutive same-value rows collapse into one
+    validity interval (here: each user's event_type timeline — runs of
+    identical types become single [from, to) periods with the collapsed
+    row count kept for the compaction-ratio readout). r4's gaps-and-
+    islands idiom applied to value-run compression on a keyed timeline;
+    DW folklore calls this "merging contiguous SCD rows".
+
+    Shape: two keyed window passes (change flag via lag, run id via
+    running sum) + one groupBy + one more keyed window for the
+    [from, to) chaining — shuffle on user_id only, nothing global.
+    Exactness: timestamps leave as unix-micros BIGINTs (raw timestamp
+    columns canonicalize differently across drivers); the (ts,
+    event_id) order is a unique total order so run boundaries are
+    engine-identical.
+    """
+    from .base import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "_chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.col("event_type") != F.lag("event_type").over(w)),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_run",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = flagged.groupBy("user_id", "_run").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("us").cast("bigint").alias("effective_from_us"),
+        F.count("*").cast("bigint").alias("n_collapsed"),
+    )
+    w_runs = Window.partitionBy("user_id").orderBy("effective_from_us")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "effective_from_us",
+        F.lead("effective_from_us").over(w_runs).alias("effective_to_us"),
+        "n_collapsed",
+    )
+
+
+SQL_U10 = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN LAG(event_type) OVER w IS NULL
+                     OR event_type <> LAG(event_type) OVER w
+                THEN 1 ELSE 0 END AS chg
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+runs_id AS (
+    SELECT *,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+    FROM flagged
+),
+runs AS (
+    SELECT user_id, run,
+           MIN(event_type) AS event_type,
+           CAST(MIN(us) AS BIGINT) AS effective_from_us,
+           CAST(COUNT(*) AS BIGINT) AS n_collapsed
+    FROM runs_id GROUP BY 1, 2
+)
+SELECT user_id, event_type, effective_from_us,
+       LEAD(effective_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY effective_from_us)
+           AS effective_to_us,
+       n_collapsed
+FROM runs
+"""
+
+
 QUERIES: list[Query] = [
+    Query("u10_scd_compaction", q_u10_scd_compaction, SQL_U10,
+          "SCD-2 timeline compaction (collapse same-value runs)"),
     Query("u9_bitemporal_lookup", q_u9_bitemporal_lookup, SQL_U9,
           "bitemporal (transaction × valid time) state lookup grid"),
     Query("u1_scd1_merge", q_u1_scd1_merge, SQL_U1, "SCD-1 MERGE upsert"),

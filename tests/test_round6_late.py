@@ -1172,3 +1172,27 @@ def test_q16_gap_report_on_constructed_gapped_sequence(spark):
     assert (g.n_gaps == 0) == (g.missing == 0)
     assert g.max_gap <= g.gap_total
     assert g.n_rows == g.max_id - g.min_id + 1 - g.missing
+
+
+def test_u10_compaction_conserves_events_and_never_adjacent_equal(spark):
+    """Compaction laws: collapsed counts sum to the raw event count;
+    within a user's compacted timeline no two ADJACENT periods carry
+    the same event_type (else compaction is incomplete); periods chain
+    ([from, to) with to == next from, final to NULL); and the corpus
+    must actually compact (some run with n_collapsed > 1)."""
+    from etl_power_bi_dashboard_spark.plans import REGISTRY
+    from etl_power_bi_dashboard_spark.plans.base import load_events
+
+    rows = REGISTRY["u10_scd_compaction"].spark(spark, SF_DIR).collect()
+    n_events = load_events(spark, SF_DIR).count()
+    assert sum(r.n_collapsed for r in rows) == n_events
+    assert any(r.n_collapsed > 1 for r in rows)
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    for timeline in per_user.values():
+        timeline.sort(key=lambda r: r.effective_from_us)
+        for a, b in zip(timeline, timeline[1:]):
+            assert a.event_type != b.event_type
+            assert a.effective_to_us == b.effective_from_us
+        assert timeline[-1].effective_to_us is None

@@ -221,6 +221,7 @@ TAIL = [
     "ml15_ols2",
     "q16_sequence_gaps",
     "u10_scd_compaction",
+    "r16_pairwise_overlap",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

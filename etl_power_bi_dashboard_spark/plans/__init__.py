@@ -181,7 +181,7 @@ _PRIORITY = [
     # ml12_score_bias_auc, p16_lang_cap_sample, d16_containment_pairs,
     # ml13_gain_lift, ml14_pr_curve, a32_abc_xyz, e19_autocorrelation,
     # q15_pk_uniqueness, ml15_ols2, q16_sequence_gaps,
-    # u10_scd_compaction —
+    # u10_scd_compaction, r16_pairwise_overlap —
     # each validated at sf0.001 + sf0.01 via driver_sim, no driver row
     # yet).
     # Round-7 must front the no-row entries (recompute from
@@ -189,7 +189,7 @@ _PRIORITY = [
     # sc6, v7, r12, a23, a24, e14, q12, ml9, v8, x26, x27, a25, a26,
     # a27, ml10, r13, e15, x28, x29, m7, x30, a28, v9, e16, q13,
     # e17, d17, p15, x31, e18, ml11, r14, u9, q14, a31, m8, r15, sc7,
-    # ml12, p16, d16, ml13, ml14, a32, e19, q15, ml15, q16, u10)
+    # ml12, p16, d16, ml13, ml14, a32, e19, q15, ml15, q16, u10, r16)
     # then the
     # displaced q2-q4/q1/t1, then the
     # never-re-checked r3 cohort (f3-f6, f15, t2, h12/h13/h16/h19,

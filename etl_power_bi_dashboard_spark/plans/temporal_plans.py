@@ -1029,7 +1029,140 @@ FROM grp GROUP BY 1
 """
 
 
+def q_r16_pairwise_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise session-overlap statistics WITHOUT the quadratic pair
+    join: per day, how many session PAIRS overlap and for how long in
+    total — the contention/co-presence readout (ad co-viewership,
+    support-queue collision, lock contention all reduce to it). The
+    naive formulation joins every same-day session pair (Θ(k²) rows);
+    this plan derives both statistics from the sweep-line step function
+    C(t) (r10's concurrency machinery, upgraded from max to moments):
+    total pairwise overlap = ∫ C(C−1)/2 dt, and each session's start
+    contributes (C_after − 1) newly-overlapping pairs — both LINEAR in
+    boundary events. The oracle IS the quadratic join, so the driver
+    hash gate is the identity proof ∫C(C−1)/2 = Σ_pairs overlap.
+
+    Exactness and determinism: boundaries sort by (t, delta, sid) with
+    ends (−1) before starts (+1) at equal instants, so a session ending
+    exactly when another starts is NOT an overlapping pair (zero
+    measure), and simultaneous starts pair exactly once (at the later
+    sid). Zero-length sessions are excluded up front (they overlap
+    nothing positively). All arithmetic is µs-BIGINT; C(C−1) is even so
+    DIV 2 is exact; the /1e6 is terminal. Sweep windows are keyed by
+    day (sessions never span days), the natural time-partition — at
+    100 TB you'd sub-bucket the day axis exactly like sc5.
+    """
+    ev = load_events(spark, sf_dir)
+    s = (
+        ev.groupBy(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("day_ep"),
+        )
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_us"),
+            F.max(F.unix_micros("ts")).alias("e_us"),
+        )
+        .filter(F.col("e_us") > F.col("s_us"))
+    )
+    starts = s.select(
+        "day_ep",
+        F.col("s_us").alias("t"),
+        F.lit(1).cast("int").alias("delta"),
+        F.col("user_id").alias("sid"),
+    )
+    ends = s.select(
+        "day_ep",
+        F.col("e_us").alias("t"),
+        F.lit(-1).cast("int").alias("delta"),
+        F.col("user_id").alias("sid"),
+    )
+    b = starts.unionByName(ends)
+    w = Window.partitionBy("day_ep").orderBy("t", "delta", "sid")
+    swept = b.withColumn(
+        "c_after",
+        F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("nxt_t", F.lead("t").over(w))
+    return swept.groupBy("day_ep").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sessions"),
+        F.sum(
+            F.when(F.col("delta") == 1, F.col("c_after") - 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_overlapping_pairs"),
+        (
+            F.sum(
+                F.when(
+                    F.col("nxt_t").isNotNull(),
+                    (F.col("nxt_t") - F.col("t"))
+                    * F.expr("CAST(c_after * (c_after - 1) DIV 2 AS BIGINT)"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("pair_overlap_sec"),
+        F.max("c_after").cast("bigint").alias("peak_concurrency"),
+    )
+
+
+SQL_R16 = """
+WITH s AS (
+    SELECT user_id,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_ep,
+           MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+    FROM events GROUP BY 1, 2
+    HAVING MAX(epoch_us(ts)) > MIN(epoch_us(ts))
+),
+p AS (
+    SELECT a.day_ep,
+           GREATEST(CAST(0 AS BIGINT),
+                    LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us)) AS ov
+    FROM s a JOIN s b ON a.day_ep = b.day_ep AND a.user_id < b.user_id
+),
+pairs AS (
+    SELECT day_ep,
+           CAST(SUM(CASE WHEN ov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlapping_pairs,
+           CAST(CAST(SUM(ov) AS BIGINT) AS DOUBLE) / 1e6
+               AS pair_overlap_sec
+    FROM p GROUP BY 1
+),
+bounds AS (
+    SELECT day_ep, s_us AS t, 1 AS delta FROM s
+    UNION ALL
+    SELECT day_ep, e_us, -1 FROM s
+),
+sweep AS (
+    SELECT day_ep,
+           SUM(delta) OVER (PARTITION BY day_ep ORDER BY t, delta
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS c
+    FROM bounds
+),
+peaks AS (
+    SELECT day_ep, CAST(MAX(c) AS BIGINT) AS peak_concurrency
+    FROM sweep GROUP BY 1
+),
+ns AS (
+    SELECT day_ep, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM s GROUP BY 1
+)
+SELECT ns.day_ep, ns.n_sessions,
+       COALESCE(pairs.n_overlapping_pairs, 0) AS n_overlapping_pairs,
+       COALESCE(pairs.pair_overlap_sec, 0.0) AS pair_overlap_sec,
+       peaks.peak_concurrency
+FROM ns
+JOIN peaks USING (day_ep)
+LEFT JOIN pairs USING (day_ep)
+"""
+
+
 QUERIES: list[Query] = [
+    Query("r16_pairwise_overlap", q_r16_pairwise_overlap, SQL_R16,
+          "pairwise session-overlap stats via linear sweep (≡ quadratic join)"),
     Query("r15_interval_coalesce", q_r15_interval_coalesce, SQL_R15,
           "per-customer busy-period interval coalescing (temporal COALESCE)"),
     Query("r14_peak_window_overlap", q_r14_peak_window_overlap, SQL_R14,

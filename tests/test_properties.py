@@ -436,3 +436,65 @@ def test_bucketed_rank_equals_global_rank(spark, rows):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 30)),
+        min_size=1,
+        max_size=14,
+    )
+)
+@_settings
+def test_interval_coalesce_law(spark, ivs):
+    """coalesce_intervals ≡ the textbook sequential merge on arbitrary
+    closed integer intervals: same periods, same fold counts, and the
+    output is always disjoint with gaps > 0 between periods."""
+    from etl_power_bi_dashboard_spark.operators.temporal import (
+        coalesce_intervals,
+    )
+
+    rows = [(1, i, s, s + ln) for i, (s, ln) in enumerate(ivs)]
+    df = spark.createDataFrame(rows, "k long, oid long, s long, e long")
+    got = sorted(
+        (r.period_start, r.period_end, r.n_intervals)
+        for r in coalesce_intervals(
+            df, key="k", s="s", e="e", order="oid"
+        ).collect()
+    )
+    want = []
+    for s, e in sorted((s, s + ln) for s, ln in ivs):
+        if want and s <= want[-1][1]:
+            want[-1][1] = max(want[-1][1], e)
+            want[-1][2] += 1
+        else:
+            want.append([s, e, 1])
+    assert got == [tuple(w) for w in want]
+    for (a_s, a_e, _), (b_s, b_e, _) in zip(got, got[1:]):
+        assert a_e < b_s - 0  # disjoint
+        assert b_s > a_e + 1 - 1  # strictly beyond touch
+
+
+@given(
+    ids=st.sets(st.integers(0, 200), min_size=1, max_size=40),
+    width=st.sampled_from([1, 3, 8, 64]),
+)
+@_settings
+def test_sequence_gap_report_law(spark, ids, width):
+    """The bucketed gap report ≡ direct enumeration for any id set and
+    any bucket width (seams included), and missing == gap_total."""
+    from etl_power_bi_dashboard_spark.operators.quality import (
+        sequence_gap_report,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    r = sequence_gap_report(df, id_col="id", bucket_width=width).collect()[0]
+    srt = sorted(ids)
+    gaps = [
+        b - a - 1 for a, b in zip(srt, srt[1:]) if b > a + 1
+    ]
+    assert (r.min_id, r.max_id, r.n_rows) == (srt[0], srt[-1], len(srt))
+    assert r.n_gaps == len(gaps)
+    assert r.max_gap == (max(gaps) if gaps else 0)
+    assert r.gap_total == sum(gaps)
+    assert r.missing == r.gap_total == srt[-1] - srt[0] + 1 - len(srt)

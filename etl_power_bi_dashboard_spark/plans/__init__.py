@@ -189,9 +189,11 @@ _PRIORITY = [
     # sc6, v7, r12, a23, a24, e14, q12, ml9, v8, x26, x27, a25, a26,
     # a27, ml10, r13, e15, x28, x29, m7, x30, a28, v9, e16, q13,
     # e17, d17, p15, x31, e18, ml11, r14, u9, q14, a31, m8, r15, sc7,
-    # ml12, p16, d16, ml13, ml14, a32, e19, q15, ml15, q16, u10, r16)
-    # then the
-    # displaced q2-q4/q1/t1, then the
+    # ml12, p16, d16, ml13, ml14, a32, e19, q15, ml15, q16, u10, r16).
+    # NOTE: that no-row set is 56 entries — MORE than one 50-slot
+    # window. Round 7 fronts the FIRST 50 of them (module order after
+    # recompute) and rounds 8+ pick up the remainder plus the
+    # displaced q2-q4/q1/t1 and the
     # never-re-checked r3 cohort (f3-f6, f15, t2, h12/h13/h16/h19,
     # d1b, x5, a13/a14, ml1, ax1-ax3) ---------------------------------
 ]

@@ -17,7 +17,7 @@ extension. Design notes for scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -731,6 +731,120 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def gap_monitor_sink(
+    stream_df: DataFrame,
+    state_path: str,
+    report_path: str,
+    checkpoint_path: str,
+    id_col: str = "event_id",
+    bucket_width: int = 1024,
+):
+    """Streaming id-contiguity monitor — the streaming twin of the q16
+    batch audit (``operators/quality.sequence_gap_report``): every
+    micro-batch folds its ids into a per-bucket (lo, hi, cnt) state
+    table and republishes a one-row drop report (min/max id, rows seen,
+    MISSING id count, seam-gap count/max between non-empty buckets).
+
+    Why this state shape: with unique ids, ``missing`` is EXACTLY
+    derivable from bucket summaries alone — per-bucket missing =
+    (hi − lo + 1 − cnt), plus the seam gaps between consecutive
+    non-empty buckets — so state is bounded by #buckets (id_space /
+    width) regardless of stream volume: no raw-id retention, no
+    unbounded watermark state. (Within-bucket gap-RUN counts are the
+    one thing summaries cannot give; the batch q16 reports those on
+    demand.) State and report both publish through the stage-then-swap
+    protocol (``_republish``), so a crash at any instant leaves a
+    complete copy. Because cnt is ADDITIVE, a naively re-merged replay
+    would double-count, so replay safety is an explicit epoch guard:
+    the state carries ``last_epoch`` and a batch with epoch_id ≤
+    last_epoch skips the fold entirely (the checkpoint replays exactly
+    the failed batch, never an earlier one — test-pinned).
+    """
+    stage_state = state_path + "__stage"
+    stage_report = report_path + "__stage"
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        summary = (
+            batch_df.select(F.col(id_col).cast("long").alias("id"))
+            .withColumn("_b", F.expr(f"id DIV {bucket_width}"))
+            .groupBy("_b")
+            .agg(
+                F.min("id").alias("lo"),
+                F.max("id").alias("hi"),
+                F.count("*").cast("long").alias("cnt"),
+            )
+            .withColumn("last_epoch", F.lit(epoch_id).cast("long"))
+        )
+        current = _read_current_or_recover(spark, state_path, stage_state)
+        if current is not None:
+            seen = current.agg(F.max("last_epoch")).first()[0]
+            if seen is not None and epoch_id <= seen:
+                return  # checkpoint replay of an already-folded batch
+            merged = (
+                current.unionByName(summary)
+                .groupBy("_b")
+                .agg(
+                    F.min("lo").alias("lo"),
+                    F.max("hi").alias("hi"),
+                    F.sum("cnt").cast("long").alias("cnt"),
+                    F.max("last_epoch").alias("last_epoch"),
+                )
+            )
+        else:
+            merged = summary
+        # materialize before the swap overwrites what `current` reads
+        merged = spark.createDataFrame(merged.collect(), merged.schema)
+        _republish(merged, state_path, stage_state)
+        _mark_complete(spark, state_path)
+
+        state = spark.read.parquet(state_path)
+        w = Window.orderBy("_b")
+        seams = (
+            state.withColumn("_prev_hi", F.lag("hi").over(w))
+            .filter(F.col("lo") > F.col("_prev_hi") + 1)
+            .agg(
+                F.count("*").cast("long").alias("seam_gaps"),
+                F.coalesce(
+                    F.max(F.col("lo") - F.col("_prev_hi") - 1), F.lit(0)
+                )
+                .cast("long")
+                .alias("max_seam_gap"),
+            )
+        )
+        tot = state.agg(
+            F.min("lo").alias("min_id"),
+            F.max("hi").alias("max_id"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum(F.col("hi") - F.col("lo") + 1 - F.col("cnt"))
+            .cast("long")
+            .alias("in_bucket_missing"),
+            F.max("last_epoch").alias("as_of_epoch"),
+        )
+        report = tot.crossJoin(seams).select(
+            "min_id",
+            "max_id",
+            "n_rows",
+            (
+                F.col("max_id") - F.col("min_id") + 1 - F.col("n_rows")
+            ).alias("missing"),
+            "in_bucket_missing",
+            "seam_gaps",
+            "max_seam_gap",
+            "as_of_epoch",
+        )
+        report = spark.createDataFrame(report.collect(), report.schema)
+        _republish(report, report_path, stage_report)
+        _mark_complete(spark, report_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
     )

@@ -792,3 +792,67 @@ def test_watermark_drops_match_e16_diagnostic(spark, tmp_path):
     )
     assert late.n == 1
     assert late.mx == 113 * 60 * 1_000_000
+
+
+def test_gap_monitor_sink_matches_batch_audit_and_guards_replay(
+    spark, tmp_path
+):
+    """Drain a deliberately GAPPED id stream (every 7th id dropped, one
+    large hole) through the gap monitor; the published report must
+    agree with a direct recount (missing == true missing, in-bucket +
+    seam decomposition consistent), state must stay bounded by
+    #buckets, and re-invoking the merge with an already-folded epoch id
+    must be a no-op (the additive-cnt replay guard)."""
+    src = str(tmp_path / "ids_src")
+    state = str(tmp_path / "gap_state")
+    report = str(tmp_path / "gap_report")
+    ckpt = str(tmp_path / "gap_ckpt")
+    ids = [i for i in range(0, 5000) if i % 7 != 0 and not 1000 <= i < 1500]
+    spark.createDataFrame(
+        [(i,) for i in ids], "event_id long"
+    ).repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("event_id long").parquet(src)
+    q = se.gap_monitor_sink(
+        stream, state, report, ckpt, id_col="event_id", bucket_width=256
+    )
+    _drain(q)
+    rep = spark.read.parquet(report).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    srt = sorted(ids)
+    true_missing = srt[-1] - srt[0] + 1 - len(srt)
+    assert (r.min_id, r.max_id, r.n_rows) == (srt[0], srt[-1], len(srt))
+    assert r.missing == true_missing
+    assert r.in_bucket_missing + _seam_total(spark, state) == true_missing
+    st = spark.read.parquet(state)
+    assert st.count() <= (srt[-1] // 256) + 1  # bounded by #buckets
+
+    # replay guard: cnt is additive, so re-folding an already-seen epoch
+    # must be a no-op. A FRESH checkpoint over the same input restarts
+    # epoch numbering at 0 <= last_epoch — exactly the replay case.
+    before = sorted(map(tuple, st.collect()))
+    seen = st.agg(F.max("last_epoch")).first()[0]
+    assert seen is not None and seen >= 0
+    q2 = se.gap_monitor_sink(
+        spark.readStream.schema("event_id long").parquet(src),
+        state, report, str(tmp_path / "gap_ckpt2"),
+        id_col="event_id", bucket_width=256,
+    )
+    _drain(q2)
+    after = spark.read.parquet(state)
+    # fresh checkpoint => epoch restarts at 0 <= last_epoch => skip
+    assert sorted(map(tuple, after.collect())) == before
+
+
+def _seam_total(spark, state_path):
+    from pyspark.sql import Window
+
+    st = spark.read.parquet(state_path)
+    w = Window.orderBy("_b")
+    rows = (
+        st.withColumn("_prev_hi", F.lag("hi").over(w))
+        .filter(F.col("lo") > F.col("_prev_hi") + 1)
+        .agg(F.sum(F.col("lo") - F.col("_prev_hi") - 1))
+        .first()[0]
+    )
+    return int(rows or 0)

@@ -32,6 +32,16 @@ ratio with zero repo changes in between, so the drift is host-level
 (co-tenant CPU), not a plan regression. Read r6-vs-r5 trends as
 within-run ratios, not absolute seconds.
 
+ROUND-7 METHODOLOGY CHANGE: d6's connected-components labels are
+materialized ONCE per bench process (localCheckpoint, untimed — d6's
+own row prices that computation) and d15/p15 are timed as the DELTA
+over the shared labels, the way a production pipeline runs them
+(VERDICT r6 "What's wrong #1": the round-6 bench paid the same CC
+fixpoint three times, ~37s of 226s wall). Registry entries remain
+standalone (labels=None recomputes) — the driver's correctness rows
+still price the full dependency; equivalence of the two paths is
+pinned by tests/test_dedup.py::test_d6_dependents_shared_labels_equivalence.
+
 ROUND-6 METHODOLOGY CHANGES: (1) the LAST stdout line is now a compact
 JSON record without the per-query dict — round 5's 76-query detail line
 outgrew the driver's ~2KB tail capture and the round recorded no parsed
@@ -238,7 +248,6 @@ FRESH_SESSION_TAIL = [
     "d2_ngram_jaccard_full",
     "d3_minhash_lsh_full",
     "d3_minhash_lsh_fast",
-    "d6_dup_clusters",
     "ml1_kmeans",
     "ml2_pagerank",
     # ml3 moved here in round 6: at ~12s it is the slowest tail and, as
@@ -250,16 +259,26 @@ FRESH_SESSION_TAIL = [
     # the cost is the workload, so the methodology absorbs host noise
     # rather than the plan being re-litigated each round.
     "ml3_triangle_count",
-    # d15/p15 re-run the full d6 cluster build (plus the keep-policy
-    # rank / split hash), so they belong with d6 in the clean-session
-    # cohort. Deliberately NO cross-query label caching: each row is the
-    # standalone cost including the CC dependency — a best-of-N rep
-    # hitting a warm cache would report the cache, not the engine (a
-    # production pipeline materializes the labels table once instead;
-    # see SCALE.md on p15).
+    # d6 + its dependents run LAST, in ONE fresh session (round-7
+    # methodology change, per the round-6 verdict): d6's row is the
+    # standalone connected-components cost as before, then the labels
+    # table is materialized ONCE (localCheckpoint, untimed — it is the
+    # stage d6's row just priced) and d15/p15 are timed as the DELTA
+    # over those labels (keep-policy rank window / split hash + join),
+    # exactly how a production pipeline runs them: the fixpoint is paid
+    # once, not three times. Round 6 timed d15/p15 standalone instead
+    # (11.3+12.3+13.4s ≈ 37s of 226s wall re-paying the same fixpoint);
+    # the registry entries stay standalone for the driver (labels=None
+    # default recomputes).
+    "d6_dup_clusters",
     "d15_keep_longest",
     "p15_leakage_safe_split",
 ]
+
+# Members of FRESH_SESSION_TAIL that consume d6's materialized labels
+# instead of restarting the session: they run right after d6 in its
+# clean session, timed as delta-over-labels.
+_D6_DEPENDENTS = {"d15_keep_longest", "p15_leakage_safe_split"}
 
 _IVF_INDEX_PATH = "/tmp/spark_graft_bench_ivf_index"
 
@@ -371,7 +390,22 @@ def main() -> None:
     # two same-day round-5 runs read the identical d3/d6 plans at 8.1s
     # and 17.0s under host co-tenancy, so these six rows get the same
     # third rep the HEADLINE min already relies on.
+    d6_labels = None
     for name in FRESH_SESSION_TAIL:
+        if name in _D6_DEPENDENTS:
+            # stay in d6's clean session; time the delta over the
+            # labels materialized below
+            plan = REGISTRY[name].spark
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                plan(spark, sf_dir, labels=d6_labels).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            continue
         spark.stop()
         spark = get_spark(app_name=f"bench-{name}")
         spark.sparkContext.setLogLevel("ERROR")
@@ -383,6 +417,10 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        if name == "d6_dup_clusters":
+            # materialize the labels ONCE (untimed — d6's row just
+            # priced this computation) for the dependent rows
+            d6_labels = plan(spark, sf_dir).localCheckpoint()
 
     for line in emit_records(timings, sf, write_detail=True):
         print(line)

@@ -532,7 +532,9 @@ SELECT node AS doc_id, MIN(label) AS cluster FROM cc GROUP BY node
 """
 
 
-def q_d7_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_d7_cluster_representatives(
+    spark: SparkSession, sf_dir: str, labels: DataFrame | None = None
+) -> DataFrame:
     """The keep-list a dedup pipeline actually emits: one representative
     per duplicate cluster (the min-doc_id canonical member, which IS the
     cluster label) with the cluster's member count — downstream training
@@ -540,8 +542,14 @@ def q_d7_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One extra tiny aggregation over d6's (doc_id, cluster) labels; the
     label itself is the representative, so no join back to pick it.
+
+    ``labels``: optionally pass d6's (doc_id, cluster) table already
+    materialized (cache/localCheckpoint) so a pipeline running several
+    d6-derived outputs pays the connected-components fixpoint ONCE.
+    Default None recomputes it, keeping the registry entry standalone.
     """
-    labels = q_d6_dup_clusters(spark, sf_dir)
+    if labels is None:
+        labels = q_d6_dup_clusters(spark, sf_dir)
     return labels.groupBy(F.col("cluster").alias("representative_doc")).agg(
         F.count("*").alias("cluster_size")
     )
@@ -842,7 +850,9 @@ WHERE levenshtein(a.title, b.title) <= 5
 """
 
 
-def q_d15_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_d15_keep_longest(
+    spark: SparkSession, sf_dir: str, labels: DataFrame | None = None
+) -> DataFrame:
     """The kept/dropped materialization a dedup pipeline actually
     applies downstream — d6's clusters resolved under the KEEP-LONGEST
     policy (content-richest member survives; d7's min-id representative
@@ -855,10 +865,16 @@ def q_d15_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_chars) and a per-cluster rank window — clusters are tiny
     (≤ corpus duplicate-group size), so the window partitions are
     bounded and parallel.
+
+    ``labels``: optionally pass d6's (doc_id, cluster) table already
+    materialized (cache/localCheckpoint) so a pipeline running several
+    d6-derived outputs pays the connected-components fixpoint ONCE.
+    Default None recomputes it, keeping the registry entry standalone.
     """
     from pyspark.sql import Window
 
-    labels = q_d6_dup_clusters(spark, sf_dir)
+    if labels is None:
+        labels = q_d6_dup_clusters(spark, sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     w = Window.partitionBy("cluster").orderBy(
         F.desc("n_chars"), F.asc("doc_id")

@@ -543,7 +543,9 @@ GROUP BY 1
 """
 
 
-def q_p15_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_p15_leakage_safe_split(
+    spark: SparkSession, sf_dir: str, labels: DataFrame | None = None
+) -> DataFrame:
     """Leakage-safe train/val/test split: p8's content-hash assignment,
     but keyed on each document's DUPLICATE-CLUSTER REPRESENTATIVE's text
     (d6's min-doc_id member), so near-duplicates can never straddle the
@@ -557,10 +559,16 @@ def q_p15_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan cost over d6: one join back to the representative's text
     (cluster IS the representative doc_id) + the p8 bucket arithmetic
     (md5 prefix mod 100 — engine-portable, content-deterministic).
+
+    ``labels``: optionally pass d6's (doc_id, cluster) table already
+    materialized (cache/localCheckpoint) so a pipeline running several
+    d6-derived outputs pays the connected-components fixpoint ONCE.
+    Default None recomputes it, keeping the registry entry standalone.
     """
     from .dedup_plans import q_d6_dup_clusters
 
-    labels = q_d6_dup_clusters(spark, sf_dir)
+    if labels is None:
+        labels = q_d6_dup_clusters(spark, sf_dir)
     rep_text = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("cluster"), F.col("text").alias("rep_text")
     )

@@ -225,3 +225,26 @@ def test_prefix_postings_bound_and_coverage(spark):
         expect_p = n - math.ceil(19 * n / 20) + 1
         assert len(got[doc_id]) == expect_p, (doc_id, got[doc_id])
     assert got[0] == got[1]  # identical docs -> identical prefixes
+
+
+def test_d6_dependents_shared_labels_equivalence(spark):
+    """bench.py materializes d6's (doc_id, cluster) labels once
+    (localCheckpoint) and feeds them to d15/p15/d7 via the ``labels``
+    kwarg so the connected-components fixpoint is paid once per
+    pipeline. The shared-labels path must be bit-identical to the
+    standalone recompute path the driver verifies."""
+    from etl_power_bi_dashboard_spark.plans.dedup_plans import (
+        q_d6_dup_clusters,
+        q_d7_cluster_representatives,
+        q_d15_keep_longest,
+    )
+    from etl_power_bi_dashboard_spark.plans.windows_more import (
+        q_p15_leakage_safe_split,
+    )
+
+    labels = q_d6_dup_clusters(spark, SF_DIR).localCheckpoint()
+    for fn in (q_d7_cluster_representatives, q_d15_keep_longest,
+               q_p15_leakage_safe_split):
+        standalone = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+        shared = {tuple(r) for r in fn(spark, SF_DIR, labels=labels).collect()}
+        assert shared == standalone and len(standalone) > 0, fn.__name__

@@ -736,6 +736,176 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
     )
 
 
+# Epoch-id stride between logical gap-monitor runs (mirrors
+# streaming/index._RUN_STRIDE): absolute epoch = run_base + batch_id.
+_GAP_RUN_STRIDE = 1_000_000
+
+
+def _monitor_run_base(
+    spark: SparkSession, state_path: str, stage_state: str,
+    checkpoint_path: str,
+) -> int:
+    """Checkpoint-scoped run base for the gap monitor's replay guard.
+
+    Spark ``epoch_id`` is CHECKPOINT-LOCAL (a fresh checkpoint restarts
+    at 0), so comparing raw epoch ids against the state's stored
+    ``last_epoch`` mis-scopes the guard: a monitor restarted with a NEW
+    checkpoint against an EXISTING state (checkpoint loss, redeploy)
+    would silently skip every batch whose epoch_id <= the old run's
+    last_epoch — dropping new ids from the report. Same hazard, same
+    fix as ``streaming/index._run_base`` and the JDBC sink's run_id
+    ledger: key run identity off the CHECKPOINT.
+
+    - resume (same checkpoint): the ``gap_run_base_<base>`` marker in
+      the checkpoint dir is re-read, so replayed batches keep their
+      absolute epoch and the additive fold stays exactly-once;
+    - fresh checkpoint: claim the next free ``_GAP_RUN_STRIDE`` multiple
+      above everything the state has seen, via a create-exclusive
+      ``_runbase_<base>`` sentinel in a SIBLING ``__runs`` dir (the
+      state dir itself is wiped by every stage-then-swap republish, so
+      sentinels cannot live inside it); two racing fresh runs take
+      different strides. New-run batches then carry strictly larger
+      absolute epochs than anything in state, so they FOLD instead of
+      being dropped. (A fresh run re-reading input the state already
+      folded will double-count — with additive cnt that is inherent;
+      reset ``state_path`` when reprocessing a source from scratch.)
+
+    All filesystem traffic uses the Hadoop FileSystem API so the
+    protocol holds on HDFS/object stores, not just the driver's disk.
+    """
+    jvm = spark._jvm
+
+    def _p(path: str):
+        return jvm.org.apache.hadoop.fs.Path(path)
+
+    conf = spark._jsc.hadoopConfiguration()
+    cfs = _p(checkpoint_path).getFileSystem(conf)
+    if cfs.exists(_p(checkpoint_path)):
+        for st in cfs.listStatus(_p(checkpoint_path)):
+            name = st.getPath().getName()
+            if name.startswith("gap_run_base_"):
+                return int(name.rsplit("_", 1)[1])
+    existing = -1
+    current = _read_current_or_recover(spark, state_path, stage_state)
+    if current is not None:
+        seen = current.agg(F.max("last_epoch")).first()[0]
+        if seen is not None:
+            existing = int(seen) // _GAP_RUN_STRIDE * _GAP_RUN_STRIDE
+    runs_dir = state_path + "__runs"
+    rfs = _p(runs_dir).getFileSystem(conf)
+    rfs.mkdirs(_p(runs_dir))
+    base = existing + _GAP_RUN_STRIDE if existing >= 0 else 0
+    while not rfs.createNewFile(_p(f"{runs_dir}/_runbase_{base}")):
+        base += _GAP_RUN_STRIDE
+    cfs.mkdirs(_p(checkpoint_path))
+    cfs.createNewFile(_p(f"{checkpoint_path}/gap_run_base_{base}"))
+    return base
+
+
+def _gap_state_merge(
+    batch_df: DataFrame,
+    abs_epoch: int,
+    state_path: str,
+    report_path: str,
+    id_col: str,
+    bucket_width: int,
+) -> None:
+    """One gap-monitor fold at ABSOLUTE epoch ``abs_epoch`` (run base +
+    checkpoint-local batch id — see ``_monitor_run_base``). Split out of
+    the sink so the replay guard is directly testable.
+
+    Replay (abs_epoch <= state's last_epoch) skips the ADDITIVE fold —
+    re-merging would double cnt — but still FALLS THROUGH to rebuild and
+    republish the report from the already-published state: a crash
+    between the state publish and the report publish would otherwise
+    leave the report stale forever (or missing entirely if the crash hit
+    batch 0), despite the state being complete.
+    """
+    spark = batch_df.sparkSession
+    stage_state = state_path + "__stage"
+    stage_report = report_path + "__stage"
+    current = _read_current_or_recover(spark, state_path, stage_state)
+    seen = (
+        current.agg(F.max("last_epoch")).first()[0]
+        if current is not None
+        else None
+    )
+    if current is not None and seen is not None and abs_epoch <= seen:
+        state = current  # replay: fold nothing, republish report below
+    else:
+        summary = (
+            batch_df.select(F.col(id_col).cast("long").alias("id"))
+            .withColumn("_b", F.expr(f"id DIV {bucket_width}"))
+            .groupBy("_b")
+            .agg(
+                F.min("id").alias("lo"),
+                F.max("id").alias("hi"),
+                F.count("*").cast("long").alias("cnt"),
+            )
+            .withColumn("last_epoch", F.lit(abs_epoch).cast("long"))
+        )
+        if current is not None:
+            merged = (
+                current.unionByName(summary)
+                .groupBy("_b")
+                .agg(
+                    F.min("lo").alias("lo"),
+                    F.max("hi").alias("hi"),
+                    F.sum("cnt").cast("long").alias("cnt"),
+                    F.max("last_epoch").alias("last_epoch"),
+                )
+            )
+        else:
+            merged = summary
+        # pin the merge to executor blocks before the swap overwrites
+        # what `current`'s lineage may read (stage_state, on the
+        # recovery path) — executor-side, no driver round-trip
+        merged = merged.localCheckpoint()
+        _republish(merged, state_path, stage_state)
+        _mark_complete(spark, state_path)
+        state = spark.read.parquet(state_path)
+
+    w = Window.orderBy("_b")
+    seams = (
+        state.withColumn("_prev_hi", F.lag("hi").over(w))
+        .filter(F.col("lo") > F.col("_prev_hi") + 1)
+        .agg(
+            F.count("*").cast("long").alias("seam_gaps"),
+            F.coalesce(
+                F.max(F.col("lo") - F.col("_prev_hi") - 1), F.lit(0)
+            )
+            .cast("long")
+            .alias("max_seam_gap"),
+        )
+    )
+    tot = state.agg(
+        F.min("lo").alias("min_id"),
+        F.max("hi").alias("max_id"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(F.col("hi") - F.col("lo") + 1 - F.col("cnt"))
+        .cast("long")
+        .alias("in_bucket_missing"),
+        F.max("last_epoch").alias("as_of_epoch"),
+    )
+    report = tot.crossJoin(seams).select(
+        "min_id",
+        "max_id",
+        "n_rows",
+        (
+            F.col("max_id") - F.col("min_id") + 1 - F.col("n_rows")
+        ).alias("missing"),
+        "in_bucket_missing",
+        "seam_gaps",
+        "max_seam_gap",
+        "as_of_epoch",
+    )
+    # report's lineage reads state_path only; the stage-then-swap on
+    # report_path never overwrites what it reads, so no materialization
+    # (driver round-trip or otherwise) is needed here
+    _republish(report, report_path, stage_report)
+    _mark_complete(spark, report_path)
+
+
 def gap_monitor_sink(
     stream_df: DataFrame,
     state_path: str,
@@ -759,88 +929,26 @@ def gap_monitor_sink(
     one thing summaries cannot give; the batch q16 reports those on
     demand.) State and report both publish through the stage-then-swap
     protocol (``_republish``), so a crash at any instant leaves a
-    complete copy. Because cnt is ADDITIVE, a naively re-merged replay
-    would double-count, so replay safety is an explicit epoch guard:
-    the state carries ``last_epoch`` and a batch with epoch_id ≤
-    last_epoch skips the fold entirely (the checkpoint replays exactly
-    the failed batch, never an earlier one — test-pinned).
+    complete copy — and a replayed epoch still republishes the report
+    from state, healing a crash that landed between the two publishes.
+    Because cnt is ADDITIVE, a naively re-merged replay would
+    double-count, so replay safety is an explicit epoch guard scoped to
+    the RUN: ``_monitor_run_base`` derives a checkpoint-stable base
+    (fresh checkpoints get a strictly larger stride), the state carries
+    ``last_epoch`` as the ABSOLUTE epoch (base + batch id), and only a
+    same-run replayed batch (abs epoch ≤ last_epoch) skips the fold —
+    a new run's batches always fold instead of being dropped.
     """
-    stage_state = state_path + "__stage"
-    stage_report = report_path + "__stage"
+    run_base = _monitor_run_base(
+        stream_df.sparkSession, state_path, state_path + "__stage",
+        checkpoint_path,
+    )
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        summary = (
-            batch_df.select(F.col(id_col).cast("long").alias("id"))
-            .withColumn("_b", F.expr(f"id DIV {bucket_width}"))
-            .groupBy("_b")
-            .agg(
-                F.min("id").alias("lo"),
-                F.max("id").alias("hi"),
-                F.count("*").cast("long").alias("cnt"),
-            )
-            .withColumn("last_epoch", F.lit(epoch_id).cast("long"))
+        _gap_state_merge(
+            batch_df, run_base + epoch_id, state_path, report_path,
+            id_col, bucket_width,
         )
-        current = _read_current_or_recover(spark, state_path, stage_state)
-        if current is not None:
-            seen = current.agg(F.max("last_epoch")).first()[0]
-            if seen is not None and epoch_id <= seen:
-                return  # checkpoint replay of an already-folded batch
-            merged = (
-                current.unionByName(summary)
-                .groupBy("_b")
-                .agg(
-                    F.min("lo").alias("lo"),
-                    F.max("hi").alias("hi"),
-                    F.sum("cnt").cast("long").alias("cnt"),
-                    F.max("last_epoch").alias("last_epoch"),
-                )
-            )
-        else:
-            merged = summary
-        # materialize before the swap overwrites what `current` reads
-        merged = spark.createDataFrame(merged.collect(), merged.schema)
-        _republish(merged, state_path, stage_state)
-        _mark_complete(spark, state_path)
-
-        state = spark.read.parquet(state_path)
-        w = Window.orderBy("_b")
-        seams = (
-            state.withColumn("_prev_hi", F.lag("hi").over(w))
-            .filter(F.col("lo") > F.col("_prev_hi") + 1)
-            .agg(
-                F.count("*").cast("long").alias("seam_gaps"),
-                F.coalesce(
-                    F.max(F.col("lo") - F.col("_prev_hi") - 1), F.lit(0)
-                )
-                .cast("long")
-                .alias("max_seam_gap"),
-            )
-        )
-        tot = state.agg(
-            F.min("lo").alias("min_id"),
-            F.max("hi").alias("max_id"),
-            F.sum("cnt").cast("long").alias("n_rows"),
-            F.sum(F.col("hi") - F.col("lo") + 1 - F.col("cnt"))
-            .cast("long")
-            .alias("in_bucket_missing"),
-            F.max("last_epoch").alias("as_of_epoch"),
-        )
-        report = tot.crossJoin(seams).select(
-            "min_id",
-            "max_id",
-            "n_rows",
-            (
-                F.col("max_id") - F.col("min_id") + 1 - F.col("n_rows")
-            ).alias("missing"),
-            "in_bucket_missing",
-            "seam_gaps",
-            "max_seam_gap",
-            "as_of_epoch",
-        )
-        report = spark.createDataFrame(report.collect(), report.schema)
-        _republish(report, report_path, stage_report)
-        _mark_complete(spark, report_path)
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

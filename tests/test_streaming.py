@@ -801,8 +801,11 @@ def test_gap_monitor_sink_matches_batch_audit_and_guards_replay(
     large hole) through the gap monitor; the published report must
     agree with a direct recount (missing == true missing, in-bucket +
     seam decomposition consistent), state must stay bounded by
-    #buckets, and re-invoking the merge with an already-folded epoch id
-    must be a no-op (the additive-cnt replay guard)."""
+    #buckets, and the replay guard must be scoped to the RUN: a
+    same-run replayed absolute epoch is a state no-op (additive cnt),
+    but a FRESH-checkpoint run over the same state FOLDS (its batches
+    carry a strictly larger run base) instead of being silently dropped
+    — the checkpoint-loss hazard raw epoch ids had."""
     src = str(tmp_path / "ids_src")
     state = str(tmp_path / "gap_state")
     report = str(tmp_path / "gap_report")
@@ -827,21 +830,48 @@ def test_gap_monitor_sink_matches_batch_audit_and_guards_replay(
     st = spark.read.parquet(state)
     assert st.count() <= (srt[-1] // 256) + 1  # bounded by #buckets
 
-    # replay guard: cnt is additive, so re-folding an already-seen epoch
-    # must be a no-op. A FRESH checkpoint over the same input restarts
-    # epoch numbering at 0 <= last_epoch — exactly the replay case.
+    # same-run replay guard: re-folding an already-seen ABSOLUTE epoch
+    # must leave state untouched (cnt is additive) — but must still
+    # republish the report from state, healing a crash that landed
+    # between the state publish and the report publish (simulated here
+    # by deleting the report before the replay).
     before = sorted(map(tuple, st.collect()))
     seen = st.agg(F.max("last_epoch")).first()[0]
     assert seen is not None and seen >= 0
+    import shutil
+
+    shutil.rmtree(report)
+    batch = spark.read.schema("event_id long").parquet(src)
+    se._gap_state_merge(batch, int(seen), state, report,
+                        id_col="event_id", bucket_width=256)
+    after = spark.read.parquet(state)
+    assert sorted(map(tuple, after.collect())) == before
+    healed = spark.read.parquet(report).collect()
+    assert len(healed) == 1 and healed[0].missing == true_missing
+
+    # run-scoped guard: a FRESH checkpoint (e.g. after checkpoint loss)
+    # claims a larger run base, so its batches FOLD into the existing
+    # state rather than being dropped as "already seen". Re-reading the
+    # same source therefore double-counts cnt — the documented additive
+    # semantics — and proves new-run data is never silently skipped.
     q2 = se.gap_monitor_sink(
         spark.readStream.schema("event_id long").parquet(src),
         state, report, str(tmp_path / "gap_ckpt2"),
         id_col="event_id", bucket_width=256,
     )
     _drain(q2)
-    after = spark.read.parquet(state)
-    # fresh checkpoint => epoch restarts at 0 <= last_epoch => skip
-    assert sorted(map(tuple, after.collect())) == before
+    st2 = spark.read.parquet(state)
+    assert st2.agg(F.sum("cnt")).first()[0] == 2 * len(ids)
+    assert st2.agg(F.max("last_epoch")).first()[0] >= se._GAP_RUN_STRIDE
+    # resume of run 2 (same checkpoint) re-reads its marker: no refold
+    q3 = se.gap_monitor_sink(
+        spark.readStream.schema("event_id long").parquet(src),
+        state, report, str(tmp_path / "gap_ckpt2"),
+        id_col="event_id", bucket_width=256,
+    )
+    _drain(q3)
+    assert spark.read.parquet(state).agg(F.sum("cnt")).first()[0] \
+        == 2 * len(ids)
 
 
 def _seam_total(spark, state_path):

@@ -67,16 +67,34 @@ def expectation_report(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame
     into 20 table scans). The wide 1-row result unpivots via ``stack``
     into the report rows; the only shuffle is the single-row combine.
     NULL predicate results count as violations (SQL three-valued logic
-    would otherwise silently pass NULL rows through ``NOT cond``)."""
+    would otherwise silently pass NULL rows through ``NOT cond``).
+
+    Empty-input semantics: SUM over zero rows is NULL, so every count
+    is wrapped in coalesce(..., 0) — an empty table reports
+    n_violations = 0, violation_rate = 0.0, passed = TRUE (a vacuously
+    satisfied contract), never NULLs that a dashboard filtering on
+    ``passed = false`` would hide or one on ``NOT passed`` would flag.
+    Rule names are embedded as SQL string literals with quotes/escapes
+    DOUBLED-or-escaped (not stripped), so the report's ``rule`` key
+    round-trips the caller's name exactly."""
     aggs = [
-        F.sum(
-            F.when(F.expr(cond), F.lit(0)).otherwise(F.lit(1))
-        ).cast("bigint").alias(f"_v{i}")
+        F.coalesce(
+            F.sum(
+                F.when(F.expr(cond), F.lit(0)).otherwise(F.lit(1))
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias(f"_v{i}")
         for i, (_, cond) in enumerate(rules)
     ]
     wide = df.agg(F.count("*").alias("_n"), *aggs)
+
+    def _lit(name: str) -> str:
+        # Spark's default parser treats backslash as an escape inside
+        # string literals; escape it first, then double single quotes.
+        return name.replace("\\", "\\\\").replace("'", "''")
+
     stack_args = ", ".join(
-        f"'{name.replace(chr(39), '')}', _v{i}" for i, (name, _) in enumerate(rules)
+        f"'{_lit(name)}', _v{i}" for i, (name, _) in enumerate(rules)
     )
     return wide.select(
         F.expr(
@@ -87,10 +105,12 @@ def expectation_report(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame
         "rule",
         "n_rows",
         "n_violations",
-        (
+        F.when(F.col("n_rows") == 0, F.lit(0.0))
+        .otherwise(
             F.col("n_violations").cast("double")
             / F.col("n_rows").cast("double")
-        ).alias("violation_rate"),
+        )
+        .alias("violation_rate"),
         (F.col("n_violations") == 0).alias("passed"),
     )
 

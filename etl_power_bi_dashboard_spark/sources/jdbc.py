@@ -24,7 +24,16 @@ The test suite exercises a REAL roundtrip against embedded Apache Derby
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Unquoted SQL identifier: what the exactly-once sink may interpolate
+# into DDL/DML. Deliberately narrow — no quoting, no schema qualifier,
+# no unicode — because the sink's statements use the name UNQUOTED and
+# its existence probe relies on the database's unquoted-identifier
+# case folding (see jdbc_exactly_once_sink docstring).
+_IDENT_RE = re.compile(r"^[A-Za-z][A-Za-z0-9_]*$")
 
 
 def read_jdbc(
@@ -163,7 +172,24 @@ def jdbc_exactly_once_sink(
     SQL statements executed inside the database. INSERT..SELECT cost is
     the database's own bulk-move, which warehouses optimize; the Spark
     side never blocks executors on the transaction.
+
+    Identifier contract: ``table`` must be a plain UNQUOTED identifier
+    (``[A-Za-z][A-Za-z0-9_]*`` — enforced up front, ValueError
+    otherwise). The sink interpolates ``table``/``<table>_STAGE``/
+    ``<table>_EPOCHS`` unquoted into its statements and probes
+    existence via JDBC metadata under the store's unquoted-identifier
+    case folding (upper-case here — correct for Derby/Oracle/DB2;
+    lower-folding stores would need ``storesLowerCaseIdentifiers``
+    dispatch). Quoted, case-sensitive, or schema-qualified names are
+    out of contract — without the regex gate a lowercase/quoted name
+    would miss the existence check and fail CREATE TABLE on every
+    batch, and an arbitrary string would be SQL injection into DDL.
     """
+    if not _IDENT_RE.fullmatch(table):
+        raise ValueError(
+            "jdbc_exactly_once_sink: table must be an unquoted SQL "
+            f"identifier ([A-Za-z][A-Za-z0-9_]*), got {table!r}"
+        )
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -180,3 +180,22 @@ def test_jdbc_exactly_once_sink_end_to_end_and_replay(spark, derby_url, tmp_path
     sink_fn_holder2["fn"](docs.limit(5), 0)
     final = jdbc.read_jdbc(spark, derby_url, "x1_target")
     assert final.count() == docs.count() + 5
+
+
+def test_exactly_once_sink_rejects_non_identifier_table(spark, tmp_path):
+    """Round-7 hardening (ADVICE r6): the sink interpolates the table
+    name unquoted into DDL/DML, so anything that is not a plain
+    identifier must be rejected up front — not fail per-batch or worse."""
+    import pytest
+
+    from etl_power_bi_dashboard_spark.sources.jdbc import (
+        jdbc_exactly_once_sink,
+    )
+
+    stream = spark.readStream.format("rate").load()
+    for bad in ('"Quoted"', "sch.tbl", "t;DROP TABLE x", "1start", ""):
+        with pytest.raises(ValueError):
+            jdbc_exactly_once_sink(
+                stream, "jdbc:derby:memory:nope;create=true", bad,
+                str(tmp_path / "ck"), run_id="r1",
+            )

@@ -1271,3 +1271,34 @@ def test_r16_sweep_equals_bruteforce_pairs_with_tie_semantics(spark):
         assert 0 <= r.n_overlapping_pairs <= r.n_sessions * (r.n_sessions - 1) // 2
         assert (r.pair_overlap_sec > 0) == (r.n_overlapping_pairs > 0)
         assert (r.peak_concurrency >= 2) == (r.n_overlapping_pairs > 0)
+
+
+def test_expectation_report_empty_input_and_quoted_rule_names(spark):
+    """Round-7 hardening (ADVICE r6): over an EMPTY DataFrame the report
+    must come back concrete — n_violations 0, violation_rate 0.0,
+    passed TRUE (vacuously satisfied contract), never NULLs a
+    ``passed = false`` dashboard filter would hide — and rule names
+    containing quotes/backslashes must round-trip exactly, not have
+    characters silently stripped."""
+    from etl_power_bi_dashboard_spark.operators.quality import (
+        expectation_report,
+    )
+
+    empty = spark.createDataFrame([], "x int")
+    rows = expectation_report(
+        empty, [("x_positive", "x > 0")]
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_rows, r.n_violations) == (0, 0)
+    assert r.violation_rate == 0.0
+    assert r.passed is True
+
+    df = spark.createDataFrame([(1,), (-2,)], "x int")
+    name = "it's \\ tricky"
+    out = {r.rule: r for r in expectation_report(
+        df, [(name, "x > 0"), ("plain", "x < 10")]
+    ).collect()}
+    assert set(out) == {name, "plain"}
+    assert out[name].n_violations == 1 and out[name].passed is False
+    assert out["plain"].n_violations == 0 and out["plain"].passed is True

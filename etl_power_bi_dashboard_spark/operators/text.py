@@ -195,13 +195,23 @@ def winnow(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     Returns (id_col, fp) posting rows. Documents shorter than k+w−1 have
     no full window and are dropped (both engines see the same row set —
-    the q_x15 oracle applies the same length predicate). One shuffle
-    (per-doc window); see gram_hash for why this is rows, not arrays.
+    the q_x15 oracle applies the same length predicate).
+
+    Shuffle shape (round-7 rework): the ONE exchange is the DOC table,
+    repartitioned by id BEFORE the gram explode. Generate preserves its
+    child's hash partitioning, so the per-doc window needs only a local
+    sort (no exchange of the ~|text| gram rows per doc), and the final
+    (id, fp) distinct is clustering-satisfied by the same partitioning
+    (id is a subset of the grouping key) — the previous shape shuffled
+    the full exploded+hashed gram table (~30 bytes × Σ|text| rows) for
+    the window; this one moves each document exactly once. See
+    gram_hash for why this is rows, not arrays.
     """
     n = F.length(text_col)
     win = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
     grams = (
         df.filter(n >= k + w - 1)
+        .repartition(F.col(id_col))
         .select(
             id_col,
             text_col,

@@ -1577,12 +1577,18 @@ def q_x25_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: per-doc distinct 5-gram arrays stay a PURE MAP (transform over
     split positions + array_distinct — no explode until the grams leave
-    the row); the exploded (gram, doc) pairs reduce to first_doc =
-    min(doc_id) per gram (map-side partials), join back on gram, and a
-    per-doc aggregate counts grams this doc introduced. Two keyed
-    shuffles, both linear in total distinct grams; no all-pairs
-    anything. Documents shorter than 5 words have no grams and drop on
-    both engines (same predicate).
+    the row). The exploded (gram, doc) pairs reduce BOTH ways without
+    ever joining on gram (round-7 rework — the previous shape joined
+    the full posting table back on gram and re-shuffled the join output
+    by doc): first_doc = min(doc_id) per gram, then n_novel per doc is
+    just COUNT(*) of `first` grouped by first_doc (a gram is novel for
+    exactly the doc that introduced it), and n_grams per doc is a
+    direct count of the posting rows. Two doc-level row sets (~n_docs
+    rows each) left-join at the end — AQE broadcasts. Shuffles: posting
+    table by gram, posting table by doc, 8-byte first_doc keys — the
+    posting-sized join-output shuffle is gone. Documents shorter than 5
+    words have no grams and drop on both engines (same predicate);
+    zero-novel docs surface via coalesce(n_novel, 0).
     """
     docs = load(spark, sf_dir, "documents")
     words = F.split("text", " ")
@@ -1596,23 +1602,23 @@ def q_x25_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.size(words) >= 5)
         .select("doc_id", F.explode(grams).alias("gram"))
     )
-    first = per_doc.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        per_doc.join(first, "gram")
+    novel = (
+        per_doc.groupBy("gram")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("bigint").alias("n_novel"),
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_novel",
-            (F.col("n_novel").cast("double")
-             / F.col("n_grams").cast("double")).alias("novelty_frac"),
-        )
+        .agg(F.count("*").cast("bigint").alias("n_novel"))
+    )
+    counts = per_doc.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return counts.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias(
+            "n_novel"
+        ),
+        (
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("novelty_frac"),
     )
 
 

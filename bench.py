@@ -232,6 +232,10 @@ TAIL = [
     "q16_sequence_gaps",
     "u10_scd_compaction",
     "r16_pairwise_overlap",
+    # round-7 additions
+    "v10_filtered_ann",
+    "ml16_calibration",
+    "u11_cdc_net_effect",
 ]
 
 # Round-5 fix for the d6=38s artifact: round 4's TAIL ran inside a

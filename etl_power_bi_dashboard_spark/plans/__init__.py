@@ -146,7 +146,10 @@ _PRIORITY = [
     # a21_seasonality, sc7_zone_map_skipping, sc6_range_partition_plan)
     # stay BEHIND this window (scattered in module order — position
     # behind slot 50 is irrelevant to the driver) and MUST front
-    # round 8, followed by the displaced round-1-only re-checks
+    # round 8, together with the queries ADDED during round 7
+    # (u11_cdc_net_effect, v10_filtered_ann, ml16_calibration — each
+    # validated at sf0.001 + sf0.01 via driver_sim before committing),
+    # followed by the displaced round-1-only re-checks
     # (q2-q4, q1, t1) and the never-re-checked r3 cohort (f3-f6, f15,
     # t2, h12/h13/h16/h19, d1b, x5, a13/a14, ml1, ax1-ax3). Recompute
     # the no-row set from CORRECTNESS_r01-r07 at round-8 rotation time

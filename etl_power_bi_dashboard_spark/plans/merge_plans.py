@@ -639,7 +639,124 @@ FROM runs
 """
 
 
+def q_u11_cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC batch compaction to NET effects — the preprocessing step a
+    MERGE consumer runs on a change-capture feed before applying it:
+    within one batch, only each key's FIRST and LAST operations decide
+    what the target must do (Debezium/Kafka-compaction folklore):
+    I…D → NOTHING (created and deleted inside the batch — the target
+    never sees the key), I…(I/U) → one INSERT with the final payload,
+    (U/D)…D → one DELETE, (U/D)…(I/U) → one UPDATE with the final
+    payload. Applying the raw log row-by-row would both waste target
+    I/O and (for I…D keys) leave tombstone churn.
+
+    The op-log is derived deterministically from the events table so
+    the oracle reproduces it exactly: per user ordered by (ts,
+    event_id) — a unique total order, so first/last are engine-
+    identical — signup ⇒ I, error ⇒ D, anything else ⇒ U, payload =
+    value. Shape: one keyed window pass (row_number ascending +
+    descending in the same sort) + one groupBy user — shuffle on
+    user_id only, nothing global; NONE rows are dropped before the
+    aggregate's output leaves the stage. The payload DOUBLE passes
+    through untouched (no arithmetic), so the driver hash gate applies.
+    """
+    from .base import load_events
+
+    ops = load_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("value").alias("payload"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    marked = ops.select(
+        "user_id",
+        "us",
+        "op",
+        "payload",
+        F.row_number().over(w).alias("_a"),
+        F.row_number().over(wd).alias("_z"),
+    )
+    folded = marked.groupBy("user_id").agg(
+        F.max(F.when(F.col("_a") == 1, F.col("op"))).alias("first_op"),
+        F.max(F.when(F.col("_z") == 1, F.col("op"))).alias("last_op"),
+        F.max(F.when(F.col("_z") == 1, F.col("payload"))).alias(
+            "last_payload"
+        ),
+        F.count("*").cast("bigint").alias("n_ops"),
+        F.min("us").cast("bigint").alias("first_us"),
+        F.max("us").cast("bigint").alias("last_us"),
+    )
+    net = folded.select(
+        "user_id",
+        F.when(
+            (F.col("first_op") == "I") & (F.col("last_op") == "D"), "NONE"
+        )
+        .when(F.col("first_op") == "I", "INSERT")
+        .when(F.col("last_op") == "D", "DELETE")
+        .otherwise("UPDATE")
+        .alias("net_op"),
+        F.when(F.col("last_op") != "D", F.col("last_payload")).alias(
+            "payload"
+        ),
+        "n_ops",
+        "first_us",
+        "last_us",
+    )
+    return net.filter(F.col("net_op") != "NONE")
+
+
+SQL_U11 = """
+WITH ops AS (
+    SELECT user_id,
+           epoch_us(ts) AS us,
+           event_id,
+           CASE WHEN event_type = 'signup' THEN 'I'
+                WHEN event_type = 'error' THEN 'D'
+                ELSE 'U' END AS op,
+           value AS payload
+    FROM events
+), marked AS (
+    SELECT user_id, us, op, payload,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS a,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY us DESC, event_id DESC) AS z
+    FROM ops
+), folded AS (
+    SELECT user_id,
+           MAX(CASE WHEN a = 1 THEN op END) AS first_op,
+           MAX(CASE WHEN z = 1 THEN op END) AS last_op,
+           MAX(CASE WHEN z = 1 THEN payload END) AS last_payload,
+           CAST(COUNT(*) AS BIGINT) AS n_ops,
+           CAST(MIN(us) AS BIGINT) AS first_us,
+           CAST(MAX(us) AS BIGINT) AS last_us
+    FROM marked GROUP BY user_id
+), net AS (
+    SELECT user_id,
+           CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'NONE'
+                WHEN first_op = 'I' THEN 'INSERT'
+                WHEN last_op = 'D' THEN 'DELETE'
+                ELSE 'UPDATE' END AS net_op,
+           CASE WHEN last_op <> 'D' THEN last_payload END AS payload,
+           n_ops, first_us, last_us
+    FROM folded
+)
+SELECT user_id, net_op, payload, n_ops, first_us, last_us
+FROM net WHERE net_op <> 'NONE'
+"""
+
+
 QUERIES: list[Query] = [
+    Query("u11_cdc_net_effect", q_u11_cdc_net_effect, SQL_U11,
+          "CDC batch compaction to per-key net effects (first/last-op fold)"),
     Query("u10_scd_compaction", q_u10_scd_compaction, SQL_U10,
           "SCD-2 timeline compaction (collapse same-value runs)"),
     Query("u9_bitemporal_lookup", q_u9_bitemporal_lookup, SQL_U9,

@@ -1160,7 +1160,84 @@ FROM p3
 """
 
 
+def q_v10_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact top-3 cosine retrieval: each query vector
+    (vec_id < 8) searches ONLY corpus vectors sharing its label — the
+    filtered-ANN case every production vector store serves ("nearest
+    neighbors WHERE lang = 'en' AND license = permissive"), which naive
+    post-filtering of an unfiltered top-k silently under-fills when the
+    filter is selective.
+
+    Spark-first shape: the filter becomes the JOIN KEY — a broadcast
+    equi-join on label (8 query rows broadcast; the corpus side streams)
+    scores exactly the eligible candidates, so selectivity CUTS work
+    instead of wasting it (pre-filtering strategy). At 100 TB the same
+    plan reads a label-partitioned index and partition-prunes to the
+    label's files (sc7's zone-map story; the IVF variant probes only
+    the label's posting lists) — the equi-join shape is what makes that
+    pruning expressible. Per-query top-k is a keyed window over ≤
+    |label bucket| candidates; cosine is the v1 convention (DOUBLE
+    arrays, round 6, vec_id tie-break) so the driver hash gate applies.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        similarity.as_double(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        "vec_id", "label", similarity.as_double(F.col("embedding")).alias("cv")
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (c["label"] == q["qlabel"]) & (c["vec_id"] != q["query_id"]),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(
+                similarity.cosine(F.col("qv"), F.col("cv")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    return scored.select(
+        "query_id",
+        "vec_id",
+        "label",
+        "cosine",
+        F.row_number().over(w).alias("rank"),
+    ).filter(F.col("rank") <= 3).select(
+        "query_id", "vec_id", "label", "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_V10 = f"""
+WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+    SELECT q.query_id, c.vec_id, c.label,
+           {_COS.format(a="qv", b="cv")} AS cosine
+    FROM q JOIN c ON q.label = c.label AND c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, label, cosine, CAST(rnk AS INT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rnk
+    FROM scored
+) WHERE rnk <= 3
+"""
+
+
 QUERIES: list[Query] = [
+    Query("v10_filtered_ann", q_v10_filtered_ann, SQL_V10,
+          "label-filtered exact top-3 cosine (pre-filter as the join key)"),
     Query("v9_mmr_rerank", q_v9_mmr_rerank, SQL_V9,
           "MMR diversified reranking (integer-exact unrolled greedy, λ=0.7)"),
     Query("v8_ivf_probe_sweep", q_v8_ivf_probe_sweep, _sql_v8(),

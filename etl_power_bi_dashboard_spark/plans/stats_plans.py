@@ -3164,7 +3164,100 @@ SELECT (SELECT CAST(MIN(id) AS BIGINT) FROM ids) AS min_id,
 """
 
 
+def q_ml16_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table (reliability-diagram bins) for the x3 English
+    detector's stopword-ratio score — the companion readout to ml14's
+    PR sweep: per fixed-width score decile, how does the MEAN SCORE
+    compare to the ACTUAL positive rate? A well-calibrated scorer sits
+    on the diagonal; the per-bin gap is what an ECE (expected
+    calibration error) sums. Curation pipelines read this before using
+    a classifier score as a sampling WEIGHT (ml14 answers thresholding;
+    this answers weighting — a miscalibrated score skews the mixture
+    even when its ranking is perfect).
+
+    Exactness: ml12's integer-quantized score (hits·10⁹ DIV n_tokens,
+    pure BIGINT) bins by integer division into 10 fixed-width ppb
+    deciles (NO quantile/ntile — rank-based bin edges are tie-broken
+    differently across engines; fixed width is engine-free), and every
+    reported double is ONE IEEE division of exact BIGINTs (mean_score
+    as Σscore_q / (n·10⁹), pos_rate as n_pos/n), so the driver hash
+    gate applies bit-for-bit. Scale shape: one linear scan into a
+    ≤10-group aggregate — no joins, no windows, map-side partials do
+    nearly all the work.
+    """
+    from ..operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = F.split(F.col("text"), " ")
+    base = docs.select(
+        (F.col("lang") == "en").alias("pos"),
+        F.size(F.filter(t, lambda x: x.isin(*text_ops.STOPWORDS)))
+        .cast("bigint")
+        .alias("hits"),
+        F.size(t).cast("bigint").alias("n"),
+    ).selectExpr(
+        "pos",
+        "(hits * 1000000000) DIV n AS score_q",
+    )
+    binned = base.selectExpr(
+        "pos",
+        "score_q",
+        "LEAST((score_q * 10) DIV 1000000000, 9) AS bin",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum("score_q").cast("bigint").alias("_sum_q"),
+    )
+    return agg.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_docs",
+        "n_pos",
+        (
+            F.col("_sum_q").cast("double")
+            / (F.col("n_docs") * F.lit(1_000_000_000)).cast("double")
+        ).alias("mean_score"),
+        (
+            F.col("n_pos").cast("double") / F.col("n_docs").cast("double")
+        ).alias("pos_rate"),
+    )
+
+
+def _sql_ml16() -> str:
+    from ..operators import text as text_ops
+
+    stop_list = ", ".join(f"'{w}'" for w in text_ops.STOPWORDS)
+    return f"""
+WITH base AS (
+    SELECT lang = 'en' AS pos,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> w IN ({stop_list}))) AS BIGINT) AS hits,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+    FROM documents WHERE length(text) > 0
+), scored AS (
+    SELECT pos, (hits * 1000000000) // n AS score_q FROM base
+), binned AS (
+    SELECT pos, score_q,
+           LEAST((score_q * 10) // 1000000000, 9) AS bin
+    FROM scored
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(score_q) AS DOUBLE)
+           / CAST(COUNT(*) * 1000000000 AS DOUBLE) AS mean_score,
+       CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+FROM binned
+GROUP BY bin
+"""
+
+
 QUERIES: list[Query] = [
+    Query("ml16_calibration", q_ml16_calibration, _sql_ml16(),
+          "reliability-diagram calibration bins for the quality score"),
     Query("q16_sequence_gaps", q_q16_sequence_gaps, SQL_Q16,
           "id-sequence contiguity audit (CDC drop detection)"),
     Query("ml15_ols2", q_ml15_ols2, SQL_ML15,

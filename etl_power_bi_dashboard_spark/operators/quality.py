@@ -76,7 +76,16 @@ def expectation_report(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame
     ``passed = false`` would hide or one on ``NOT passed`` would flag.
     Rule names are embedded as SQL string literals with quotes/escapes
     DOUBLED-or-escaped (not stripped), so the report's ``rule`` key
-    round-trips the caller's name exactly."""
+    round-trips the caller's name exactly. An empty RULE LIST (a
+    dynamically-assembled contract with zero enabled rules) returns a
+    0-row report with the same schema — ``stack(0)`` is not valid SQL,
+    so the unpivot path cannot express it."""
+    if not rules:
+        return df.sparkSession.createDataFrame(
+            [],
+            "rule string, n_rows bigint, n_violations bigint, "
+            "violation_rate double, passed boolean",
+        )
     aggs = [
         F.coalesce(
             F.sum(

@@ -1302,3 +1302,12 @@ def test_expectation_report_empty_input_and_quoted_rule_names(spark):
     assert set(out) == {name, "plain"}
     assert out[name].n_violations == 1 and out[name].passed is False
     assert out["plain"].n_violations == 0 and out["plain"].passed is True
+
+    # an EMPTY RULE LIST (dynamically-assembled contract, zero enabled
+    # rules) must return a 0-row report with the standard schema, not
+    # throw on the unparseable stack(0, ) expression
+    none = expectation_report(df, [])
+    assert none.columns == [
+        "rule", "n_rows", "n_violations", "violation_rate", "passed"
+    ]
+    assert none.count() == 0

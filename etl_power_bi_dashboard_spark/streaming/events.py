@@ -28,6 +28,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from . import runbase
+
 EVENT_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -738,7 +740,7 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
 
 # Epoch-id stride between logical gap-monitor runs (mirrors
 # streaming/index._RUN_STRIDE): absolute epoch = run_base + batch_id.
-_GAP_RUN_STRIDE = 1_000_000
+_GAP_RUN_STRIDE = runbase.RUN_STRIDE
 
 
 def _monitor_run_base(
@@ -754,82 +756,102 @@ def _monitor_run_base(
     would silently skip every batch whose epoch_id <= the old run's
     last_epoch — dropping new ids from the report. Same hazard, same
     fix as ``streaming/index._run_base`` and the JDBC sink's run_id
-    ledger: key run identity off the CHECKPOINT.
+    ledger: key run identity off the CHECKPOINT. The claim/resume
+    protocol lives in ``streaming/runbase.claim_run_base``; the
+    monitor-specific pieces are:
 
-    - resume (same checkpoint): the ``gap_run_base_<base>`` marker in
-      the checkpoint dir is re-read, so replayed batches keep their
-      absolute epoch and the additive fold stays exactly-once;
-    - fresh checkpoint: claim the next free ``_GAP_RUN_STRIDE`` multiple
-      above everything the state has seen, via a create-exclusive
-      ``_runbase_<base>`` sentinel in a SIBLING ``__runs`` dir (the
-      state dir itself is wiped by every stage-then-swap republish, so
-      sentinels cannot live inside it); two racing fresh runs take
-      different strides. New-run batches then carry strictly larger
-      absolute epochs than anything in state, so they FOLD instead of
-      being dropped. (A fresh run re-reading input the state already
-      folded will double-count — with additive cnt that is inherent;
-      reset ``state_path`` when reprocessing a source from scratch.)
+    - sentinels live in a SIBLING ``__runs`` dir (the state dir itself
+      is wiped by every stage-then-swap republish, so they cannot live
+      inside it);
+    - the existing base is discovered from the state table's max
+      absolute epoch (watermark rows included — see
+      ``_gap_state_merge``);
+    - ``legacy_base=0``: a marker-less checkpoint WITH committed
+      progress was written by a build that folded raw epoch ids
+      (base 0); claiming a fresh stride would let the one batch Spark
+      legitimately replays after a crash re-fold under a larger
+      absolute epoch and double-count ``cnt``, so the legacy base is
+      pinned instead.
 
-    All filesystem traffic uses the Hadoop FileSystem API so the
-    protocol holds on HDFS/object stores, not just the driver's disk.
+    A fresh run re-reading input the state already folded will
+    double-count — with additive cnt that is inherent; reset
+    ``state_path`` when reprocessing a source from scratch.
     """
-    jvm = spark._jvm
 
-    def _p(path: str):
-        return jvm.org.apache.hadoop.fs.Path(path)
+    def _existing() -> int:
+        current = _read_current_or_recover(spark, state_path, stage_state)
+        if current is not None:
+            seen = current.agg(F.max("last_epoch")).first()[0]
+            if seen is not None:
+                return int(seen) // _GAP_RUN_STRIDE * _GAP_RUN_STRIDE
+        return -1
 
-    conf = spark._jsc.hadoopConfiguration()
-    cfs = _p(checkpoint_path).getFileSystem(conf)
-    if cfs.exists(_p(checkpoint_path)):
-        for st in cfs.listStatus(_p(checkpoint_path)):
-            name = st.getPath().getName()
-            if name.startswith("gap_run_base_"):
-                return int(name.rsplit("_", 1)[1])
-    existing = -1
-    current = _read_current_or_recover(spark, state_path, stage_state)
-    if current is not None:
-        seen = current.agg(F.max("last_epoch")).first()[0]
-        if seen is not None:
-            existing = int(seen) // _GAP_RUN_STRIDE * _GAP_RUN_STRIDE
-    runs_dir = state_path + "__runs"
-    rfs = _p(runs_dir).getFileSystem(conf)
-    rfs.mkdirs(_p(runs_dir))
-    base = existing + _GAP_RUN_STRIDE if existing >= 0 else 0
-    while not rfs.createNewFile(_p(f"{runs_dir}/_runbase_{base}")):
-        base += _GAP_RUN_STRIDE
-    cfs.mkdirs(_p(checkpoint_path))
-    cfs.createNewFile(_p(f"{checkpoint_path}/gap_run_base_{base}"))
-    return base
+    return runbase.claim_run_base(
+        spark,
+        checkpoint_path,
+        marker_prefix="gap_run_base_",
+        sentinel_dir=state_path + "__runs",
+        existing_base_fn=_existing,
+        legacy_base=0,
+    )
 
 
 def _gap_state_merge(
     batch_df: DataFrame,
     abs_epoch: int,
+    run_base: int,
     state_path: str,
     report_path: str,
     id_col: str,
     bucket_width: int,
 ) -> None:
-    """One gap-monitor fold at ABSOLUTE epoch ``abs_epoch`` (run base +
-    checkpoint-local batch id — see ``_monitor_run_base``). Split out of
-    the sink so the replay guard is directly testable.
+    """One gap-monitor fold at ABSOLUTE epoch ``abs_epoch`` (``run_base``
+    + checkpoint-local batch id — see ``_monitor_run_base``). Split out
+    of the sink so the replay guard is directly testable.
 
-    Replay (abs_epoch <= state's last_epoch) skips the ADDITIVE fold —
-    re-merging would double cnt — but still FALLS THROUGH to rebuild and
-    republish the report from the already-published state: a crash
-    between the state publish and the report publish would otherwise
-    leave the report stale forever (or missing entirely if the crash hit
-    batch 0), despite the state being complete.
+    Replay guard — per-RUN watermark rows: bucket rows alone cannot
+    carry a run's replay high-water mark, because the per-bucket
+    ``max(last_epoch)`` is taken ACROSS runs — once a newer run folds, a
+    resumed older run comparing against the global max would see every
+    one of its new batches as "already folded" and silently drop them.
+    So every fold also upserts one WATERMARK row per run (``wm_base`` =
+    the run base, ``_b``/``lo``/``hi`` NULL, ``cnt`` 0), merged through
+    the same groupBy — which makes the guard atomic with the fold itself
+    (both live in the one published state table; no marker file can
+    lag the publish). A batch is a replay iff ``abs_epoch <=`` ITS OWN
+    run's watermark. Replay skips the ADDITIVE fold — re-merging would
+    double cnt — but still FALLS THROUGH to rebuild and republish the
+    report from the already-published state: a crash between the state
+    publish and the report publish would otherwise leave the report
+    stale forever (or missing entirely if the crash hit batch 0).
+
+    A state table written by a pre-watermark build has no ``wm_base``
+    column; its bucket rows were folded under raw epochs (run base 0 —
+    the same legacy contract ``_monitor_run_base`` pins), so for
+    ``run_base == 0`` the guard falls back to the legacy rows' own
+    ``max(last_epoch)``, preserving the old guard's exact semantics
+    until the first new-code fold writes the run-0 watermark row.
     """
     spark = batch_df.sparkSession
     stage_state = state_path + "__stage"
     stage_report = report_path + "__stage"
     current = _read_current_or_recover(spark, state_path, stage_state)
-    seen = (
-        current.agg(F.max("last_epoch")).first()[0]
-        if current is not None
-        else None
-    )
+    legacy = current is not None and "wm_base" not in current.columns
+    if legacy:
+        current = current.withColumn("wm_base", F.lit(None).cast("long"))
+    seen = None
+    if current is not None:
+        seen = (
+            current.filter(F.col("wm_base") == run_base)
+            .agg(F.max("last_epoch"))
+            .first()[0]
+        )
+        if seen is None and legacy and run_base == 0:
+            seen = (
+                current.filter(F.col("wm_base").isNull())
+                .agg(F.max("last_epoch"))
+                .first()[0]
+            )
     if current is not None and seen is not None and abs_epoch <= seen:
         state = current  # replay: fold nothing, republish report below
     else:
@@ -843,31 +865,49 @@ def _gap_state_merge(
                 F.count("*").cast("long").alias("cnt"),
             )
             .withColumn("last_epoch", F.lit(abs_epoch).cast("long"))
+            .withColumn("wm_base", F.lit(None).cast("long"))
         )
+        watermark = spark.range(1).select(
+            F.lit(None).cast("long").alias("_b"),
+            F.lit(None).cast("long").alias("lo"),
+            F.lit(None).cast("long").alias("hi"),
+            F.lit(0).cast("long").alias("cnt"),
+            F.lit(abs_epoch).cast("long").alias("last_epoch"),
+            F.lit(run_base).cast("long").alias("wm_base"),
+        )
+        fold = summary.unionByName(watermark)
         if current is not None:
+            # NULL groups fine here: bucket rows key as (_b, NULL),
+            # watermark rows as (NULL, run_base) — one group per run.
             merged = (
-                current.unionByName(summary)
-                .groupBy("_b")
+                current.unionByName(fold)
+                .groupBy("_b", "wm_base")
                 .agg(
                     F.min("lo").alias("lo"),
                     F.max("hi").alias("hi"),
                     F.sum("cnt").cast("long").alias("cnt"),
                     F.max("last_epoch").alias("last_epoch"),
                 )
+                .select("_b", "lo", "hi", "cnt", "last_epoch", "wm_base")
             )
         else:
-            merged = summary
+            merged = fold
         # pin the merge to executor blocks before the swap overwrites
         # what `current`'s lineage may read (stage_state, on the
-        # recovery path) — executor-side, no driver round-trip
+        # recovery path) — executor-side, no driver round-trip. On a
+        # multi-executor cluster localCheckpoint blocks die with their
+        # executor (unrecoverable mid-batch); this sink targets the
+        # single-JVM posture — swap in df.checkpoint() (reliable,
+        # re-readable) when running with dynamic allocation.
         merged = merged.localCheckpoint()
         _republish(merged, state_path, stage_state)
         _mark_complete(spark, state_path)
         state = spark.read.parquet(state_path)
 
+    buckets = state.filter(F.col("wm_base").isNull())
     w = Window.orderBy("_b")
     seams = (
-        state.withColumn("_prev_hi", F.lag("hi").over(w))
+        buckets.withColumn("_prev_hi", F.lag("hi").over(w))
         .filter(F.col("lo") > F.col("_prev_hi") + 1)
         .agg(
             F.count("*").cast("long").alias("seam_gaps"),
@@ -878,6 +918,8 @@ def _gap_state_merge(
             .alias("max_seam_gap"),
         )
     )
+    # watermark rows are harmless here (NULL lo/hi, cnt 0) and make
+    # as_of_epoch truthful even when the latest fold was an empty batch
     tot = state.agg(
         F.min("lo").alias("min_id"),
         F.max("hi").alias("max_id"),
@@ -934,10 +976,13 @@ def gap_monitor_sink(
     Because cnt is ADDITIVE, a naively re-merged replay would
     double-count, so replay safety is an explicit epoch guard scoped to
     the RUN: ``_monitor_run_base`` derives a checkpoint-stable base
-    (fresh checkpoints get a strictly larger stride), the state carries
-    ``last_epoch`` as the ABSOLUTE epoch (base + batch id), and only a
-    same-run replayed batch (abs epoch ≤ last_epoch) skips the fold —
-    a new run's batches always fold instead of being dropped.
+    (fresh checkpoints get a strictly larger stride), each fold upserts
+    a per-run WATERMARK row carrying the run's latest ABSOLUTE epoch
+    (base + batch id) — atomic with the fold, because it rides in the
+    same published state table — and only a batch at or below ITS OWN
+    run's watermark skips the fold. A new run's batches, and a resumed
+    older run's new batches after a newer run has folded, always fold
+    instead of being dropped (see ``_gap_state_merge``).
     """
     run_base = _monitor_run_base(
         stream_df.sparkSession, state_path, state_path + "__stage",
@@ -946,8 +991,8 @@ def gap_monitor_sink(
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         _gap_state_merge(
-            batch_df, run_base + epoch_id, state_path, report_path,
-            id_col, bucket_width,
+            batch_df, run_base + epoch_id, run_base, state_path,
+            report_path, id_col, bucket_width,
         )
 
     return (

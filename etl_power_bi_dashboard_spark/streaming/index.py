@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity
+from . import runbase
 
 EMBEDDING_DDL = "vec_id bigint, embedding array<float>, label int"
 
@@ -40,51 +41,25 @@ def read_embedding_stream(spark, path: str) -> DataFrame:
 
 
 # Epoch-id stride between logical runs: epoch = run_base + batch_id.
-_RUN_STRIDE = 1_000_000
+_RUN_STRIDE = runbase.RUN_STRIDE
 
 
 def _run_base(spark, index_path: str, checkpoint_path: str) -> int:
     """Globally-unique, checkpoint-stable epoch base for one logical run.
 
-    Spark's ``epoch_id`` is CHECKPOINT-LOCAL (every fresh checkpoint
-    restarts at 0), so raw epoch ids collide across runs: a second
-    ingest run would overwrite ``epoch=0`` — destroying the prior run's
-    data — and even without collision, latest-epoch ordering across runs
-    would be meaningless (an old run's epoch 1 would beat a new run's
-    epoch 0, resurrecting stale embeddings). The fix keys run identity
-    off the CHECKPOINT, which is what defines a logical run:
-
-    - first call for a checkpoint CLAIMS the next free ``_RUN_STRIDE``
-      multiple by atomically creating a ``_runbase_<base>`` sentinel
-      inside the index (underscore-prefixed, so parquet readers ignore
-      it; create-exclusive atomicity makes two racing fresh runs take
-      different strides instead of silently sharing one), then publishes
-      the base as a marker inside the checkpoint dir;
-    - a crash-resume (same checkpoint) re-reads the marker, so replayed
-      batches overwrite their own directories (idempotent); a crash
-      before the marker publish leaves only an unused sentinel, and the
-      resume claims a fresh stride;
-    - a new run (new checkpoint) gets a strictly larger base, so its
-      assignments genuinely supersede under latest-epoch compaction.
-
-    All filesystem traffic goes through the Hadoop FileSystem API (the
-    same route ``events._fs_and_path`` uses), so the protocol holds on
-    whatever filesystem the index/checkpoint URIs name — local, HDFS, or
-    an object store with an atomic-create semantic — instead of silently
-    operating on the driver's local disk for an ``hdfs://`` path, which
-    is what the original ``os.*`` implementation did. Both the claim
-    sentinel and the run marker are CREATE-EXCLUSIVE empty files whose
-    NAME carries the value (``_runbase_<base>`` / ``ivf_run_base_<base>`` — underscore-
-    separated, never ``=``: a root-level FILE whose name contains ``=``
-    defeats Spark's hidden-file filter (partition discovery parses
-    ``name=value`` entries before the underscore check) and breaks
-    ``read.parquet`` on the index root):
-    ``FileSystem.createNewFile`` is the atomic create-if-absent
-    primitive, and a name-carried value has no partially-written-content
-    crash state at all, so the old write-then-rename marker dance is
-    gone. (On S3-family stores without atomic create, concurrent FRESH
-    runs against one index need an external lock; crash-resume — the
-    case streaming recovery actually exercises — needs no atomicity.)
+    Raw checkpoint-local epoch ids collide across runs: a second ingest
+    run would overwrite ``epoch=0`` — destroying the prior run's data —
+    and even without collision, latest-epoch ordering across runs would
+    be meaningless (an old run's epoch 1 would beat a new run's epoch 0,
+    resurrecting stale embeddings). The claim/resume protocol lives in
+    ``streaming/runbase.claim_run_base`` (shared with the gap monitor);
+    this wrapper supplies the index-specific pieces: sentinels live in
+    the index root itself (underscore-prefixed, so parquet readers skip
+    them), and the existing base is discovered from both sentinels and
+    ``epoch=`` partition dirs (an index whose sentinels were lost still
+    never re-claims a stride its data already occupies). No
+    ``legacy_base``: every build of this sink has written the marker, so
+    a marker-less checkpoint with progress cannot occur here.
     """
     jvm = spark._jvm
 
@@ -93,32 +68,26 @@ def _run_base(spark, index_path: str, checkpoint_path: str) -> int:
 
     conf = spark._jsc.hadoopConfiguration()
     ifs = _p(index_path).getFileSystem(conf)
-    cfs = _p(checkpoint_path).getFileSystem(conf)
-    if cfs.exists(_p(checkpoint_path)):
-        for st in cfs.listStatus(_p(checkpoint_path)):
-            name = st.getPath().getName()
-            if name.startswith("ivf_run_base_"):
-                return int(name.rsplit("_", 1)[1])
-    existing = -1
-    if ifs.exists(_p(index_path)):
-        for st in ifs.listStatus(_p(index_path)):
-            name = st.getPath().getName()
-            if name.startswith("_runbase_"):
-                existing = max(existing, int(name.rsplit("_", 1)[1]))
-            elif name.startswith("epoch="):
-                base_of = int(name.split("=", 1)[1]) // _RUN_STRIDE
-                existing = max(existing, base_of * _RUN_STRIDE)
-    ifs.mkdirs(_p(index_path))
-    # CLAIM the base atomically: two concurrent fresh runs would compute
-    # the same next stride from the scan alone and then overwrite each
-    # other's epoch dirs; createNewFile returns False for the loser of
-    # the race, who takes the next stride.
-    base = existing + _RUN_STRIDE if existing >= 0 else 0
-    while not ifs.createNewFile(_p(f"{index_path}/_runbase_{base}")):
-        base += _RUN_STRIDE
-    cfs.mkdirs(_p(checkpoint_path))
-    cfs.createNewFile(_p(f"{checkpoint_path}/ivf_run_base_{base}"))
-    return base
+
+    def _existing() -> int:
+        existing = -1
+        if ifs.exists(_p(index_path)):
+            for st in ifs.listStatus(_p(index_path)):
+                name = st.getPath().getName()
+                if name.startswith("_runbase_"):
+                    existing = max(existing, int(name.rsplit("_", 1)[1]))
+                elif name.startswith("epoch="):
+                    base_of = int(name.split("=", 1)[1]) // _RUN_STRIDE
+                    existing = max(existing, base_of * _RUN_STRIDE)
+        return existing
+
+    return runbase.claim_run_base(
+        spark,
+        checkpoint_path,
+        marker_prefix="ivf_run_base_",
+        sentinel_dir=index_path,
+        existing_base_fn=_existing,
+    )
 
 
 def ivf_append_sink(

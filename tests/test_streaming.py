@@ -828,24 +828,27 @@ def test_gap_monitor_sink_matches_batch_audit_and_guards_replay(
     assert r.missing == true_missing
     assert r.in_bucket_missing + _seam_total(spark, state) == true_missing
     st = spark.read.parquet(state)
-    assert st.count() <= (srt[-1] // 256) + 1  # bounded by #buckets
+    # bounded by #buckets + one watermark row per run
+    assert st.filter(F.col("wm_base").isNull()).count() <= (srt[-1] // 256) + 1
+    assert st.filter(F.col("wm_base").isNotNull()).count() == 1
 
     # same-run replay guard: re-folding an already-seen ABSOLUTE epoch
     # must leave state untouched (cnt is additive) — but must still
     # republish the report from state, healing a crash that landed
     # between the state publish and the report publish (simulated here
     # by deleting the report before the replay).
-    before = sorted(map(tuple, st.collect()))
+    before = sorted(map(tuple, st.collect()), key=repr)
     seen = st.agg(F.max("last_epoch")).first()[0]
     assert seen is not None and seen >= 0
     import shutil
 
     shutil.rmtree(report)
     batch = spark.read.schema("event_id long").parquet(src)
-    se._gap_state_merge(batch, int(seen), state, report,
+    run0 = (int(seen) // se._GAP_RUN_STRIDE) * se._GAP_RUN_STRIDE
+    se._gap_state_merge(batch, int(seen), run0, state, report,
                         id_col="event_id", bucket_width=256)
     after = spark.read.parquet(state)
-    assert sorted(map(tuple, after.collect())) == before
+    assert sorted(map(tuple, after.collect()), key=repr) == before
     healed = spark.read.parquet(report).collect()
     assert len(healed) == 1 and healed[0].missing == true_missing
 
@@ -874,10 +877,102 @@ def test_gap_monitor_sink_matches_batch_audit_and_guards_replay(
         == 2 * len(ids)
 
 
+def test_gap_monitor_resumed_old_run_still_folds_after_newer_run(
+    spark, tmp_path
+):
+    """Watermark scoping: once a NEWER run has folded into state, a
+    resumed OLDER run's genuinely-new batches must still fold (a global
+    max(last_epoch) guard would classify them as replays and silently
+    drop them), while its genuinely-replayed batches still skip."""
+    state = str(tmp_path / "st")
+    report = str(tmp_path / "rp")
+    b1 = spark.createDataFrame([(i,) for i in range(100)], "event_id long")
+    b2 = spark.createDataFrame(
+        [(i,) for i in range(100, 200)], "event_id long"
+    )
+    b3 = spark.createDataFrame(
+        [(i,) for i in range(200, 300)], "event_id long"
+    )
+    stride = se._GAP_RUN_STRIDE
+    se._gap_state_merge(b1, 0, 0, state, report, "event_id", 64)
+    se._gap_state_merge(b2, stride, stride, state, report, "event_id", 64)
+    # resumed run 0, NEW batch at abs epoch 1 — must FOLD
+    se._gap_state_merge(b3, 1, 0, state, report, "event_id", 64)
+    st = spark.read.parquet(state)
+    assert st.agg(F.sum("cnt")).first()[0] == 300
+    # replay of run 0's abs epoch 1 — must SKIP (cnt unchanged)
+    se._gap_state_merge(b3, 1, 0, state, report, "event_id", 64)
+    assert spark.read.parquet(state).agg(F.sum("cnt")).first()[0] == 300
+    # one watermark row per run, each at its own high-water mark
+    wm = {
+        r.wm_base: r.last_epoch
+        for r in spark.read.parquet(state)
+        .filter(F.col("wm_base").isNotNull())
+        .collect()
+    }
+    assert wm == {0: 1, stride: stride}
+    # and the published report reflects all three folded batches
+    rep = spark.read.parquet(report).collect()[0]
+    assert (rep.min_id, rep.max_id, rep.n_rows) == (0, 299, 300)
+    assert rep.missing == 0
+
+
+def test_gap_monitor_legacy_state_and_checkpoint_upgrade(spark, tmp_path):
+    """A state table + checkpoint written by a pre-watermark build (no
+    wm_base column, no gap_run_base_ marker, raw epoch ids): the resume
+    must adopt run base 0 (raw-epoch semantics) and the guard must fall
+    back to the legacy rows' max(last_epoch), so the one batch Spark
+    replays after a crash does NOT re-fold — and the next genuinely-new
+    batch does."""
+    import os
+
+    state = str(tmp_path / "st")
+    report = str(tmp_path / "rp")
+    ckpt = str(tmp_path / "ck")
+    batch = spark.createDataFrame([(i,) for i in range(50)], "event_id long")
+    legacy = (
+        batch.select(F.col("event_id").alias("id"))
+        .withColumn("_b", F.expr("id DIV 64"))
+        .groupBy("_b")
+        .agg(
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+        .withColumn("last_epoch", F.lit(3).cast("long"))
+    )
+    legacy.write.mode("overwrite").parquet(state)
+    se._mark_complete(spark, state)
+    # checkpoint with committed progress but no run-base marker
+    os.makedirs(os.path.join(ckpt, "offsets"), exist_ok=True)
+    with open(os.path.join(ckpt, "offsets", "0"), "w") as f:
+        f.write("v1")
+    base = se._monitor_run_base(spark, state, state + "__stage", ckpt)
+    assert base == 0
+    # crash-replayed legacy epoch 3: guard falls back to legacy max — skip
+    se._gap_state_merge(batch, 3, 0, state, report, "event_id", 64)
+    assert spark.read.parquet(state).agg(F.sum("cnt")).first()[0] == 50
+    # new batch at epoch 4 folds and writes the run-0 watermark row
+    se._gap_state_merge(batch, 4, 0, state, report, "event_id", 64)
+    st = spark.read.parquet(state)
+    assert st.agg(F.sum("cnt")).first()[0] == 100
+    assert (
+        st.filter(F.col("wm_base") == 0).agg(F.max("last_epoch")).first()[0]
+        == 4
+    )
+    # a later FRESH checkpoint claims a strictly higher stride, never 0
+    base2 = se._monitor_run_base(
+        spark, state, state + "__stage", str(tmp_path / "ck2")
+    )
+    assert base2 >= se._GAP_RUN_STRIDE
+
+
 def _seam_total(spark, state_path):
     from pyspark.sql import Window
 
     st = spark.read.parquet(state_path)
+    if "wm_base" in st.columns:
+        st = st.filter(F.col("wm_base").isNull())
     w = Window.orderBy("_b")
     rows = (
         st.withColumn("_prev_hi", F.lag("hi").over(w))

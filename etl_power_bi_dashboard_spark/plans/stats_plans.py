@@ -2346,6 +2346,55 @@ FROM d
 """
 
 
+def _score_q_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scored-corpus base for the model-eval family
+    (ml12/ml13/ml14/ml16): every non-empty document with its
+    integer-quantized stopword-density quality score
+    ``score_q = (stopword_hits · 10⁹) DIV n_tokens`` — pure BIGINT, no
+    float anywhere in the score — plus the label columns the consumers
+    rank, decile, threshold, or bin against (``lang``; ``pos`` =
+    lang='en'; ``doc_id`` as the deterministic tie-break). ONE
+    definition so the exactness-critical quantization can never drift
+    between plans that all claim to evaluate the same score; Catalyst
+    prunes whichever columns a consumer leaves unused. The oracle twin
+    is ``_sql_scored_cte`` — keep the two in lockstep."""
+    from ..operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        (F.col("lang") == "en").alias("pos"),
+        F.size(F.filter(t, lambda x: x.isin(*text_ops.STOPWORDS)))
+        .cast("bigint")
+        .alias("hits"),
+        F.size(t).cast("bigint").alias("n"),
+    ).select(
+        "doc_id",
+        "lang",
+        "pos",
+        F.expr("(hits * 1000000000) DIV n").alias("score_q"),
+    )
+
+
+def _sql_scored_cte() -> str:
+    """DuckDB CTE ``scored(doc_id, lang, pos, score_q)`` — the oracle
+    twin of ``_score_q_base``; interpolates the same STOPWORDS constant
+    so the two sides cannot drift independently."""
+    from ..operators import text as text_ops
+
+    stop_list = ", ".join(f"'{w}'" for w in text_ops.STOPWORDS)
+    return f"""scored AS (
+    SELECT doc_id, lang, lang = 'en' AS pos,
+           (CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ({stop_list})))
+                 AS BIGINT) * 1000000000)
+             // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_q
+    FROM documents WHERE length(text) > 0
+)"""
+
+
 def q_ml12_score_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate bias audit: per language, the exact Mann-Whitney
     AUC of the stopword-ratio quality signal at separating that
@@ -2373,19 +2422,7 @@ def q_ml12_score_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the differential proof the distributed ranking ≡ single-reducer
     semantics.
     """
-    from ..operators import text as text_ops
-
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    t = F.split(F.col("text"), " ")
-    base = docs.select(
-        "lang",
-        F.size(F.filter(t, lambda x: x.isin(*text_ops.STOPWORDS)))
-        .cast("bigint")
-        .alias("hits"),
-        F.size(t).cast("bigint").alias("n"),
-    ).select(
-        "lang", F.expr("(hits * 1000000000) DIV n").alias("score_q")
-    )
+    base = _score_q_base(spark, sf_dir).select("lang", "score_q")
     c_tot = base.groupBy("score_q").agg(
         F.count("*").cast("bigint").alias("n_all")
     )
@@ -2461,26 +2498,19 @@ def q_ml12_score_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ML12 = """
-WITH base AS (
-    SELECT lang,
-           (CAST(len(list_filter(string_split(text, ' '),
-                 x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')))
-                 AS BIGINT) * 1000000000)
-             // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_q
-    FROM documents WHERE length(text) > 0
-),
+SQL_ML12 = f"""
+WITH {_sql_scored_cte()},
 cg AS (
-    SELECT score_q, CAST(COUNT(*) AS BIGINT) AS n_all FROM base GROUP BY 1
+    SELECT score_q, CAST(COUNT(*) AS BIGINT) AS n_all FROM scored GROUP BY 1
 ),
 cl AS (
     SELECT lang, score_q, CAST(COUNT(*) AS BIGINT) AS n_pos
-    FROM base GROUP BY 1, 2
+    FROM scored GROUP BY 1, 2
 ),
 grid AS (
     SELECT l.lang, g.score_q, g.n_all, COALESCE(c.n_pos, 0) AS n_pos,
            g.n_all - COALESCE(c.n_pos, 0) AS n_neg
-    FROM (SELECT DISTINCT lang FROM base) l
+    FROM (SELECT DISTINCT lang FROM scored) l
     CROSS JOIN cg g
     LEFT JOIN cl c ON c.lang = l.lang AND c.score_q = g.score_q
 ),
@@ -2525,20 +2555,8 @@ def q_ml13_gain_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc5/sc6/ml12).
     """
     from ..operators import scale
-    from ..operators import text as text_ops
 
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    t = F.split(F.col("text"), " ")
-    base = docs.select(
-        "doc_id",
-        (F.col("lang") == "en").alias("pos"),
-        F.size(F.filter(t, lambda x: x.isin(*text_ops.STOPWORDS)))
-        .cast("bigint")
-        .alias("hits"),
-        F.size(t).cast("bigint").alias("n"),
-    ).selectExpr(
-        "doc_id", "pos", "(hits * 1000000000) DIV n AS score_q"
-    )
+    base = _score_q_base(spark, sf_dir).select("doc_id", "pos", "score_q")
     rn = scale.distributed_row_number(
         base,
         bucket=F.expr("-(score_q DIV 31250000)"),
@@ -2589,20 +2607,13 @@ def q_ml13_gain_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ML13 = """
-WITH base AS (
-    SELECT doc_id, lang = 'en' AS pos,
-           (CAST(len(list_filter(string_split(text, ' '),
-                 x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')))
-                 AS BIGINT) * 1000000000)
-             // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_q
-    FROM documents WHERE length(text) > 0
-),
+SQL_ML13 = f"""
+WITH {_sql_scored_cte()},
 rk AS (
     SELECT doc_id, pos,
            ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rk,
            COUNT(*) OVER () AS n_tot
-    FROM base
+    FROM scored
 ),
 per AS (
     SELECT CAST(((rk - 1) * 10) // n_tot AS INT) AS decile,
@@ -2647,17 +2658,7 @@ def q_ml14_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear scan fans each doc out to the 5 thresholds (constant ×5)
     into a 5-group aggregate — no joins, no windows.
     """
-    from ..operators import text as text_ops
-
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    t = F.split(F.col("text"), " ")
-    base = docs.select(
-        (F.col("lang") == "en").alias("pos"),
-        F.size(F.filter(t, lambda x: x.isin(*text_ops.STOPWORDS)))
-        .cast("bigint")
-        .alias("hits"),
-        F.size(t).cast("bigint").alias("n"),
-    ).selectExpr("pos", "(hits * 1000000000) DIV n AS score_q")
+    base = _score_q_base(spark, sf_dir).select("pos", "score_q")
     fan = base.select(
         "pos",
         "score_q",
@@ -2722,19 +2723,12 @@ def q_ml14_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ML14 = """
-WITH base AS (
-    SELECT lang = 'en' AS pos,
-           (CAST(len(list_filter(string_split(text, ' '),
-                 x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')))
-                 AS BIGINT) * 1000000000)
-             // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_q
-    FROM documents WHERE length(text) > 0
-),
+SQL_ML14 = f"""
+WITH {_sql_scored_cte()},
 fan AS (
     SELECT pos, score_q, CAST(t AS BIGINT) AS thresh_ppb,
            score_q > t AS pred
-    FROM base, LATERAL unnest([20000000, 50000000, 100000000,
+    FROM scored, LATERAL unnest([20000000, 50000000, 100000000,
                                150000000, 200000000]) AS u(t)
 ),
 per AS (
@@ -3185,20 +3179,7 @@ def q_ml16_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤10-group aggregate — no joins, no windows, map-side partials do
     nearly all the work.
     """
-    from ..operators import text as text_ops
-
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    t = F.split(F.col("text"), " ")
-    base = docs.select(
-        (F.col("lang") == "en").alias("pos"),
-        F.size(F.filter(t, lambda x: x.isin(*text_ops.STOPWORDS)))
-        .cast("bigint")
-        .alias("hits"),
-        F.size(t).cast("bigint").alias("n"),
-    ).selectExpr(
-        "pos",
-        "(hits * 1000000000) DIV n AS score_q",
-    )
+    base = _score_q_base(spark, sf_dir).select("pos", "score_q")
     binned = base.selectExpr(
         "pos",
         "score_q",
@@ -3226,19 +3207,8 @@ def q_ml16_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ml16() -> str:
-    from ..operators import text as text_ops
-
-    stop_list = ", ".join(f"'{w}'" for w in text_ops.STOPWORDS)
     return f"""
-WITH base AS (
-    SELECT lang = 'en' AS pos,
-           CAST(len(list_filter(string_split(text, ' '),
-                                w -> w IN ({stop_list}))) AS BIGINT) AS hits,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-    FROM documents WHERE length(text) > 0
-), scored AS (
-    SELECT pos, (hits * 1000000000) // n AS score_q FROM base
-), binned AS (
+WITH {_sql_scored_cte()}, binned AS (
     SELECT pos, score_q,
            LEAST((score_q * 10) // 1000000000, 9) AS bin
     FROM scored

@@ -967,6 +967,116 @@ def test_gap_monitor_legacy_state_and_checkpoint_upgrade(spark, tmp_path):
     assert base2 >= se._GAP_RUN_STRIDE
 
 
+def test_gap_monitor_randomized_interleaved_runs_match_simulator(
+    spark, tmp_path
+):
+    """Differential fuzz of the fold/replay state machine: a random
+    interleaving of two runs' batches — epochs monotone WITHIN each run
+    (Spark's delivery order), crash-replays re-delivering already-folded
+    epochs at arbitrary points — must leave exactly the per-bucket
+    (lo, hi, cnt) table a sequential Python simulator computes (every
+    (run, epoch) folded once, replays no-ops), for any interleaving."""
+    import random
+
+    rng = random.Random(7)
+    state = str(tmp_path / "st")
+    report = str(tmp_path / "rp")
+    stride = se._GAP_RUN_STRIDE
+    width = 32
+    runs: dict[int, list[list[int]]] = {0: [], stride: []}
+    for base, start in ((0, 0), (stride, 10_000)):
+        nxt = start
+        for _ in range(6):
+            ids = list(range(nxt, nxt + rng.randint(5, 40)))
+            nxt += rng.randint(45, 60)
+            runs[base].append(ids)
+    # schedule: per-run epoch cursors advance monotonically; each step
+    # either folds a run's next epoch or replays one of its earlier ones
+    cursors = {0: 0, stride: 0}
+    folded: set[tuple[int, int]] = set()
+    sim: dict[int, list[int]] = {}
+    steps = 0
+    while any(cursors[b] < len(runs[b]) for b in runs) or steps < 18:
+        steps += 1
+        base = rng.choice(list(runs))
+        if cursors[base] < len(runs[base]) and (
+            rng.random() < 0.7 or cursors[base] == 0
+        ):
+            epoch = cursors[base]
+            cursors[base] += 1
+        elif cursors[base] > 0:
+            epoch = rng.randrange(cursors[base])  # crash replay
+        else:
+            continue
+        ids = runs[base][epoch]
+        batch = spark.createDataFrame([(i,) for i in ids], "event_id long")
+        se._gap_state_merge(
+            batch, base + epoch, base, state, report, "event_id", width
+        )
+        if (base, epoch) not in folded:
+            folded.add((base, epoch))
+            for i in ids:
+                sim.setdefault(i // width, []).append(i)
+        if steps > 40:
+            break
+    expect = {
+        b: (min(v), max(v), len(v)) for b, v in sim.items()
+    }
+    st = spark.read.parquet(state)
+    got = {
+        r._b: (r.lo, r.hi, r.cnt)
+        for r in st.filter(F.col("wm_base").isNull()).collect()
+    }
+    assert got == expect
+    # per-run watermarks sit at each run's highest folded epoch
+    wm = {
+        r.wm_base: r.last_epoch
+        for r in st.filter(F.col("wm_base").isNotNull()).collect()
+    }
+    assert wm == {
+        b: b + max(e for bb, e in folded if bb == b) for b in runs
+    }
+    # and the published report agrees with a recount of the simulator
+    all_ids = sorted(i for v in sim.values() for i in v)
+    rep = spark.read.parquet(report).collect()[0]
+    assert (rep.min_id, rep.max_id, rep.n_rows) == (
+        all_ids[0], all_ids[-1], len(all_ids)
+    )
+    assert rep.missing == all_ids[-1] - all_ids[0] + 1 - len(all_ids)
+
+
+def test_claim_run_base_sequential_strides(spark, tmp_path):
+    """Three fresh checkpoints against one output claim strictly
+    increasing stride multiples (0, S, 2S) even when the discovery
+    callback reports nothing — the sentinel files alone must prevent a
+    stride from being claimed twice."""
+    from etl_power_bi_dashboard_spark.streaming import runbase
+
+    sent = str(tmp_path / "out__runs")
+    bases = [
+        runbase.claim_run_base(
+            spark,
+            str(tmp_path / f"ck{i}"),
+            marker_prefix="t_run_base_",
+            sentinel_dir=sent,
+            existing_base_fn=lambda: -1,
+        )
+        for i in range(3)
+    ]
+    assert bases == [0, runbase.RUN_STRIDE, 2 * runbase.RUN_STRIDE]
+    # resume: the same checkpoint re-reads its marker, no new claim
+    again = runbase.claim_run_base(
+        spark,
+        str(tmp_path / "ck1"),
+        marker_prefix="t_run_base_",
+        sentinel_dir=sent,
+        existing_base_fn=lambda: (_ for _ in ()).throw(
+            AssertionError("resume must not re-scan")
+        ),
+    )
+    assert again == runbase.RUN_STRIDE
+
+
 def _seam_total(spark, state_path):
     from pyspark.sql import Window
 

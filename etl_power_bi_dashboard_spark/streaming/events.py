@@ -786,6 +786,16 @@ def _monitor_run_base(
                 return int(seen) // _GAP_RUN_STRIDE * _GAP_RUN_STRIDE
         return -1
 
+    def _base0_owned_by_new_code() -> bool:
+        # a wm_base=0 watermark row can only come from a NEW-code run
+        # (legacy builds never wrote watermark rows), so its presence
+        # proves run base 0 is taken and this legacy resume must not
+        # share it — see runbase.claim_run_base
+        current = _read_current_or_recover(spark, state_path, stage_state)
+        if current is None or "wm_base" not in current.columns:
+            return False
+        return current.filter(F.col("wm_base") == 0).limit(1).count() > 0
+
     return runbase.claim_run_base(
         spark,
         checkpoint_path,
@@ -793,6 +803,7 @@ def _monitor_run_base(
         sentinel_dir=state_path + "__runs",
         existing_base_fn=_existing,
         legacy_base=0,
+        legacy_base_owned_fn=_base0_owned_by_new_code,
     )
 
 
@@ -827,10 +838,15 @@ def _gap_state_merge(
 
     A state table written by a pre-watermark build has no ``wm_base``
     column; its bucket rows were folded under raw epochs (run base 0 —
-    the same legacy contract ``_monitor_run_base`` pins), so for
-    ``run_base == 0`` the guard falls back to the legacy rows' own
-    ``max(last_epoch)``, preserving the old guard's exact semantics
-    until the first new-code fold writes the run-0 watermark row.
+    the same legacy contract ``_monitor_run_base`` pins). On the FIRST
+    new-code fold over such a table — whichever run performs it — the
+    legacy high-water mark (the legacy rows' own ``max(last_epoch)``)
+    is materialized as the run-0 watermark row, because a later merge
+    overwrites the bucket rows' epochs with the newer run's and the
+    legacy mark would otherwise be unrecoverable; until that row
+    exists, a ``run_base == 0`` guard reads the legacy rows directly
+    (the old guard's exact semantics). Both maxima come from one
+    aggregation — the guard costs a single job per batch either way.
     """
     spark = batch_df.sparkSession
     stage_state = state_path + "__stage"
@@ -840,18 +856,21 @@ def _gap_state_merge(
     if legacy:
         current = current.withColumn("wm_base", F.lit(None).cast("long"))
     seen = None
+    legacy_max = None
     if current is not None:
-        seen = (
-            current.filter(F.col("wm_base") == run_base)
-            .agg(F.max("last_epoch"))
-            .first()[0]
-        )
-        if seen is None and legacy and run_base == 0:
-            seen = (
-                current.filter(F.col("wm_base").isNull())
-                .agg(F.max("last_epoch"))
-                .first()[0]
-            )
+        marks = current.agg(
+            F.max(
+                F.when(F.col("wm_base") == run_base, F.col("last_epoch"))
+            ).alias("run_wm"),
+            F.max(
+                F.when(F.col("wm_base").isNull(), F.col("last_epoch"))
+            ).alias("bucket_max"),
+        ).first()
+        seen = marks["run_wm"]
+        if legacy:
+            legacy_max = marks["bucket_max"]
+            if seen is None and run_base == 0:
+                seen = legacy_max
     if current is not None and seen is not None and abs_epoch <= seen:
         state = current  # replay: fold nothing, republish report below
     else:
@@ -876,6 +895,21 @@ def _gap_state_merge(
             F.lit(run_base).cast("long").alias("wm_base"),
         )
         fold = summary.unionByName(watermark)
+        if legacy and legacy_max is not None:
+            # first new-code fold over a legacy table: pin the legacy
+            # run's high-water mark as the run-0 watermark NOW — the
+            # merge below overwrites bucket epochs with this fold's,
+            # after which the legacy mark cannot be reconstructed
+            fold = fold.unionByName(
+                spark.range(1).select(
+                    F.lit(None).cast("long").alias("_b"),
+                    F.lit(None).cast("long").alias("lo"),
+                    F.lit(None).cast("long").alias("hi"),
+                    F.lit(0).cast("long").alias("cnt"),
+                    F.lit(int(legacy_max)).cast("long").alias("last_epoch"),
+                    F.lit(0).cast("long").alias("wm_base"),
+                )
+            )
         if current is not None:
             # NULL groups fine here: bucket rows key as (_b, NULL),
             # watermark rows as (NULL, run_base) — one group per run.

@@ -58,8 +58,14 @@ def _run_base(spark, index_path: str, checkpoint_path: str) -> int:
     them), and the existing base is discovered from both sentinels and
     ``epoch=`` partition dirs (an index whose sentinels were lost still
     never re-claims a stride its data already occupies). No
-    ``legacy_base``: every build of this sink has written the marker, so
-    a marker-less checkpoint with progress cannot occur here.
+    ``legacy_base``: a checkpoint from a pre-marker build of this sink
+    would resume under a fresh stride, and the one crash-replayed batch
+    would then land at a new ``epoch=`` dir alongside its original copy
+    — but this sink writes whole per-epoch directories and reads
+    through latest-epoch compaction, so the duplicate is shadowed, not
+    double-counted; tolerable storage overhead, never a wrong answer.
+    (The gap monitor cannot make that trade — its fold is additive —
+    hence its ``legacy_base=0``.)
     """
     jvm = spark._jvm
 

@@ -63,6 +63,7 @@ def claim_run_base(
     sentinel_dir: str,
     existing_base_fn: Callable[[], int],
     legacy_base: int | None = None,
+    legacy_base_owned_fn: Callable[[], bool] | None = None,
 ) -> int:
     """Return the absolute-epoch base for the logical run identified by
     ``checkpoint_path``, claiming a fresh stride if the checkpoint is new.
@@ -72,6 +73,19 @@ def claim_run_base(
     it returns the largest stride-aligned base already present in the
     output, or -1 if the output is empty. ``legacy_base`` enables the
     pre-marker-checkpoint fallback documented in the module docstring.
+
+    ``legacy_base_owned_fn`` disambiguates the one collision the legacy
+    pin can hit: if a NEW-code run already claimed ``legacy_base`` (its
+    sentinel exists) AND the callback confirms the output shows that
+    run's ownership (e.g. a watermark row at the base), the legacy
+    checkpoint had necessarily folded nothing when that claim happened
+    (a fresh claim of the lowest stride requires an empty output), so
+    the legacy resume safely falls through to a fresh claim instead of
+    sharing the base — sharing would misclassify its new batches as
+    the other run's replays and silently drop them. When the sentinel
+    exists but ownership is NOT confirmed, the pin proceeds: that is a
+    prior legacy-pin attempt that crashed between sentinel and marker,
+    and re-pinning is exactly right.
     """
     jvm = spark._jvm
 
@@ -89,17 +103,22 @@ def claim_run_base(
             # Marker-less checkpoint WITH committed batches: a build
             # predating the marker folded them under raw epoch ids.
             # Pin the legacy base so a crash-replayed batch is still
-            # recognized as already-folded. The sentinel claim is
-            # best-effort (legacy code never wrote sentinels; if the
-            # base was meanwhile claimed by a racing fresh run the
-            # semantics still demand the legacy base here).
+            # recognized as already-folded — unless the base is
+            # verifiably owned by a new-code run (see docstring), in
+            # which case this legacy run folded nothing and starts
+            # fresh below.
             sfs = _p(sentinel_dir).getFileSystem(conf)
             sfs.mkdirs(_p(sentinel_dir))
-            sfs.createNewFile(_p(f"{sentinel_dir}/_runbase_{legacy_base}"))
-            cfs.createNewFile(
-                _p(f"{checkpoint_path}/{marker_prefix}{legacy_base}")
+            claimed = sfs.createNewFile(
+                _p(f"{sentinel_dir}/_runbase_{legacy_base}")
             )
-            return legacy_base
+            if claimed or not (
+                legacy_base_owned_fn is not None and legacy_base_owned_fn()
+            ):
+                cfs.createNewFile(
+                    _p(f"{checkpoint_path}/{marker_prefix}{legacy_base}")
+                )
+                return legacy_base
     existing = existing_base_fn()
     sfs = _p(sentinel_dir).getFileSystem(conf)
     sfs.mkdirs(_p(sentinel_dir))

@@ -967,6 +967,92 @@ def test_gap_monitor_legacy_state_and_checkpoint_upgrade(spark, tmp_path):
     assert base2 >= se._GAP_RUN_STRIDE
 
 
+def test_gap_monitor_legacy_mark_survives_newer_run_interleave(
+    spark, tmp_path
+):
+    """The legacy high-water mark must survive a NEWER run folding
+    first: the first new-code fold over a legacy table materializes the
+    run-0 watermark row from the legacy rows' max(last_epoch), so a
+    legacy checkpoint resuming AFTER that merge (which overwrites the
+    bucket rows' epochs) still skips its crash-replayed batch instead
+    of double-counting it."""
+    state = str(tmp_path / "st")
+    report = str(tmp_path / "rp")
+    batch = spark.createDataFrame([(i,) for i in range(50)], "event_id long")
+    legacy = (
+        batch.select(F.col("event_id").alias("id"))
+        .withColumn("_b", F.expr("id DIV 64"))
+        .groupBy("_b")
+        .agg(
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+        .withColumn("last_epoch", F.lit(3).cast("long"))
+    )
+    legacy.write.mode("overwrite").parquet(state)
+    se._mark_complete(spark, state)
+    # a NEW run (fresh stride) folds first, over the same buckets —
+    # bucket last_epochs are now the new run's, but the legacy mark
+    # must have been pinned as the run-0 watermark row
+    stride = se._GAP_RUN_STRIDE
+    se._gap_state_merge(
+        batch, stride, stride, state, report, "event_id", 64
+    )
+    st = spark.read.parquet(state)
+    assert st.agg(F.sum("cnt")).first()[0] == 100
+    wm0 = (
+        st.filter(F.col("wm_base") == 0).agg(F.max("last_epoch")).first()[0]
+    )
+    assert wm0 == 3
+    # legacy checkpoint resumes (run base 0) and replays its epoch 3:
+    # must SKIP (guard reads the materialized run-0 watermark)
+    se._gap_state_merge(batch, 3, 0, state, report, "event_id", 64)
+    assert spark.read.parquet(state).agg(F.sum("cnt")).first()[0] == 100
+    # and its genuinely-new epoch 4 still folds
+    se._gap_state_merge(batch, 4, 0, state, report, "event_id", 64)
+    assert spark.read.parquet(state).agg(F.sum("cnt")).first()[0] == 150
+
+
+def test_gap_monitor_legacy_checkpoint_never_shares_a_claimed_base(
+    spark, tmp_path
+):
+    """A legacy checkpoint that committed offsets but never published
+    state, racing a NEW-code run that claimed base 0 against the same
+    state path: the legacy resume must take a FRESH stride (its
+    watermark row proves base 0 is owned; the legacy run folded
+    nothing), not share base 0 — sharing would misread its new batches
+    as the other run's replays and silently drop them."""
+    import os
+
+    state = str(tmp_path / "st")
+    report = str(tmp_path / "rp")
+    legacy_ckpt = str(tmp_path / "ck_legacy")
+    os.makedirs(os.path.join(legacy_ckpt, "offsets"), exist_ok=True)
+    with open(os.path.join(legacy_ckpt, "offsets", "0"), "w") as f:
+        f.write("v1")
+    # new-code run claims base 0 (state empty at claim time) and folds
+    base_new = se._monitor_run_base(
+        spark, state, state + "__stage", str(tmp_path / "ck_new")
+    )
+    assert base_new == 0
+    batch = spark.createDataFrame([(i,) for i in range(30)], "event_id long")
+    se._gap_state_merge(batch, 0, 0, state, report, "event_id", 64)
+    # legacy checkpoint resumes: must NOT share base 0
+    base_legacy = se._monitor_run_base(
+        spark, state, state + "__stage", legacy_ckpt
+    )
+    assert base_legacy >= se._GAP_RUN_STRIDE
+    # its batch folds under its own run, nothing dropped
+    more = spark.createDataFrame(
+        [(i,) for i in range(100, 130)], "event_id long"
+    )
+    se._gap_state_merge(
+        more, base_legacy, base_legacy, state, report, "event_id", 64
+    )
+    assert spark.read.parquet(state).agg(F.sum("cnt")).first()[0] == 60
+
+
 def test_gap_monitor_randomized_interleaved_runs_match_simulator(
     spark, tmp_path
 ):

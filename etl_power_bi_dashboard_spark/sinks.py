@@ -48,12 +48,23 @@ def export_star(
     for name, df in aggs.items():
         tables[f"agg_{name}"] = df
     for name, df in tables.items():
-        _write_csv(df, os.path.join(output_path, f"{name}_csv"), single_file_csv)
-        _write_parquet(
-            df,
-            os.path.join(output_path, f"{name}_parquet"),
-            ["date_id"] if (partition_fact and name == "fact_sales") else None,
-        )
+        # each table is written twice (CSV + parquet); persist around
+        # the pair so the upstream lineage — for fact_sales, the whole
+        # join/aggregate pipeline — executes once, not per-format
+        df = df.persist()
+        try:
+            _write_csv(
+                df, os.path.join(output_path, f"{name}_csv"), single_file_csv
+            )
+            _write_parquet(
+                df,
+                os.path.join(output_path, f"{name}_parquet"),
+                ["date_id"]
+                if (partition_fact and name == "fact_sales")
+                else None,
+            )
+        finally:
+            df.unpersist()
         written.append(name)
     return written
 
@@ -117,15 +128,18 @@ def compact_parquet(
 
     Returns the number of output partitions used.
     """
-    import glob
-
     df = spark.read.parquet(src_path)
     if target_partitions is None:
-        nbytes = sum(
-            os.path.getsize(p)
-            for p in glob.glob(os.path.join(src_path, "**", "*.parquet"),
-                               recursive=True)
-        )
+        # size the dataset through the Hadoop FileSystem API, NOT a
+        # driver-local glob: the lake this function exists for lives on
+        # HDFS/object storage where os.path sees nothing — a silent
+        # nbytes=0 would repartition(1) the whole dataset through one
+        # task. getContentSummary also counts exactly what the path
+        # holds, hive-partitioned subdirs included.
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        nbytes = fs.getContentSummary(hpath).getLength()
         target_partitions = max(1, -(-nbytes // target_bytes_per_file))
     df.repartition(target_partitions).write.mode("overwrite").parquet(dest_path)
     return target_partitions
@@ -204,7 +218,11 @@ def delta_available(spark) -> bool:
     except ImportError:
         return False
     try:
-        spark._jvm.io.delta.tables.DeltaTable  # probe the JVM side too
+        # a real classpath probe: attribute access on spark._jvm never
+        # raises for a missing class (py4j hands back a JavaPackage),
+        # so Class.forName is the only check that actually catches the
+        # pip-installed-but-no-jars half-configured state
+        spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
         return True
     except Exception:
         return False

@@ -40,13 +40,28 @@ def conform_to_schema(df: DataFrame, schema: StructType | str) -> DataFrame:
     columns are cast to the declared type, and columns outside the
     declaration are dropped. Pure projection — no shuffle, no data pass
     beyond the scan it composes with.
+
+    Name matching honours the session's resolution mode
+    (``spark.sql.caseSensitive``, default false): under the default, a
+    producer's ``LANG`` satisfies a declared ``lang`` — exactly as
+    ``df.select("lang")`` would resolve it — instead of being silently
+    replaced by typed NULLs, which would null out real data without an
+    error.
     """
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
+    case_sensitive = (
+        df.sparkSession.conf.get("spark.sql.caseSensitive", "false").lower()
+        == "true"
+    )
+
+    def _key(name: str) -> str:
+        return name if case_sensitive else name.lower()
+
+    have = {_key(f.name) for f in df.schema.fields}
     cols = []
-    have = {f.name for f in df.schema.fields}
     for field in schema.fields:
-        if field.name in have:
+        if _key(field.name) in have:
             cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))

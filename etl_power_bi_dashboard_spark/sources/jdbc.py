@@ -128,7 +128,15 @@ def _driver_connection(spark: SparkSession, url: str):
 
 
 def _table_exists(conn, table: str) -> bool:
-    rs = conn.getMetaData().getTables(None, None, table.upper(), None)
+    """Existence probe scoped to the connection's CURRENT schema, with
+    LIKE wildcards escaped: ``getTables`` treats ``_``/``%`` as pattern
+    characters and a null schema pattern spans every schema, so an
+    unescaped FACT_SALES would match a stranger's FACTSSALES — a false
+    positive that skips CREATE TABLE and then fails every INSERT."""
+    meta = conn.getMetaData()
+    esc = meta.getSearchStringEscape()
+    pattern = table.upper().replace("_", esc + "_")
+    rs = meta.getTables(None, conn.getSchema(), pattern, None)
     try:
         return rs.next()
     finally:
@@ -191,27 +199,22 @@ def jdbc_exactly_once_sink(
             f"identifier ([A-Za-z][A-Za-z0-9_]*), got {table!r}"
         )
 
-    def _write(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        stage = f"{table}_STAGE"
-        ledger = f"{table}_EPOCHS"
-        write_jdbc(batch_df, url, stage, mode="overwrite")
+    def _epoch_committed(spark, ledger: str, epoch_id: int) -> bool:
+        """Ensure the ledger exists and report whether (run_id,
+        epoch_id) already committed — checked BEFORE staging, so a
+        replayed epoch is a true no-op instead of a full re-ship of the
+        batch over JDBC just to discover it already landed."""
         conn = _driver_connection(spark, url)
         try:
             conn.setAutoCommit(False)
             st = conn.createStatement()
             try:
-                if not _table_exists(conn, table):
-                    st.executeUpdate(
-                        f"CREATE TABLE {table} AS SELECT * FROM {stage} "
-                        "WITH NO DATA"
-                    )
                 if not _table_exists(conn, ledger):
                     st.executeUpdate(
                         f"CREATE TABLE {ledger} "
                         "(run_id VARCHAR(128), epoch_id BIGINT)"
                     )
-                conn.commit()  # DDL before the data txn
+                conn.commit()
                 ps = conn.prepareStatement(
                     f"SELECT COUNT(*) FROM {ledger} "
                     "WHERE run_id = ? AND epoch_id = ?"
@@ -223,13 +226,37 @@ def jdbc_exactly_once_sink(
                 seen = rs.getLong(1) > 0
                 rs.close()
                 ps.close()
-                if seen:
-                    # replayed epoch: already committed, skip. The
-                    # ledger SELECT opened a transaction (autocommit is
-                    # off) — end it, or close() throws "transaction
-                    # still active" on strict drivers (Derby 25001).
-                    conn.commit()
-                    return
+                # the SELECT opened a transaction (autocommit off) —
+                # end it, or close() throws "transaction still active"
+                # on strict drivers (Derby 25001)
+                conn.commit()
+                return seen
+            finally:
+                st.close()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stage = f"{table}_STAGE"
+        ledger = f"{table}_EPOCHS"
+        if _epoch_committed(spark, ledger, epoch_id):
+            return
+        write_jdbc(batch_df, url, stage, mode="overwrite")
+        conn = _driver_connection(spark, url)
+        try:
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            try:
+                if not _table_exists(conn, table):
+                    st.executeUpdate(
+                        f"CREATE TABLE {table} AS SELECT * FROM {stage} "
+                        "WITH NO DATA"
+                    )
+                    conn.commit()  # DDL before the data txn
                 st.executeUpdate(
                     f"INSERT INTO {table} SELECT * FROM {stage}"
                 )

@@ -26,6 +26,23 @@ from pyspark.sql.types import StructType
 CORRUPT_COL = "_corrupt_record"
 
 
+def corrupt_schema(schema: StructType | str) -> StructType:
+    """The caller's schema plus the ``_corrupt_record`` column, as a NEW
+    StructType. Never use ``StructType.add`` on a caller-supplied schema:
+    ``add`` mutates in place AND returns self, so a reused schema object
+    would permanently grow a phantom corrupt column (and a second
+    quarantine read would add a duplicate). Shared by the batch and
+    streaming JSONL readers and the CSV quarantine reader
+    (``olist.read_csv_quarantine``) so the quarantine contract has one
+    definition."""
+    from pyspark.sql.types import StringType, StructField
+
+    base = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    return StructType(
+        list(base.fields) + [StructField(CORRUPT_COL, StringType())]
+    )
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
@@ -41,9 +58,7 @@ def read_jsonl(
     (DROPMALFORMED), matching a best-effort corpus ingest.
     """
     if keep_corrupt:
-        full = (
-            StructType.fromDDL(schema) if isinstance(schema, str) else schema
-        ).add(CORRUPT_COL, "string")
+        full = corrupt_schema(schema)
         return (
             spark.read.schema(full)
             .option("mode", "PERMISSIVE")
@@ -103,9 +118,7 @@ def read_jsonl_stream(
     carries the ``_corrupt_record`` column (NULL for clean rows, the raw
     line for malformed ones) so a dead-letter split can run downstream —
     the streaming twin of ``read_jsonl(keep_corrupt=True)``."""
-    full = (
-        StructType.fromDDL(schema) if isinstance(schema, str) else schema
-    ).add(CORRUPT_COL, "string")
+    full = corrupt_schema(schema)
     return (
         spark.readStream.schema(full)
         .option("mode", "PERMISSIVE")

@@ -130,13 +130,10 @@ def read_csv_quarantine(
     Use ``split_quarantine`` (which caches) rather than filtering the
     raw relation yourself.
     """
-    from pyspark.sql.types import StructType
+    from .jsonl import corrupt_schema
 
-    full = (
-        StructType.fromDDL(schema) if isinstance(schema, str) else schema
-    ).add(CORRUPT_COL, "string")
     return (
-        spark.read.schema(full)
+        spark.read.schema(corrupt_schema(schema))
         .option("header", str(header).lower())
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
@@ -147,19 +144,26 @@ def read_csv_quarantine(
 def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split a ``read_csv_quarantine`` frame into (clean, quarantine).
 
-    Caches the parsed frame first — Spark refuses predicates over a raw
+    Materializes the parse first — Spark refuses predicates over a raw
     CSV relation that reference only the corrupt-record column (see
-    ``read_csv_quarantine``). The cache is the documented escape hatch
-    for audit-sized feeds; at corpus scale, write the parsed frame to
-    parquet once and split the parquet instead. ``clean`` drops the
-    corrupt column; ``quarantine`` keeps the raw line for triage.
+    ``read_csv_quarantine``) — but does NOT leave a cache pinned for the
+    session: the two sides are localCheckpoint'd (one parse, executor
+    blocks released by the ContextCleaner when the frames are dropped)
+    and the transient cache is unpersisted before returning, so repeated
+    quarantine reads cannot accumulate session-lifetime storage. This is
+    the escape hatch for audit-sized feeds; at corpus scale, write the
+    parsed frame to parquet once and split the parquet instead.
+    ``clean`` drops the corrupt column; ``quarantine`` keeps the raw
+    line for triage.
     """
-    cached = df.cache()
-    c = F.col(CORRUPT_COL)
-    return (
-        cached.filter(c.isNull()).drop(CORRUPT_COL),
-        cached.filter(c.isNotNull()),
-    )
+    cached = df.persist()
+    try:
+        c = F.col(CORRUPT_COL)
+        clean = cached.filter(c.isNull()).drop(CORRUPT_COL).localCheckpoint()
+        bad = cached.filter(c.isNotNull()).localCheckpoint()
+    finally:
+        cached.unpersist()
+    return clean, bad
 
 
 def extract_data(spark: SparkSession, base_path: str) -> dict[str, DataFrame] | None:

@@ -85,8 +85,27 @@ ATTR_OUTPUT_SCHEMA = StructType(
 )
 
 
+
+def _session_tz(df: "DataFrame") -> str:
+    return df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+
+
+def _ts_us(ts, tz: str) -> int:
+    """Event-time in epoch microseconds. Arrow hands the pandas UDF
+    tz-NAIVE timestamps rendered in the SESSION timezone, so a bare
+    ``.value`` is epoch time only when that zone is UTC; under any other
+    session zone the naive wall-clock must be localized first or every
+    emitted *_us drifts by the UTC offset (and silently disagrees with
+    the batch twins' ``F.unix_micros``). Localization raises on a
+    DST-ambiguous wall time — loud beats silently mis-ordered state.
+    """
+    t = pd.Timestamp(ts)
+    if t.tz is None and tz not in ("UTC", "Etc/UTC", "GMT", "Z"):
+        t = t.tz_localize(tz)
+    return int(t.value // 1000)
+
 def _attribute(
-    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    tz: str, key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     last_ts, last_id = state.get if state.exists else (None, None)
     out: list[tuple] = []
@@ -96,7 +115,7 @@ def _attribute(
         for ts, eid, etype, value in zip(
             pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["value"]
         ):
-            ts_us = int(pd.Timestamp(ts).value // 1000)
+            ts_us = _ts_us(ts, tz)
             if etype == "click":
                 last_ts, last_id = ts_us, int(eid)
             elif etype == "purchase":
@@ -143,8 +162,10 @@ def attribution_stream(events: DataFrame) -> DataFrame:
     them, exactly as a production attribution pipeline re-states
     yesterday's credit.
     """
+    import functools
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _attribute,
+        functools.partial(_attribute, _session_tz(events)),
         outputStructType=ATTR_OUTPUT_SCHEMA,
         stateStructType=ATTR_STATE_SCHEMA,
         outputMode="append",
@@ -173,7 +194,7 @@ _UNSET = -1
 
 
 def _advance_funnel(
-    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    tz: str, key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     s_us, c_us, p_us = state.get if state.exists else (_UNSET, _UNSET, _UNSET)
     was_converted = p_us != _UNSET
@@ -181,7 +202,7 @@ def _advance_funnel(
     if pdfs:
         pdf = pd.concat(pdfs).sort_values(["ts", "event_id"])
         for ts, etype in zip(pdf["ts"], pdf["event_type"]):
-            ts_us = int(pd.Timestamp(ts).value // 1000)
+            ts_us = _ts_us(ts, tz)
             if etype == "signup" and s_us == _UNSET:
                 s_us = ts_us
             elif (
@@ -230,8 +251,10 @@ def funnel_stream(events: DataFrame) -> DataFrame:
     population; NoTimeout here because the fixture population is
     bounded — production would evict converted/idle users.
     """
+    import functools
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _advance_funnel,
+        functools.partial(_advance_funnel, _session_tz(events)),
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="append",

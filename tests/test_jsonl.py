@@ -239,3 +239,58 @@ def test_streaming_quarantine_splits_and_replays_clean(spark, tmp_path):
     spark.catalog.refreshByPath(bad)
     assert spark.read.parquet(good).count() == 2
     assert spark.read.parquet(bad).count() == 2
+
+
+def test_corrupt_schema_never_mutates_caller_schema(spark, tmp_path):
+    """StructType.add mutates in place AND returns self, so the
+    quarantine readers must build the +_corrupt_record schema as a COPY:
+    a reused caller StructType must stay unchanged across repeated
+    keep_corrupt reads (no phantom column, no duplicate on the second
+    call)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_power_bi_dashboard_spark.sources.jsonl import corrupt_schema
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\n{nope\n')
+    for _ in range(2):  # second pass would hit the duplicate-column bug
+        df = read_jsonl(spark, str(p), schema, keep_corrupt=True)
+        assert df.columns == ["doc_id", "text", CORRUPT_COL]
+        assert [f.name for f in schema.fields] == ["doc_id", "text"]
+    full = corrupt_schema(schema)
+    assert [f.name for f in full.fields] == ["doc_id", "text", CORRUPT_COL]
+    assert [f.name for f in schema.fields] == ["doc_id", "text"]
+
+
+def test_conform_to_schema_matches_case_insensitively(spark):
+    """Spark resolves column names case-insensitively by default;
+    conform_to_schema must do the same — a producer's LANG satisfies a
+    declared lang instead of being silently nulled out."""
+    from etl_power_bi_dashboard_spark.sources.evolve import conform_to_schema
+
+    df = spark.createDataFrame([(1, "en")], "DOC_ID long, LANG string")
+    out = conform_to_schema(df, "doc_id bigint, lang string, extra int")
+    row = out.collect()[0]
+    assert out.columns == ["doc_id", "lang", "extra"]
+    assert (row.doc_id, row.lang, row.extra) == (1, "en", None)
+
+
+def test_stateful_ts_us_localizes_non_utc_sessions():
+    """The stateful operators' epoch-µs conversion must localize naive
+    session-zone wall clocks: under UTC it is the raw value, under a
+    fixed-offset zone it differs by exactly the offset."""
+    import pandas as pd
+
+    from etl_power_bi_dashboard_spark.streaming.stateful import _ts_us
+
+    naive = pd.Timestamp("2024-06-01 12:00:00")
+    utc_us = _ts_us(naive, "UTC")
+    assert utc_us == naive.value // 1000
+    sp_us = _ts_us(naive, "Etc/GMT+3")  # fixed UTC-3, no DST ambiguity
+    assert sp_us - utc_us == 3 * 3600 * 1_000_000

@@ -31,8 +31,10 @@ def _build_parser() -> argparse.ArgumentParser:
         rp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
         if name == "run":
             rp.add_argument("--out", default=None)
+            # default None so an explicit "--format show --out X"
+            # contradiction is distinguishable from the defaults
             rp.add_argument(
-                "--format", default="show", choices=["parquet", "csv", "show"]
+                "--format", default=None, choices=["parquet", "csv", "show"]
             )
             rp.add_argument("--limit", type=int, default=20)
 
@@ -79,6 +81,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         df.explain("formatted")
         return 0
 
+    # enforce the --out/--format contract instead of silently picking:
+    # a file format needs a destination, "show" must not write, and a
+    # bare --out defaults to parquet
+    if args.format == "show" and args.out:
+        print("--format show does not take --out", file=sys.stderr)
+        return 2
+    if args.format in ("parquet", "csv") and not args.out:
+        print(f"--format {args.format} requires --out PATH", file=sys.stderr)
+        return 2
     if args.out:
         writer = df.write.mode("overwrite")
         if args.format == "csv":

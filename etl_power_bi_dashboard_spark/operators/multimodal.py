@@ -25,11 +25,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# The contract of with_binary_payload's output (kept in lockstep with
+# that function — a consumer can validate or createDataFrame against it).
 PAYLOAD_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("payload", BinaryType()),
-        StructField("media_type", StructType([])),
+        StructField("byte_len", LongType()),
+        StructField("media_type", StringType()),
     ]
 )
 
@@ -98,6 +101,8 @@ def explode_sampled_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             rows = {"doc_id": [], "frame_no": [], "frame_len": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # a payload-less row has no frames
                 for i, fr in enumerate(sample_frames(payload, every_n, codec="fake")):
                     rows["doc_id"].append(doc_id)
                     rows["frame_no"].append(i)
@@ -130,6 +135,8 @@ def frame_hashes(df: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             rows = {"doc_id": [], "frame_no": [], "frame_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # no payload, no frames to fingerprint
                 frames = sample_frames(payload, every_n, codec="fake")
                 for i, fr in enumerate(frames):
                     rows["doc_id"].append(doc_id)
@@ -161,6 +168,8 @@ def resize_payloads(df: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "out_len": [], "resized_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # nothing to decode
                 px = resize_image(
                     decode_image(payload, codec="fake"), width, height, codec="fake"
                 )
@@ -193,6 +202,9 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads (e.g. null source text) carry no features;
+            # an unguarded len()/sum() over None would kill the job
+            pdf = pdf[pdf["payload"].notna()]
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
@@ -242,6 +254,8 @@ def frame_audio(df: DataFrame, frame: int = 64, hop: int = 32) -> DataFrame:
                 "n_samples": [], "energy": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # no samples to frame
                 buf = bytes(payload)
                 for idx, s in enumerate(range(0, len(buf) - frame + 1, hop)):
                     window = buf[s:s + frame]

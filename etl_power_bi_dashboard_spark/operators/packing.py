@@ -58,11 +58,14 @@ def pack_concat_chunk(
     FLOOR over an IEEE divide) are exact integer arithmetic, so the
     layout is bit-identical on any engine at any stream length (a double
     divide would lose exactness once a bucket's cumulative token count
-    passed 2^53).
+    passed 2^53). NULL-text documents are dropped up front — they have
+    no tokens to lay out, and a NULL hash/count would otherwise poison
+    the bucket key and the cumulative sums.
     """
     w = Window.partitionBy("bucket").orderBy("h", "doc_id")
     laid = (
-        docs.select(
+        docs.filter(F.col("text").isNotNull())
+        .select(
             "doc_id",
             token_count(F.col("text")).cast("bigint").alias("n_tokens"),
             F.md5(F.col("text")).alias("h"),
@@ -96,9 +99,11 @@ def pack_greedy(
     pandas pass over buckets (Arrow-batched, one invocation per bucket) —
     the documented pattern for per-partition imperative logic. Output:
     (doc_id, bucket, n_tokens, bin_no, bin_fill) where bin_fill is the
-    bin's running token total after placing the document.
+    bin's running token total after placing the document. NULL-text
+    documents are dropped up front (no tokens to pack; a NULL count
+    would arrive in pandas as NaN and kill the grouped map).
     """
-    prepped = docs.select(
+    prepped = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         token_count(F.col("text")).cast("bigint").alias("n_tokens"),
         F.md5(F.col("text")).alias("h"),

@@ -140,12 +140,20 @@ class Canvas:
             cx += 6 * scale
 
     def blit(self, other: "Canvas", x: int, y: int) -> None:
+        # clamp BOTH axes: an x-overlapping row would otherwise wrap into
+        # the next raster row (and grow the buffer past w*h*3 on the
+        # last one); negative x would index from the buffer's end
+        sx0 = max(0, -x)
+        sx1 = min(other.w, self.w - x)
+        if sx1 <= sx0:
+            return
         for sy in range(other.h):
             if not 0 <= y + sy < self.h:
                 continue
-            src = (sy * other.w) * 3
-            dst = ((y + sy) * self.w + x) * 3
-            self.buf[dst : dst + other.w * 3] = other.buf[src : src + other.w * 3]
+            src = (sy * other.w + sx0) * 3
+            dst = ((y + sy) * self.w + x + sx0) * 3
+            n = (sx1 - sx0) * 3
+            self.buf[dst : dst + n] = other.buf[src : src + n]
 
     def to_png(self) -> bytes:
         def chunk(tag: bytes, data: bytes) -> bytes:
@@ -245,6 +253,16 @@ def _raster_bar_chart(
     height: int,
 ) -> Canvas:
     c = Canvas(width, height)
+    if not values:
+        # empty aggregate (e.g. a filter matched nothing): emit a titled
+        # placeholder instead of crashing the whole dashboard build
+        c.text(max((width - _text_w(title, 2)) // 2, 4), 8, title, scale=2)
+        c.text(
+            max((width - _text_w("NO DATA")) // 2, 4), height // 2, "NO DATA"
+        )
+        if path:
+            c.save(path)
+        return c
     vmax = max(max(values), 1e-12)
     n = len(values)
 
@@ -338,35 +356,34 @@ def build_dashboard(spark: SparkSession, sf_dir: str, out_dir: str) -> list[str]
     )
     paths.append(os.path.join(out_dir, "sales_by_month.png"))
 
-    cats = sorted(
-        REGISTRY["a3_sales_by_category"].spark(spark, sf_dir).collect(),
-        key=lambda r: -float(r.total_sales),
-    )[:10]
-    c_cat = render_bar_chart(
-        [r.category for r in cats],
-        [float(r.total_sales) for r in cats],
-        "Top 10 Categorias por Vendas",
-        "Vendas (R$)",
-        "Categoria",
-        os.path.join(out_dir, "sales_by_category.png"),
-        horizontal=True,
-    )
-    paths.append(os.path.join(out_dir, "sales_by_category.png"))
+    def top10_chart(registry_key, label_field, title, ylabel, fname):
+        rows = sorted(
+            REGISTRY[registry_key].spark(spark, sf_dir).collect(),
+            key=lambda r: -float(r.total_sales),
+        )[:10]
+        path = os.path.join(out_dir, fname)
+        canvas = render_bar_chart(
+            [getattr(r, label_field) for r in rows],
+            [float(r.total_sales) for r in rows],
+            title,
+            "Vendas (R$)",
+            ylabel,
+            path,
+            horizontal=True,
+        )
+        paths.append(path)
+        return canvas
 
-    states = sorted(
-        REGISTRY["a4_sales_by_state"].spark(spark, sf_dir).collect(),
-        key=lambda r: -float(r.total_sales),
-    )[:10]
-    c_state = render_bar_chart(
-        [r.state for r in states],
-        [float(r.total_sales) for r in states],
-        "Top 10 Estados por Vendas",
-        "Vendas (R$)",
-        "Estado",
-        os.path.join(out_dir, "sales_by_state.png"),
-        horizontal=True,
+    c_cat = top10_chart(
+        "a3_sales_by_category", "category",
+        "Top 10 Categorias por Vendas", "Categoria",
+        "sales_by_category.png",
     )
-    paths.append(os.path.join(out_dir, "sales_by_state.png"))
+    c_state = top10_chart(
+        "a4_sales_by_state", "state",
+        "Top 10 Estados por Vendas", "Estado",
+        "sales_by_state.png",
+    )
 
     reviews = sorted(
         REGISTRY["a7_review_distribution"].spark(spark, sf_dir).collect(),

@@ -36,7 +36,14 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    # `is None`, not truthiness: an explicit shuffle_partitions=0 must
+    # surface as the (invalid) value the caller passed, not silently
+    # become the env default
+    shuffle = (
+        shuffle_partitions
+        if shuffle_partitions is not None
+        else int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    )
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -32,12 +32,23 @@ GROUP BY d.year, d.quarter
 def register_star_views(
     spark: SparkSession, dims: dict[str, DataFrame], fact: DataFrame
 ) -> list[str]:
-    """Register fact_sales + dim_* as temp views; returns the view names."""
+    """Register fact_sales + dim_* as temp views; returns the view names.
+
+    Temp views land in the catalog of each DataFrame's OWN session —
+    ``spark`` is validated against them rather than used to register, so
+    a frame from a different session fails loudly here instead of
+    ``answer_measures(spark)`` failing later with a missing-view error.
+    """
     names = []
-    fact.createOrReplaceTempView("fact_sales")
-    names.append("fact_sales")
-    for name, df in dims.items():
-        view = f"dim_{name}"
+    for view, df in [("fact_sales", fact)] + [
+        (f"dim_{name}", df) for name, df in dims.items()
+    ]:
+        if df.sparkSession is not spark:
+            raise ValueError(
+                f"{view}: DataFrame belongs to a different SparkSession "
+                "than the one passed; its temp view would not be visible "
+                "to queries on this session"
+            )
         df.createOrReplaceTempView(view)
         names.append(view)
     return names

@@ -56,3 +56,24 @@ def test_cli_explain_and_unknown(spark):
     assert rc == 0 and "Physical Plan" in out
     rc, _ = _run(["run", "nope_not_a_query"], spark=spark)
     assert rc == 2
+
+
+def test_run_format_out_contract(spark, tmp_path):
+    """--format show + --out is a contradiction (exit 2); a file format
+    without --out is too; bare --out still writes parquet."""
+    from etl_power_bi_dashboard_spark.__main__ import main
+
+    out = str(tmp_path / "o")
+    assert main(
+        ["run", "p1_projection", "--sf-dir", SF_DIR, "--out", out,
+         "--format", "show"], spark=spark,
+    ) == 2
+    assert main(
+        ["run", "p1_projection", "--sf-dir", SF_DIR, "--format", "csv"],
+        spark=spark,
+    ) == 2
+    assert main(
+        ["run", "p1_projection", "--sf-dir", SF_DIR, "--out", out],
+        spark=spark,
+    ) == 0
+    assert spark.read.parquet(out).count() > 0

@@ -106,3 +106,22 @@ def test_greedy_packs_tighter_than_one_doc_per_bin(spark):
         if r.fill <= CTX / 2:
             half_empty[r.bucket] = half_empty.get(r.bucket, 0) + 1
     assert all(v <= 1 for v in half_empty.values()), half_empty
+
+
+def test_packers_drop_null_text_rows(spark):
+    """A NULL-text document has no tokens: both packers must drop it
+    (a NULL count reaches pandas as NaN and would kill the grouped map;
+    the window packer would emit NULL bucket/seq rows)."""
+    from etl_power_bi_dashboard_spark.operators.packing import (
+        pack_concat_chunk,
+        pack_greedy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")], "doc_id long, text string"
+    )
+    g = pack_greedy(docs, ctx_len=4, n_buckets=2).collect()
+    assert {r.doc_id for r in g} == {1, 3}
+    c = pack_concat_chunk(docs, ctx_len=4, n_buckets=2).collect()
+    assert {r.doc_id for r in c} == {1, 3}
+    assert all(r.bucket is not None for r in c)

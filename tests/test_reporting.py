@@ -69,3 +69,39 @@ def test_canvas_text_and_bounds():
     c2 = Canvas(10, 10)
     c2.rect(-5, -5, -1, -1, (0, 0, 0))
     c2.text(100, 100, "Z")
+
+
+def test_raster_chart_handles_empty_data(tmp_path):
+    """An empty aggregate must yield a titled placeholder chart, not a
+    max()/ZeroDivision crash that kills the whole dashboard build."""
+    from etl_power_bi_dashboard_spark.reporting.charts import render_bar_chart
+
+    p = str(tmp_path / "empty.png")
+    c = render_bar_chart([], [], "Nothing", "x", "y", p)
+    assert c.w > 0 and len(c.buf) == c.w * c.h * 3
+    assert (tmp_path / "empty.png").exists()
+
+
+def test_canvas_blit_clamps_both_axes():
+    """A blit overlapping the right edge must clip, not wrap into the
+    next row or grow the buffer past w*h*3; negative offsets clip too."""
+    from etl_power_bi_dashboard_spark.reporting.charts import Canvas
+
+    big = Canvas(10, 10)
+    small = Canvas(5, 5)
+    small.rect(0, 0, 4, 4, (255, 0, 0))
+    big.blit(small, 8, 8)
+    assert len(big.buf) == 10 * 10 * 3
+    # row 8: pixels 8..9 red; row 9's left edge keeps the background
+    # (pre-fix, the overflow wrapped source pixels there)
+    untouched = Canvas(10, 10)
+    red = bytes([255, 0, 0])
+    assert bytes(big.buf[(8 * 10 + 8) * 3 :][:3]) == red
+    assert (
+        bytes(big.buf[(9 * 10 + 0) * 3 :][:3])
+        == bytes(untouched.buf[(9 * 10 + 0) * 3 :][:3])
+    )
+    big2 = Canvas(10, 10)
+    big2.blit(small, -2, -2)  # negative offsets: top-left clipped
+    assert len(big2.buf) == 10 * 10 * 3
+    assert big2.buf[0] == 255  # (0,0) holds small's (2,2)

@@ -288,14 +288,11 @@ _IVF_INDEX_PATH = "/tmp/spark_graft_bench_ivf_index"
 
 
 def _ivf_parts(spark, sf_dir: str):
-    from pyspark.sql import functions as F
+    # the ONE definition of the IVF workload conventions — the indexed
+    # bench row must measure exactly q_v2_ann_ivf's centroids/queries
+    from etl_power_bi_dashboard_spark.plans.similarity_plans import ivf_parts
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
-    queries = emb.filter(F.col("vec_id") < 5)
-    return emb, centroids, queries
+    return ivf_parts(spark, sf_dir)
 
 
 def _prepare_ivf_index(spark, sf_dir: str) -> None:
@@ -344,7 +341,12 @@ def _tail_plan(name: str):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
+    try:
+        # a directory like .../sf./x or .../sf1.2.3/x must degrade to
+        # sf=None, not kill the bench at startup
+        sf = float(m.group(1).rstrip(".")) if m else None
+    except ValueError:
+        sf = None
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -398,7 +400,13 @@ def main() -> None:
     for name in FRESH_SESSION_TAIL:
         if name in _D6_DEPENDENTS:
             # stay in d6's clean session; time the delta over the
-            # labels materialized below
+            # labels materialized below. The labels MUST exist — a list
+            # reorder that put a dependent before d6_dup_clusters would
+            # otherwise silently re-pay the full CC fixpoint per rep,
+            # re-inflating exactly the ~37s this path exists to remove.
+            assert d6_labels is not None, (
+                f"{name} must follow d6_dup_clusters in FRESH_SESSION_TAIL"
+            )
             plan = REGISTRY[name].spark
             best = None
             for _ in range(3):

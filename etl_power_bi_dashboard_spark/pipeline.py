@@ -32,16 +32,6 @@ def run_pipeline(
     return dims, fact, aggs
 
 
-if __name__ == "__main__":
-    import sys
-
-    from .session import get_spark
-
-    base = sys.argv[1] if len(sys.argv) > 1 else "data/raw/"
-    out = sys.argv[2] if len(sys.argv) > 2 else None
-    result = run_pipeline(get_spark(), base, out)
-    if result is None:
-        print("extract failed: missing required input files")
-        sys.exit(1)
-    dims, fact, aggs = result
-    print(f"dims={list(dims)} fact_rows={fact.count()} aggs={list(aggs)}")
+# No __main__ block: `python -m etl_power_bi_dashboard_spark pipeline`
+# (see __main__.py) is the one CLI entry — a script-style block here
+# would duplicate it and die on the relative imports anyway.

@@ -41,14 +41,24 @@ FROM (
 """
 
 
-def q_v2_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-3: centroids := vectors with vec_id % 50 = 0,
-    assign corpus to nearest centroid, probe 2 clusters per query."""
+def ivf_parts(spark: SparkSession, sf_dir: str):
+    """Shared IVF bench/plan conventions: (corpus, centroids, queries)
+    with centroids := vectors whose vec_id % 50 == 0 and queries :=
+    vec_id < 5. ONE definition consumed by q_v2_ann_ivf, the v8 probe
+    sweep, and bench.py's indexed-ANN variant, so the inline-vs-indexed
+    timing comparison can never silently measure different workloads."""
     emb = load(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries = emb.filter(F.col("vec_id") < 5)
+    return emb, centroids, queries
+
+
+def q_v2_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: centroids := vectors with vec_id % 50 = 0,
+    assign corpus to nearest centroid, probe 2 clusters per query."""
+    emb, centroids, queries = ivf_parts(spark, sf_dir)
     return similarity.ivf_topk(emb, centroids, queries, k=3, n_probe=2)
 
 
@@ -814,11 +824,7 @@ def q_v8_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is shared logic (operators/similarity.py:ivf_topk);
     only the probe filter varies across the three branches.
     """
-    emb = load(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
-    queries = emb.filter(F.col("vec_id") < 5)
+    emb, centroids, queries = ivf_parts(spark, sf_dir)
     exact = similarity.cosine_topk(emb, queries, k=3)
     out = None
     for np_ in (1, 2, 4):

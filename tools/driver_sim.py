@@ -59,10 +59,12 @@ def main() -> int:
     results: dict[str, dict] = {}
     n_fail = 0
     for name in names:
-        q = REGISTRY[name]
         t0 = time.time()
         row: dict = {}
         try:
+            # inside the try: a typo'd --names entry records an ERROR
+            # row and the run continues — mirrors the driver
+            q = REGISTRY[name]
             pdf_s = q.spark(spark, args.sf_dir).toPandas()
             if q.oracle is None:
                 row = {"status": "rows_only", "spark_rows": len(pdf_s)}

@@ -329,16 +329,34 @@ def minhash_signatures(
 
 
 def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
-    """(doc_id, band_no, band_sig): concat of each band's signature rows."""
+    """(doc_id, band_no, band_sig): concat of each band's signature rows.
+
+    The signature length must be a MULTIPLE of ``rows_per_band`` —
+    enforced with an in-plan assert_true. Silently flooring would drop
+    the trailing signature rows (recall lower than the k the caller
+    paid for), and rows_per_band > k would make ``sequence(0, -1)``
+    yield a phantom negative-start band that slices from the array
+    TAIL."""
+    # the guard is the sequence bound itself (a detached assert column
+    # would be pruned as unused): rows with a mismatched length hit the
+    # raise_error branch instead of silently flooring the band count
+    n_bands_minus_1 = F.when(
+        F.size("sig") % rows_per_band == 0,
+        (F.size("sig") / rows_per_band).cast("int") - 1,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "lsh_bands: signature length must be a multiple of "
+                f"rows_per_band={rows_per_band}"
+            )
+        ).cast("int")
+    )
     return signatures.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 # band starts: 0, r, 2r, ... — slice is 1-indexed
-                F.sequence(
-                    F.lit(0),
-                    (F.size("sig") / rows_per_band).cast("int") - 1,
-                ),
+                F.sequence(F.lit(0), n_bands_minus_1),
                 lambda b: F.array_join(
                     F.slice("sig", (b * rows_per_band + 1).cast("int"), rows_per_band),
                     "",
@@ -415,7 +433,7 @@ def simhash_fingerprints(
     """
     tok = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).select("doc_id", token_hash60(F.col("tok")).alias("h"))
     bit_sums = [
         F.sum(

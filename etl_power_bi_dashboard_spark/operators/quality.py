@@ -186,10 +186,14 @@ def sequence_gap_report(
             .alias("tot"),
         )
     )
+    # empty input: n_rows/missing coalesce to 0 (the same concrete-empty
+    # semantics expectation_report guarantees — a monitor alerting on
+    # missing > 0 or reading n_rows must not hit NULLs); min/max stay
+    # NULL, honestly — there are no ids to bound
     tot = summary.agg(
         F.min("lo").alias("min_id"),
         F.max("hi").alias("max_id"),
-        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_rows"),
     )
     return (
         tot.crossJoin(
@@ -210,7 +214,10 @@ def sequence_gap_report(
             "min_id",
             "max_id",
             "n_rows",
-            (F.col("max_id") - F.col("min_id") + 1 - F.col("n_rows"))
+            F.coalesce(
+                F.col("max_id") - F.col("min_id") + 1 - F.col("n_rows"),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias("missing"),
             (F.col("_wg") + F.col("_sg")).cast("bigint").alias("n_gaps"),

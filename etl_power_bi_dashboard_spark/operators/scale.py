@@ -21,16 +21,25 @@ from pyspark.sql import functions as F
 
 
 def salted_sum(
-    df: DataFrame, key: str, value: str, salt_buckets: int = 16
+    df: DataFrame, key: str, value: str, salt_buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-resistant sum: partial agg on (key, salt) → final agg on key.
 
-    Salt is derived from a hash of the whole row's value column (cheap,
-    deterministic, no RNG → reproducible plans). Equivalent to a plain
-    groupBy().sum() — tests assert equality.
+    Salt is derived from a hash of ``salt_cols`` (default: every column,
+    like :func:`salted_join` — cheap, deterministic, no RNG →
+    reproducible plans). Hashing the value column ALONE is the trap the
+    default avoids: a hot key whose values are constant (count-style
+    value=1) would land every row in one (key, salt) group and keep the
+    skew intact. Equivalent to a plain groupBy().sum() — tests assert
+    equality for any salt choice.
     """
+    salt_src = salt_cols if salt_cols else df.columns
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(value)), F.lit(salt_buckets))
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt_buckets)
+        ),
     )
     partial = salted.groupBy(key, "_salt").agg(F.sum(value).alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").alias(f"sum_{value}"))
@@ -126,10 +135,16 @@ def bloom_build(keys: DataFrame, key: str, m_bits: int = 8192,
         .groupBy("_word")
         .agg(F.bit_or("_mask").alias("_bits"))
     )
+    # the sketch row carries its OWN parameters so a mismatched prune
+    # cannot silently produce false negatives (see bloom_prune)
     return words.agg(
         F.map_from_arrays(
             F.collect_list("_word"), F.collect_list("_bits")
         ).alias("_bloom")
+    ).select(
+        "_bloom",
+        F.lit(m_bits).cast("long").alias("_m_bits"),
+        F.lit(k_hashes).cast("int").alias("_k_hashes"),
     )
 
 
@@ -141,10 +156,25 @@ def bloom_prune(big: DataFrame, bloom: DataFrame, key: str,
     shuffle moves the full fact table when the build side isn't
     broadcastable. False positives survive (callers follow with an exact
     join — see q_sc3); false negatives are impossible, so pruning is
-    sound.
+    sound — PROVIDED the probe parameters match the build's. The sketch
+    row carries its own (_m_bits, _k_hashes), and the probe refuses to
+    run against a sketch built with different parameters: a mismatch
+    would compute different bit positions and silently drop rows whose
+    keys ARE in the filter.
     """
     pruned = big.crossJoin(F.broadcast(bloom))
-    cond = F.lit(True)
+    cond = F.when(
+        (F.col("_m_bits") == F.lit(m_bits))
+        & (F.col("_k_hashes") == F.lit(k_hashes)),
+        F.lit(True),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"bloom_prune(m_bits={m_bits}, k_hashes={k_hashes}) "
+                "does not match the sketch's build parameters"
+            )
+        ).cast("boolean")
+    )
     for i in range(k_hashes):
         pos = f"pmod(xxhash64({key}, {i}), {m_bits})"
         word = F.coalesce(
@@ -153,7 +183,7 @@ def bloom_prune(big: DataFrame, bloom: DataFrame, key: str,
         )
         mask = F.expr(f"shiftleft(1L, CAST({pos} % 64 AS INT))")
         cond = cond & (word.bitwiseAND(mask) != 0)
-    return pruned.filter(cond).drop("_bloom")
+    return pruned.filter(cond).drop("_bloom", "_m_bits", "_k_hashes")
 
 
 def distributed_row_number(

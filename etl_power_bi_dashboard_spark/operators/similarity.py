@@ -201,6 +201,7 @@ def lsh_neardup_pairs(
     n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """LSH-bucketed near-dup: candidate pairs share a bucket in at least
     one of ``n_tables`` independent hash tables, then exact cosine
@@ -221,6 +222,12 @@ def lsh_neardup_pairs(
     keeps the untagged construction (oracle-compatible with the single-
     table SQL twin). Candidates are verified by joining vec ids back to
     the vector table — per-candidate cost, never all-pairs.
+
+    ``dim`` MUST equal the embedding dimensionality: the hyperplane dot
+    product reads exactly ``dim`` vector slots, so a smaller true
+    dimension would NULL every plane (ANSI off: all vectors collapse
+    into bucket 0 and the join degenerates to all-pairs; ANSI on:
+    element_at throws). The corpus fixture is 64-dim, hence the default.
     """
     if n_tables < 1:
         raise ValueError(f"n_tables must be >= 1, got {n_tables}")
@@ -231,7 +238,8 @@ def lsh_neardup_pairs(
     for t in range(n_tables):
         tag = "" if t == 0 else f"T{t}:"
         bt = vecs.select(
-            "vec_id", lsh_bucket(F.col("v"), n_planes, tag=tag).alias("bucket")
+            "vec_id",
+            lsh_bucket(F.col("v"), n_planes, dim=dim, tag=tag).alias("bucket"),
         )
         left = bt.alias("a")
         right = bt.alias("b")

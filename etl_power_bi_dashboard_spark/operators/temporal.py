@@ -16,6 +16,7 @@ def asof_join(
     on: str,
     ts: str = "ts",
     right_value_cols: list[str] | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for every left row, the most recent right row with
     right.ts <= left.ts, per key.
@@ -25,6 +26,12 @@ def asof_join(
     ignore-nulls `last` window — ONE shuffle on the key, no range
     self-join blowup, works at any key cardinality. (The pandas
     counterpart is merge_asof; Spark has no built-in.)
+
+    ``tiebreak`` names a right column that orders equal-timestamp right
+    rows (ascending; the LARGEST value wins, being carried last) — the
+    same determinism knob as :func:`asof_join_forward`. Without it, two
+    right rows at the same instant make the carried values
+    partition-order dependent.
     """
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in (on, ts)
@@ -53,10 +60,15 @@ def asof_join(
             *[f"_r_{c}" for c in right_value_cols],
         )
     )
-    # right rows sort before left rows at the same timestamp (asof <=)
+    # right rows sort before left rows at the same timestamp (asof <=);
+    # the optional tiebreak orders equal-ts right rows (left rows carry
+    # NULL there and sort first within their _side group — harmless)
+    order = [F.col(ts), F.col("_side")]
+    if tiebreak is not None:
+        order.append(F.col(f"_r_{tiebreak}"))
     w = (
         Window.partitionBy(on)
-        .orderBy(ts, "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
@@ -263,6 +275,7 @@ def range_join_buckets(
     on: str,
     ts: str = "ts",
     window_seconds: int = 300,
+    dedup: bool = True,
 ) -> DataFrame:
     """Bounded range join: pairs (l, r) with same key and
     l.ts <= r.ts < l.ts + window.
@@ -288,17 +301,20 @@ def range_join_buckets(
     joined = l_exp.join(
         r, (l_exp[on] == r["_ron"]) & (l_exp["_b"] == r["_rb"]), "inner"
     )
-    return (
-        joined.filter(
-            (F.col("r_ts") >= F.col("l_ts"))
-            & (
-                F.unix_micros("r_ts")
-                < F.unix_micros("l_ts") + F.lit(win_us)
-            )
+    out = joined.filter(
+        (F.col("r_ts") >= F.col("l_ts"))
+        & (
+            F.unix_micros("r_ts")
+            < F.unix_micros("l_ts") + F.lit(win_us)
         )
-        .select(on, "l_ts", "r_ts")
-        .distinct()
-    )
+    ).select(on, "l_ts", "r_ts")
+    # the bucket explode never duplicates a (left_row, right_row) pair
+    # (each right row's _rb equals exactly one of {_lb, _lb+1}), but the
+    # (on, l_ts, r_ts) projection CAN repeat when the inputs hold
+    # duplicate (key, ts) rows; dedup=True returns SQL-DISTINCT
+    # semantics over the projection, dedup=False keeps multiplicity
+    # (and skips that extra shuffle) for callers that count matches
+    return out.distinct() if dedup else out
 
 
 def hierarchical_rollup(

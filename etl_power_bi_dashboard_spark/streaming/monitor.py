@@ -69,7 +69,12 @@ class ProgressLogListener(StreamingQueryListener):
         try:
             line = json.dumps(record, default=str)
             with self._lock:
-                os.makedirs(os.path.dirname(self.log_path), exist_ok=True)
+                # dirname is '' for a bare relative filename, and
+                # makedirs('') raises — which the blanket except below
+                # would swallow, silently dropping EVERY event
+                parent = os.path.dirname(self.log_path)
+                if parent:
+                    os.makedirs(parent, exist_ok=True)
                 with open(self.log_path, "a", encoding="utf-8") as fh:
                     fh.write(line + "\n")
         except Exception:

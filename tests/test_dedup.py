@@ -248,3 +248,25 @@ def test_d6_dependents_shared_labels_equivalence(spark):
         standalone = {tuple(r) for r in fn(spark, SF_DIR).collect()}
         shared = {tuple(r) for r in fn(spark, SF_DIR, labels=labels).collect()}
         assert shared == standalone and len(standalone) > 0, fn.__name__
+
+
+def test_lsh_bands_rejects_mismatched_rows_per_band(spark):
+    """A signature length that is not a multiple of rows_per_band must
+    raise in-plan, not silently drop the trailing rows (lower recall
+    than the k the caller paid for) or slice a phantom band."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.operators import dedup
+    from etl_power_bi_dashboard_spark.operators.text import word_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+    )
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+    sigs = dedup.minhash_signatures(sh, k=12)
+    assert dedup.lsh_bands(sigs, rows_per_band=3).count() == 8
+    with pytest.raises(Exception, match="multiple of rows_per_band"):
+        dedup.lsh_bands(sigs, rows_per_band=5).count()

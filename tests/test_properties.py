@@ -498,3 +498,68 @@ def test_sequence_gap_report_law(spark, ids, width):
     assert r.max_gap == (max(gaps) if gaps else 0)
     assert r.gap_total == sum(gaps)
     assert r.missing == r.gap_total == srt[-1] - srt[0] + 1 - len(srt)
+
+
+def test_asof_join_tiebreak_orders_equal_timestamps(spark):
+    """Two right rows at the identical timestamp: with tiebreak the
+    carried value is deterministic (largest tiebreak wins — carried
+    last under ascending order), matching asof_join_forward's knob."""
+    from etl_power_bi_dashboard_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 7),
+            (1, "2024-01-01 09:00:00", 3),
+        ],
+        "user_id long, ts string, click_id long",
+    ).select("user_id", F.col("ts").cast("timestamp"), "click_id")
+    out = temporal.asof_join(
+        left, right, on="user_id", ts="ts", tiebreak="click_id"
+    ).collect()
+    assert len(out) == 1 and out[0].asof_click_id == 7
+
+
+def test_range_join_buckets_dedup_flag(spark):
+    """dedup=True (the SQL-DISTINCT default the r2 oracle pins)
+    collapses the projection; dedup=False keeps multiplicity for
+    callers that count matches."""
+    from etl_power_bi_dashboard_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:01:00"), (1, "2024-01-01 10:01:00")],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp"))
+    assert (
+        temporal.range_join_buckets(
+            left, right, on="user_id", window_seconds=300
+        ).count()
+        == 1
+    )
+    assert (
+        temporal.range_join_buckets(
+            left, right, on="user_id", window_seconds=300, dedup=False
+        ).count()
+        == 2
+    )
+
+
+def test_sequence_gap_report_empty_input_is_concrete(spark):
+    """Zero input rows must report n_rows=0, missing=0 (not NULLs a
+    missing>0 monitor would silently pass over); min/max stay NULL —
+    there are no ids to bound."""
+    from etl_power_bi_dashboard_spark.operators.quality import (
+        sequence_gap_report,
+    )
+
+    empty = spark.createDataFrame([], "id long")
+    r = sequence_gap_report(empty).collect()[0]
+    assert (r.n_rows, r.missing, r.n_gaps, r.max_gap, r.gap_total) == (
+        0, 0, 0, 0, 0,
+    )
+    assert r.min_id is None and r.max_id is None

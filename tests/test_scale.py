@@ -226,3 +226,38 @@ def test_bloom_prune_rate_is_useful(spark):
     bloom = bloom_build(keys, "k")
     survivors = bloom_prune(probe, bloom, "k").count()
     assert survivors <= 20  # 0.1% of 20k
+
+
+def test_salted_sum_spreads_constant_values(spark):
+    """The salt must not collapse when the value column is constant (the
+    count-style hot key): with default salt_cols=all columns, a hot key
+    with value=1 rows spreads across (key, salt) groups, and the total
+    still equals the plain groupBy sum."""
+    rows = [("hot", i, 1.0) for i in range(400)] + [("cold", 0, 2.0)]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    out = {r.k: r.sum_v for r in scale.salted_sum(df, "k", "v").collect()}
+    assert out == {"hot": 400.0, "cold": 2.0}
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col("k"), F.col("id"), F.col("v")), F.lit(16)),
+    )
+    n_groups = (
+        salted.filter(F.col("k") == "hot").select("_salt").distinct().count()
+    )
+    assert n_groups > 1  # the old value-only hash gave exactly 1
+
+
+def test_bloom_prune_rejects_mismatched_parameters(spark):
+    """The sketch row carries its build parameters; probing with
+    different ones must raise instead of silently dropping present keys
+    (a false negative breaks the soundness contract)."""
+    import pytest
+
+    keys = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    big = spark.createDataFrame([(i, i) for i in range(100)], "k long, x long")
+    bloom = scale.bloom_build(keys, "k", m_bits=8192, k_hashes=4)
+    ok = scale.bloom_prune(big, bloom, "k", m_bits=8192, k_hashes=4)
+    kept = {r.k for r in ok.collect()}
+    assert set(range(50)) <= kept  # no false negatives
+    with pytest.raises(Exception, match="does not match the sketch"):
+        scale.bloom_prune(big, bloom, "k", m_bits=4096, k_hashes=4).count()

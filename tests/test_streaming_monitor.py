@@ -73,3 +73,19 @@ def test_progress_log_listener_never_raises(spark, tmp_path):
 
     listener.onQueryStarted(_E())
     listener.onQueryTerminated(_E())  # no raise == pass
+
+
+def test_progress_log_accepts_relative_path(spark, tmp_path, monkeypatch):
+    """A bare relative log filename must still record events —
+    os.makedirs('') raises and the listener's swallow-everything guard
+    used to silently drop every event."""
+    import json
+    import os
+
+    from etl_power_bi_dashboard_spark.streaming import monitor as sm
+
+    monkeypatch.chdir(tmp_path)
+    lst = sm.ProgressLogListener("progress.jsonl")
+    lst._append({"event": "probe"})
+    with open(os.path.join(tmp_path, "progress.jsonl")) as fh:
+        assert json.loads(fh.readline())["event"] == "probe"

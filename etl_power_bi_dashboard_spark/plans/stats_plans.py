@@ -755,9 +755,28 @@ def q_q7_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     association-order-proof (the x16 convention — a ~20-cell double sum
     would already be engine-ordering-dependent). One row out at any
     scale; the contingency table itself is |sources|×|langs|.
+
+    The grid is the FULL cross of observed sources × languages: a
+    (source, lang) cell with ZERO observations still contributes its
+    expected count to χ² ((0−e)²/e = e) — omitting it understates the
+    statistic precisely when a source never emits a language (the
+    strongest dependence signal) while dof still assumes the full grid.
+    The cross is a broadcast of the ≤|langs|-row dimension — trivial at
+    any corpus size.
     """
     docs = load(spark, sf_dir, "documents")
-    cells = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    observed = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    cells = (
+        docs.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(docs.select("lang").distinct()))
+        .join(observed, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            F.coalesce("o", F.lit(0)).cast("bigint").alias("o"),
+        )
+    )
     w_r = Window.partitionBy("source")
     w_c = Window.partitionBy("lang")
     w_all = Window.partitionBy()
@@ -797,8 +816,13 @@ def q_q7_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_Q7 = """
-WITH cells AS (
+WITH observed AS (
     SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY source, lang
+), cells AS (
+    SELECT s.source, l.lang, COALESCE(ob.o, 0) AS o
+    FROM (SELECT DISTINCT source FROM documents) s
+    CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+    LEFT JOIN observed ob ON ob.source = s.source AND ob.lang = l.lang
 ), m AS (
     SELECT o,
            SUM(o) OVER (PARTITION BY source) AS r_tot,
@@ -1059,11 +1083,30 @@ def q_q8_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     and NULLs z on a zero-variance baseline rather than dividing by 0.
     One shuffle to daily grain (map-side combined), then a ≤7-row frame
     over the tiny day-level table — the scan dominates, as it should.
+
+    The day table is a DENSE calendar spine (min..max event day, built
+    from a 1-row bound aggregate) left-joined to the observed counts
+    with a zero fill: a day with ZERO events — the total feed outage
+    this gate exists to catch — must appear and score, and with the
+    spine dense the 7-ROW frame IS a 7-calendar-day baseline (grouping
+    observed days alone would both skip outage days entirely and let
+    the row frame silently span 8+ calendar days across gaps).
     """
     ev = load_events(spark, sf_dir)
-    daily = ev.groupBy(
-        F.col("ts").cast("date").cast("timestamp").alias("day")
-    ).agg(F.count("*").cast("bigint").alias("n_rows"))
+    counts = ev.groupBy(
+        F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    spine = (
+        ev.agg(
+            F.min(F.col("ts").cast("date")).alias("lo"),
+            F.max(F.col("ts").cast("date")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    daily = spine.join(counts, "d", "left").select(
+        F.col("d").cast("timestamp").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_rows"),
+    )
     w = Window.orderBy("day").rowsBetween(-7, -1)
     stats = daily.select(
         "day",
@@ -1093,10 +1136,19 @@ def q_q8_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_Q8 = """
-WITH daily AS (
-    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
-           CAST(COUNT(*) AS BIGINT) AS n_rows
+WITH counts AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY 1
+), bounds AS (
+    SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+    FROM events
+), spine AS (
+    SELECT lo + CAST(g.i AS INTEGER) AS d
+    FROM bounds,
+         LATERAL unnest(generate_series(0, CAST(hi - lo AS BIGINT))) AS g(i)
+), daily AS (
+    SELECT CAST(s.d AS TIMESTAMP) AS day, COALESCE(c.n, 0) AS n_rows
+    FROM spine s LEFT JOIN counts c ON c.d = s.d
 ), stats AS (
     SELECT day, n_rows,
            CAST(COUNT(*) OVER w AS BIGINT) AS k,
@@ -1299,14 +1351,27 @@ def q_a21_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤ 365·years rows — the documented acceptable single-partition
     case, cf. w2/w5), never the raw events; everything before that is
     map-side partial aggregation.
+
+    The daily series is a DENSE calendar spine (min..max event day,
+    zero fill — the q8 construction): the ±3-ROW frame is a centered
+    7-CALENDAR-DAY window only when no day is missing, and the
+    count==7 guard then excludes exactly the series edges rather than
+    accidentally admitting an 8+-day frame around a zero-event day.
     """
     ev = load_events(spark, sf_dir)
-    daily = (
+    counts = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("nn")
+    )
+    spine = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"),
+        F.max(F.to_date("ts")).alias("hi"),
+    ).select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    daily = spine.join(counts, "d", "left").select(
         # date cast back to TIMESTAMP: the repo's portable day type
         # (DuckDB DATE fetches as datetime64, Spark DATE as date objects
         # — the hashers disagree; cf. r10's identical cast)
-        ev.groupBy(F.to_date("ts").cast("timestamp").alias("day"))
-        .agg(F.count("*").alias("n"))
+        F.col("d").cast("timestamp").alias("day"),
+        F.coalesce("nn", F.lit(0)).cast("bigint").alias("n"),
     )
     w7 = Window.orderBy("day").rowsBetween(-3, 3)
     with_trend = daily.select(
@@ -1344,9 +1409,19 @@ def q_a21_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_A21 = """
-WITH daily AS (
-    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, COUNT(*) AS n
-    FROM events GROUP BY 1
+WITH counts AS (
+    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS nn FROM events GROUP BY 1
+), bounds AS (
+    SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+    FROM events
+), spine AS (
+    SELECT lo + CAST(g.i AS INTEGER) AS d
+    FROM bounds,
+         LATERAL unnest(generate_series(0, CAST(hi - lo AS BIGINT))) AS g(i)
+), daily AS (
+    SELECT CAST(s.d AS TIMESTAMP) AS day,
+           CAST(COALESCE(c.nn, 0) AS BIGINT) AS n
+    FROM spine s LEFT JOIN counts c ON c.d = s.d
 ), framed AS (
     SELECT day, n,
            CASE WHEN COUNT(*) OVER w = 7 THEN SUM(n) OVER w END AS sum7
@@ -1700,22 +1775,30 @@ def q_a24_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     move a bit, and the single final division is one IEEE op. The lag
     window runs over the POST-AGGREGATION daily series (bounded by the
     calendar, ~10³ rows at any corpus size — the a21/q8 class of
-    justified single-partition windows)."""
+    justified single-partition windows).
+
+    The daily series is a DENSE calendar spine (min..max order date)
+    with zero-revenue fill: weight Wk belongs to the value k DAYS back,
+    and lagging over observed days alone would re-attach every weight
+    to the wrong calendar distance after any gap (the a25/a28
+    contiguity concern, solved here by making the series contiguous —
+    a zero-revenue day is real data to a revenue EWMA, not a hole)."""
     o = load(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(
-            F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias(
-                "date_id"
-            )
+    counts = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            * F.lit(100)
         )
-        .agg(
-            (
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                * F.lit(100)
-            )
-            .cast("bigint")
-            .alias("cents")
-        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    spine = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    ).select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    daily = spine.join(counts, "d", "left").select(
+        F.date_format("d", "yyyyMMdd").cast("int").alias("date_id"),
+        F.coalesce("cents", F.lit(0)).cast("bigint").alias("cents"),
     )
     w = Window.orderBy("date_id")
     numer = None
@@ -1747,11 +1830,23 @@ def _sql_a24() -> str:
         for k, wk in enumerate(_EWMA_W)
     )
     return f"""
-WITH daily AS (
-    SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_id,
+WITH counts AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
                AS cents
     FROM orders GROUP BY 1
+), bounds AS (
+    SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+           MAX(CAST(o_orderdate AS DATE)) AS hi
+    FROM orders
+), spine AS (
+    SELECT lo + CAST(g.i AS INTEGER) AS d
+    FROM bounds,
+         LATERAL unnest(generate_series(0, CAST(hi - lo AS BIGINT))) AS g(i)
+), daily AS (
+    SELECT CAST(strftime(s.d, '%Y%m%d') AS INT) AS date_id,
+           COALESCE(c.cents, 0) AS cents
+    FROM spine s LEFT JOIN counts c ON c.d = s.d
 )
 SELECT date_id,
        CAST(cents AS DOUBLE) / 100.0 AS revenue,
@@ -1828,6 +1923,54 @@ FROM e
 """
 
 
+def _abc_classed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ABC classification: per part, (rev, cum, total, abc_class)
+    — ONE definition of the revenue expression, the range-partitioned
+    running sum (bucketed on the revenue axis, sc5 pattern), and the
+    exact DECIMAL ``cum·10 ≤ total·7/9`` boundary compares, consumed by
+    BOTH q_a27_pareto_abc and q_a32_abc_xyz so the two reports can never
+    classify a part differently. (30,6) keeps the ×10/×7 boundary
+    products inside DECIMAL(38,·) exactly on both engines — at (38,6)
+    Spark's precision cap would silently round the product and the
+    boundary compare stops being exact."""
+    from ..operators.scale import distributed_running_sum
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (
+            F.lit(1).cast("decimal(6,4)")
+            - F.col("l_discount").cast("decimal(6,4)")
+        )
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("decimal(38,6)").alias("rev")
+    )
+    cum = distributed_running_sum(
+        per_part,
+        bucket=F.floor(F.col("rev").cast("double") / F.lit(-50000.0)).cast(
+            "long"
+        ),
+        order_cols=[F.desc("rev"), F.asc("l_partkey")],
+        value_col="rev",
+        cum_alias="cum",
+        # grand total from the helper's own per-bucket sums table — a
+        # separate per_part aggregation would re-evaluate the whole
+        # lineitem scan+shuffle a third time
+        total_alias="total",
+    )
+    return (
+        cum.withColumn("cum", F.col("cum").cast("decimal(30,6)"))
+        .withColumn("total", F.col("total").cast("decimal(30,6)"))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum") * F.lit(10) <= F.col("total") * F.lit(7), "A")
+            .when(F.col("cum") * F.lit(10) <= F.col("total") * F.lit(9), "B")
+            .otherwise("C"),
+        )
+    )
+
+
 def q_a27_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto inventory classification: parts ranked by revenue,
     cumulatively accumulated, and bucketed A (first 70% of revenue),
@@ -1841,45 +1984,10 @@ def q_a27_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike calendar-bounded month axes). Class boundaries compare
     ``cum·10 ≤ total·7`` / ``cum·10 ≤ total·9`` in exact DECIMAL —
     never an IEEE share — so a part sitting precisely on a boundary
-    cannot land in different classes on different engines.
+    cannot land in different classes on different engines. The whole
+    classification lives in :func:`_abc_classed`, shared with a32.
     """
-    from ..operators.scale import distributed_running_sum
-
-    li = load(spark, sf_dir, "lineitem")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
-    )
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(rev).cast("decimal(38,6)").alias("rev")
-    )
-    cum = distributed_running_sum(
-        per_part,
-        bucket=F.floor(F.col("rev").cast("double") / F.lit(-50000.0)).cast(
-            "long"
-        ),
-        order_cols=[F.desc("rev"), F.asc("l_partkey")],
-        value_col="rev",
-        cum_alias="cum",
-        # grand total from the helper's own per-bucket sums table —
-        # a separate per_part aggregation would re-evaluate the whole
-        # lineitem scan+shuffle a third time
-        total_alias="total",
-    )
-    # (30,6) keeps the ×10/×7 boundary products inside DECIMAL(38,·)
-    # exactly on both engines — at (38,6) Spark's precision cap would
-    # silently round the product and the boundary compare stops being
-    # exact
-    classed = (
-        cum.withColumn("cum", F.col("cum").cast("decimal(30,6)"))
-        .withColumn("total", F.col("total").cast("decimal(30,6)"))
-        .withColumn(
-            "abc_class",
-            F.when(F.col("cum") * F.lit(10) <= F.col("total") * F.lit(7), "A")
-            .when(F.col("cum") * F.lit(10) <= F.col("total") * F.lit(9), "B")
-            .otherwise("C"),
-        )
-    )
+    classed = _abc_classed(spark, sf_dir)
     return classed.groupBy("abc_class").agg(
         F.count("*").cast("bigint").alias("n_parts"),
         F.sum("rev").cast("decimal(38,6)").cast("double").alias("revenue"),
@@ -2779,43 +2887,10 @@ def q_a32_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear part-keyed aggregates + the sc5-pattern running sum + one
     9-group fold; no window touches raw lineitem rows.
     """
-    from ..operators.scale import distributed_running_sum
-
+    abc = _abc_classed(spark, sf_dir).select(
+        "l_partkey", "rev", "abc_class"
+    )
     li = load(spark, sf_dir, "lineitem")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (
-            F.lit(1).cast("decimal(6,4)")
-            - F.col("l_discount").cast("decimal(6,4)")
-        )
-    )
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(rev).cast("decimal(38,6)").alias("rev")
-    )
-    cum = distributed_running_sum(
-        per_part,
-        bucket=F.floor(F.col("rev").cast("double") / F.lit(-50000.0)).cast(
-            "long"
-        ),
-        order_cols=[F.desc("rev"), F.asc("l_partkey")],
-        value_col="rev",
-        cum_alias="cum",
-        total_alias="total",
-    )
-    abc = (
-        cum.withColumn("cum", F.col("cum").cast("decimal(30,6)"))
-        .withColumn("total", F.col("total").cast("decimal(30,6)"))
-        .select(
-            "l_partkey",
-            "rev",
-            F.when(
-                F.col("cum") * F.lit(10) <= F.col("total") * F.lit(7), "A"
-            )
-            .when(F.col("cum") * F.lit(10) <= F.col("total") * F.lit(9), "B")
-            .otherwise("C")
-            .alias("abc_class"),
-        )
-    )
     monthly = li.groupBy(
         "l_partkey",
         F.date_format(F.to_date("l_shipdate"), "yyyyMM").alias("m"),

@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from ..operators import multimodal, text
 from .base import Query, load
 
-_STOP_SQL = "('the', 'a', 'and', 'of', 'to', 'in', 'is')"
+# interpolated from the ONE stopword constant so an edit to
+# operators/text.STOPWORDS can never leave these oracles stale
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + ")"
 _SR_SQL = (
     "len(list_filter(string_split(text, ' '), x -> x IN "
     + _STOP_SQL
@@ -467,8 +469,6 @@ def q_x9_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STOP_SQL = "('the','a','and','of','to','in','is')"
-
 SQL_X9 = f"""
 WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
 base AS (
@@ -811,7 +811,14 @@ def q_x14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg")
         )
     )
-    bigrams = with_tk.select(F.explode("bg").alias("b")).select("b.x", "b.y")
+    bigrams = (
+        with_tk.select(F.explode("bg").alias("b"))
+        .select("b.x", "b.y")
+        # a slot containing the empty token is not a bigram: the inner
+        # unigram joins would drop it from scoring anyway, but leaving
+        # it in N = Σc_xy deflates every surviving bigram's p(x,y)
+        .filter((F.length("x") > 0) & (F.length("y") > 0))
+    )
     uni = (
         docs.select(F.explode(F.split("text", " ")).alias("t"))
         .filter(F.length("t") > 0)
@@ -857,7 +864,8 @@ bg AS (
                   i -> struct_pack(x := ts[i], y := ts[i+1]))) AS b
     FROM d
 ),
-bgc AS (SELECT b.x AS x, b.y AS y, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+bgc AS (SELECT b.x AS x, b.y AS y, COUNT(*) AS c_xy FROM bg
+        WHERE length(b.x) > 0 AND length(b.y) > 0 GROUP BY 1, 2),
 uni AS (
     SELECT t, COUNT(*) AS c FROM (
         SELECT unnest(string_split(text, ' ')) AS t FROM documents
@@ -1457,11 +1465,11 @@ def q_x26_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_X26 = """
+SQL_X26 = f"""
 WITH marked AS (
     SELECT array_to_string(
                list_transform(string_split(text, ' '),
-                   t -> CASE WHEN t IN ('the','a','and','of','to','in','is')
+                   t -> CASE WHEN t IN {_STOP_SQL}
                              THEN '§' ELSE t END),
                ' ') AS m
     FROM documents
@@ -1521,6 +1529,9 @@ def q_x27_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id", F.explode(F.split("text", " ")).alias("term")
         )
+        # the empty token from '' text / doubled spaces is not a
+        # vocabulary term — every sibling unigram pass filters it
+        .filter(F.length("term") > 0)
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("c"))
     )
@@ -1554,7 +1565,8 @@ per AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS term
     FROM documents
 ),
-c AS (SELECT doc_id, term, COUNT(*) AS c FROM per GROUP BY 1, 2),
+c AS (SELECT doc_id, term, COUNT(*) AS c FROM per
+      WHERE length(term) > 0 GROUP BY 1, 2),
 stats AS (
     SELECT term, COUNT(*) AS n_docs_with, SUM(c) AS sc, SUM(c * c) AS sc2
     FROM c GROUP BY term

@@ -460,10 +460,16 @@ SELECT user_id, event_id, value, z FROM z WHERE ABS(z) > 3.0
 
 def q_e10_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: credit each purchase to the user's most
-    recent PRECEDING click within a 7-day lookback — the marketing-
-    analytics staple, and the single-stream cousin of the r1 as-of join
-    (here the match comes from a window over one ordered pass instead
-    of a two-table rendezvous).
+    recent click AT-OR-BEFORE it in (ts, event_id) order within a 7-day
+    lookback — the marketing-analytics staple, and the single-stream
+    cousin of the r1 as-of join (here the match comes from a window over
+    one ordered pass instead of a two-table rendezvous). A click in the
+    SAME truncated microsecond as the purchase (lower event_id) does
+    attach — the identical convention the streaming twin
+    (``streaming/stateful.attribution_stream``) applies when it replays
+    events in (ts, event_id) order, so batch backfill and stream agree
+    by construction; e5/e12's funnel sequencing, which needs STRICT
+    stage progression, uses strict inequalities instead.
 
     ``last(..., ignorenulls)`` over the (ts, event_id) order with a
     frame ending at the PREVIOUS row carries the latest click's ts and

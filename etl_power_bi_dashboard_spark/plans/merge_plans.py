@@ -23,7 +23,11 @@ from .base import Query, load
 
 def _delta(cust: DataFrame) -> DataFrame:
     """Deterministic upsert source: updated balances for every 10th
-    customer, plus three brand-new rows re-keyed above the key space."""
+    customer, plus three brand-new rows re-keyed by NEGATION — customer
+    keys are positive at every scale factor, so a negative key can never
+    collide with a real customer (a fixed "+1,000,000" offset would
+    collide once SF reaches ~7 and 150k·SF keys pass the offset,
+    silently turning the inserts into overwrites)."""
     updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
         "c_custkey",
         "c_name",
@@ -32,7 +36,7 @@ def _delta(cust: DataFrame) -> DataFrame:
         "c_mktsegment",
     )
     inserts = cust.orderBy("c_custkey").limit(3).select(
-        (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+        (-F.col("c_custkey")).alias("c_custkey"),
         F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
         "c_nationkey",
         "c_acctbal",
@@ -78,7 +82,7 @@ WITH src AS (
            c_mktsegment
     FROM customer WHERE c_custkey % 10 = 0
     UNION ALL
-    SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey, c_acctbal,
+    SELECT -c_custkey, 'new_' || c_name, c_nationkey, c_acctbal,
            c_mktsegment
     FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 3)
 )
@@ -117,7 +121,7 @@ SQL_U2 = """
 WITH src AS (
     SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0
     UNION ALL
-    SELECT c_custkey + 1000000
+    SELECT -c_custkey
     FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 3)
 )
 SELECT (SELECT COUNT(*) FROM src s
@@ -257,7 +261,7 @@ WITH src AS (
            c_mktsegment
     FROM customer WHERE c_custkey % 10 = 0
     UNION ALL
-    SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey, c_acctbal,
+    SELECT -c_custkey, 'new_' || c_name, c_nationkey, c_acctbal,
            c_mktsegment
     FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 3)
 ), upserted AS (
@@ -423,7 +427,7 @@ WITH src AS (
            c_mktsegment
     FROM customer WHERE c_custkey % 10 = 0
     UNION ALL
-    SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey, c_acctbal,
+    SELECT -c_custkey, 'new_' || c_name, c_nationkey, c_acctbal,
            c_mktsegment
     FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 3)
 ), new AS (

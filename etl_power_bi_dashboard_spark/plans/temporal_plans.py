@@ -22,7 +22,12 @@ def q_r1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("event_id").alias("click_id")
     )
-    out = temporal.asof_join(purchases, clicks, on="user_id", ts="ts")
+    # tiebreak: two clicks in the same truncated microsecond resolve to
+    # the larger click_id on BOTH engines (the oracle orders ts DESC,
+    # click_id DESC) — without it the carried id is partition-order luck
+    out = temporal.asof_join(
+        purchases, clicks, on="user_id", ts="ts", tiebreak="click_id"
+    )
     return out.select(
         "user_id", "event_id", "ts", "asof_ts", "asof_click_id"
     )
@@ -36,7 +41,7 @@ SELECT p.user_id, p.event_id, p.ts,
         WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS asof_ts,
        (SELECT c.click_id FROM c
         WHERE c.user_id = p.user_id AND c.ts <= p.ts
-        ORDER BY c.ts DESC LIMIT 1) AS asof_click_id
+        ORDER BY c.ts DESC, c.click_id DESC LIMIT 1) AS asof_click_id
 FROM p
 """
 
@@ -472,17 +477,29 @@ def q_r10_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps (end-exclusive: a session ending exactly when another
     starts does not overlap it). All exact integers end to end.
 
-    Two subtleties a naive per-day max over boundary rows gets wrong
-    (both were real bugs caught in review): the day's peak may be its
+    Three subtleties a naive per-day max over boundary rows gets wrong
+    (all real bugs caught in review): the day's peak may be its
     MIDNIGHT CARRYOVER (sessions open since yesterday, peak before the
-    first boundary of the day — so the carryover seeds the max), and a
-    day wholly inside long sessions has NO boundary rows at all yet
-    nonzero concurrency — so the report is built on a generated day
+    first boundary of the day — so the carryover seeds the max), BUT
+    that seed exists only when the day's first boundary is strictly
+    after midnight — a session ending at exactly 00:00:00 applies at
+    the day's first instant (end-exclusive), so the carryover level is
+    never held during the day and seeding it would overstate the peak;
+    and a day wholly inside long sessions has NO boundary rows at all
+    yet nonzero concurrency — so the report is built on a generated day
     SPINE covering the whole span, not on the boundary days.
     """
     from .events_plans import q_e3_session_windows
 
-    sess = q_e3_session_windows(spark, sf_dir)
+    return peak_concurrency_from_sessions(
+        q_e3_session_windows(spark, sf_dir)
+    )
+
+
+def peak_concurrency_from_sessions(sess: DataFrame) -> DataFrame:
+    """The r10 sweep over an arbitrary (user_id, session_start,
+    session_end) table — split out so the midnight-boundary edge cases
+    are directly testable on crafted sessions."""
     bounds = (
         sess.select(
             F.col("session_start").alias("ts"),
@@ -503,11 +520,12 @@ def q_r10_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "delta", "user_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # highest within-day level RELATIVE to the day's carryover
+    # highest within-day level RELATIVE to the day's carryover, plus
+    # the day's first boundary instant (the carryover-seed condition)
     day_max = (
         bounds.withColumn("prefix", F.sum("delta").over(w_in).cast("long"))
         .groupBy("day")
-        .agg(F.max("prefix").alias("mx"))
+        .agg(F.max("prefix").alias("mx"), F.min("ts").alias("first_ts"))
     )
     nets = bounds.groupBy("day").agg(F.sum("delta").cast("long").alias("net"))
     spine = (
@@ -526,12 +544,21 @@ def q_r10_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("net", F.coalesce(F.col("net"), F.lit(0)))
     )
     w_off = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    # peak relative to the carryover: no boundaries -> the carryover
+    # level holds all day (0); first boundary after midnight -> the
+    # carryover level is held until it, so 0 seeds the max; first
+    # boundary AT midnight -> only the post-boundary levels exist
+    peak_rel = (
+        F.when(F.col("mx").isNull(), F.lit(0))
+        .when(
+            F.col("first_ts") > F.col("day"),
+            F.greatest(F.col("mx"), F.lit(0)),
+        )
+        .otherwise(F.col("mx"))
+    )
     return carried.select(
         "day",
-        (
-            F.coalesce(F.sum("net").over(w_off), F.lit(0))
-            + F.greatest(F.coalesce(F.col("mx"), F.lit(0)), F.lit(0))
-        )
+        (F.coalesce(F.sum("net").over(w_off), F.lit(0)) + peak_rel)
         .cast("bigint")
         .alias("peak_concurrent"),
     )
@@ -564,8 +591,8 @@ WITH flagged AS (
            CAST(CAST(session_end AS DATE) AS TIMESTAMP) AS day
     FROM sessions
 ), per_day AS (
-    SELECT day, MAX(prefix) AS mx FROM (
-        SELECT day,
+    SELECT day, MAX(prefix) AS mx, MIN(ts) AS first_ts FROM (
+        SELECT day, ts,
                SUM(delta) OVER (PARTITION BY day
                    ORDER BY ts, delta, user_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -579,7 +606,7 @@ WITH flagged AS (
 ), spine AS (
     SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
 ), carried AS (
-    SELECT s.day, COALESCE(n.net, 0) AS net, p.mx
+    SELECT s.day, COALESCE(n.net, 0) AS net, p.mx, p.first_ts
     FROM spine s
     LEFT JOIN nets n ON n.day = s.day
     LEFT JOIN per_day p ON p.day = s.day
@@ -587,7 +614,9 @@ WITH flagged AS (
 SELECT day,
        CAST(COALESCE(SUM(net) OVER (ORDER BY day
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            + GREATEST(COALESCE(mx, 0), 0) AS BIGINT) AS peak_concurrent
+            + CASE WHEN mx IS NULL THEN 0
+                   WHEN first_ts > day THEN GREATEST(mx, 0)
+                   ELSE mx END AS BIGINT) AS peak_concurrent
 FROM carried
 """
 

@@ -3,9 +3,15 @@ distribution functions, value-picking functions, and the gaps-and-islands
 sessionization idiom — the remaining standard window shapes w1-w3 didn't
 cover (the reference has no windows at all, SURVEY §2.8).
 
-Scale notes: every window here partitions by a high-cardinality key
+Scale notes: the windows here partition by a high-cardinality key
 (user_id, c_mktsegment) so the sort happens per-partition across the
-cluster; no global single-partition windows over raw fact rows. The
+cluster — with ONE deliberate exception: w5's global ntile/percent_rank/
+cume_dist over the customer dimension is the §2.8 distribution-function
+showcase and runs as a single-partition window (allowlisted in the
+plan-audit test). Its 100 TB form is the sc5 range-partitioned
+row-number pattern plus tie-aware rank reconstruction (p13/p16 apply it
+where the input scales with the corpus); the customer DIM grows with SF,
+so treat w5 as the semantic reference, not the scale path. The
 moving-average frame sums DECIMAL so sliding-window evaluation order
 (segment trees vs running sums — engines differ) cannot perturb values.
 """
@@ -492,9 +498,15 @@ def q_p13_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-population token-length bucketing (8 buckets) — the
     batch-shape planner for training ingestion: group docs of similar
     token count so per-batch padding waste is bounded, then report each
-    bucket's population and token range. Assignment is the exact NTILE
-    formula bucket = ⌊(rn−1)·8/n⌋ over the (token_count, doc_id) total
-    order — but the rank comes from the sc5 range-partitioned
+    bucket's population and token range. Assignment is the equal-width
+    quantile formula bucket = ⌊(rn−1)·8/n⌋ over the (token_count,
+    doc_id) total order — deliberately NOT SQL NTILE, which front-loads
+    the n % 8 remainder rows onto the first buckets (sizes 2,2,1,1 for
+    n=6, k=4) where this formula interleaves them (2,1,2,1); the
+    interleaved form is a pure integer expression both engines compute
+    identically, while real NTILE's remainder placement is the kind of
+    convention a swapped-in engine can disagree on. The rank comes from
+    the sc5 range-partitioned
     ``distributed_row_number`` (token_count itself is the monotone
     bucket key), so no single-task global window exists anywhere in the
     plan; the final rollup partial-aggregates to 8 rows.
@@ -704,7 +716,7 @@ QUERIES: list[Query] = [
     Query("p15_leakage_safe_split", q_p15_leakage_safe_split, _sql_p15(),
           "cluster-aware train/val/test split (near-dups never straddle)"),
     Query("p13_length_buckets", q_p13_length_buckets, SQL_P13,
-          "equal-population token-length bucketing (distributed NTILE)"),
+          "equal-population token-length bucketing (distributed quantiles)"),
     Query("w4_moving_avg", q_w4_moving_avg, SQL_W4, "ROWS-frame moving average"),
     Query("p14_weighted_reservoir", q_p14_weighted_reservoir, SQL_P14,
           "Efraimidis-Spirakis weighted reservoir sample"),

@@ -187,3 +187,40 @@ def test_x27_and_x14_ignore_empty_tokens(spark):
         9,
     )
     assert abs(r.pmi - expected) < 1e-9
+
+
+def test_r10_midnight_exact_session_end_not_counted(spark):
+    """End-exclusive sweep edges: a session ending at exactly 00:00:00
+    applies at the next day's FIRST instant, so that day's peak must not
+    be seeded with the pre-midnight carryover level; a day wholly inside
+    a long session still reports the carryover."""
+    from pyspark.sql import functions as F
+
+    from etl_power_bi_dashboard_spark.plans.temporal_plans import (
+        peak_concurrency_from_sessions,
+    )
+
+    sess = spark.createDataFrame(
+        [
+            # ends exactly at midnight: active on [22:00, Jan2 00:00)
+            (1, "2024-01-01 22:00:00", "2024-01-02 00:00:00"),
+            # long session spanning all of Jan 4 (no boundaries that day)
+            (2, "2024-01-03 10:00:00", "2024-01-05 05:00:00"),
+        ],
+        "user_id long, session_start string, session_end string",
+    ).select(
+        "user_id",
+        F.col("session_start").cast("timestamp").alias("session_start"),
+        F.col("session_end").cast("timestamp").alias("session_end"),
+    )
+    peaks = {
+        r.day.date().isoformat(): r.peak_concurrent
+        for r in peak_concurrency_from_sessions(sess).collect()
+    }
+    assert peaks == {
+        "2024-01-01": 1,
+        "2024-01-02": 0,  # pre-fix: 1 (carryover seeded despite the end)
+        "2024-01-03": 1,
+        "2024-01-04": 1,  # carryover through a boundary-less day
+        "2024-01-05": 1,
+    }

@@ -363,7 +363,8 @@ FROM m GROUP BY bucket
 
 def q_d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprints (near-pair search via 15-bit-band
-    blocking is exercised in tests/test_dedup.py — not SQL-oracled)."""
+    blocking is exercised both in tests/test_dedup.py and by d4b's
+    brute-force SQL oracle in the registry)."""
     return dedup.simhash_fingerprints(load(spark, sf_dir, "documents"))
 
 

@@ -499,12 +499,15 @@ def q_v5_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("vec_id").alias("n"),
     )
     nd = F.col("n").cast("double")
+    # a single-vector label has no pairs: NULL, never the 0/0 NaN a
+    # downstream tightness gate would silently mis-compare
     return s2.join(qn, "label").select(
         "label",
         "n",
-        (
+        F.when(
+            F.col("n") >= 2,
             (F.col("s2").cast("double") - F.col("q").cast("double"))
-            / (nd * (nd - 1.0))
+            / (nd * (nd - 1.0)),
         ).alias("mean_pairwise_cosine"),
     )
 
@@ -535,9 +538,10 @@ WITH base AS (
     FROM comps GROUP BY label
 )
 SELECT s2.label, qn.n,
-       (CAST(s2.s2 AS DOUBLE) - CAST(qn.q AS DOUBLE))
-           / (CAST(qn.n AS DOUBLE) * (CAST(qn.n AS DOUBLE) - 1.0))
-           AS mean_pairwise_cosine
+       CASE WHEN qn.n >= 2 THEN
+           (CAST(s2.s2 AS DOUBLE) - CAST(qn.q AS DOUBLE))
+               / (CAST(qn.n AS DOUBLE) * (CAST(qn.n AS DOUBLE) - 1.0))
+       END AS mean_pairwise_cosine
 FROM s2 JOIN qn USING (label)
 """
 

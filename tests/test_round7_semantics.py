@@ -224,3 +224,26 @@ def test_r10_midnight_exact_session_end_not_counted(spark):
         "2024-01-04": 1,  # carryover through a boundary-less day
         "2024-01-05": 1,
     }
+
+
+def test_v5_single_vector_label_yields_null_not_nan(spark, tmp_path):
+    """A label with exactly one vector has no pairs: the coherence metric
+    must be NULL, never the 0/0 NaN a tightness gate would mis-compare."""
+    from etl_power_bi_dashboard_spark.plans.similarity_plans import (
+        q_v5_label_coherence,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 7),   # label 7: singleton
+        (2, [1.0, 0.0], 8),   # label 8: two identical directions
+        (3, [1.0, 0.0], 8),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r.label: r
+        for r in q_v5_label_coherence(spark, str(tmp_path)).collect()
+    }
+    assert out[7].mean_pairwise_cosine is None and out[7].n == 1
+    assert abs(out[8].mean_pairwise_cosine - 1.0) < 1e-6

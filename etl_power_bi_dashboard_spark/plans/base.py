@@ -100,6 +100,22 @@ def dsum(c: Column, alias: str) -> Column:
 
 # --- exact-money expression helpers (oracle SQL side) ----------------------
 
+def lineitem_revenue() -> Column:
+    """The TPC-H discounted-revenue expression, exact DECIMAL — ONE
+    definition (SQL twin: SQL_REVENUE) consumed by every h-query that
+    sums revenue, so the precision convention cannot fork."""
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(6,4)")
+        - F.col("l_discount").cast("decimal(6,4)")
+    )
+
+
+SQL_REVENUE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+)
+
+
 SQL_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2))"
 SQL_FREIGHT = f"({SQL_PRICE} * CAST(l_discount AS DECIMAL(8,4)))"
 

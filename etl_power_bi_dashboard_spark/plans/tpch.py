@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import Query, load, load_events
+from .base import Query, lineitem_revenue, load, load_events
 
 
 def q_h1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,13 +84,10 @@ def q_h3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
     )
-    revenue = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
-    )
+    revenue = lineitem_revenue()
     joined = li.join(
         orders, li["l_orderkey"] == orders["o_orderkey"], "inner"
-    ).join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "inner")
+    ).join(cust, orders["o_custkey"] == cust["c_custkey"], "inner")
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.sum(revenue).cast("double").alias("revenue")
     )
@@ -116,24 +113,35 @@ LIMIT 10
 
 def q_h5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by customer nation within one region,
-    where the supplier is from the same nation (6-table star join)."""
+    where the supplier is from the same nation (6-table star join),
+    restricted to one order year (1996) — the canonical query's
+    selective fact-side window, kept so the plan actually exercises
+    date-filter pushdown into the orders scan. Only the fixed-size
+    nation/region dims carry broadcast hints; customer and supplier
+    scale with SF, so their join strategy is AQE's call (a hard
+    broadcast hint on an SF-scaled table OOMs the driver at the very
+    scale these shapes are written for)."""
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    revenue = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
-    )
+    revenue = lineitem_revenue()
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(
-            F.broadcast(supp),
+            supp,
             (li["l_suppkey"] == supp["s_suppkey"])
             & (cust["c_nationkey"] == supp["s_nationkey"]),
         )
@@ -155,6 +163,8 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
 GROUP BY n.n_name
 """
 

@@ -25,19 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import Query, load
+from .base import SQL_REVENUE, Query, lineitem_revenue, load
 
-
-def _revenue():
-    return F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
-    )
-
-
-SQL_REVENUE = (
-    "CAST(l_extendedprice AS DECIMAL(12,2))"
-    " * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))"
-)
+# canonical copies live in base.py; keep the old local names for the
+# ~10 queries below and the tpch_rest imports
+_revenue = lineitem_revenue
 
 
 def q_h4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,7 +115,7 @@ def q_h10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
     )
     agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
@@ -151,7 +143,9 @@ LIMIT 20
 def q_h12_priority_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: conditional CASE counts by line status.
 
-    Counts high- vs low-priority orders per l_linestatus — map-side
+    Counts high- vs low-priority LINEITEMS per l_linestatus (canonical
+    Q12 counts lines, not orders: an order's every shipped line in the
+    window contributes) — map-side
     combinable conditional aggregation (SUM(CASE ...)), one shuffle on a
     low-cardinality key.
     """
@@ -324,7 +318,7 @@ def q_h18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     joined = big.join(orders, big["l_orderkey"] == orders["o_orderkey"]).join(
-        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        cust, orders["o_custkey"] == cust["c_custkey"]
     )
     return joined.select(
         "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
@@ -350,8 +344,18 @@ LIMIT 10
 
 
 def q_h22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: rich customers with no orders — global-average
-    scalar subquery + NOT EXISTS anti-join, grouped by market segment.
+    """TPC-H Q22 shape: rich customers with no RECENT orders (none on or
+    after 2000-01-01) — global-average scalar subquery + NOT EXISTS
+    anti-join, grouped by market segment.
+
+    Adaptation note: canonical Q22 looks for customers with no orders at
+    all, but the synthetic fixture gives EVERY customer ~10 orders, so
+    the literal form returns zero rows at every correctness-gate scale
+    factor — an empty-vs-empty hash comparison that verifies nothing.
+    The recency cutoff keeps the plan shape identical (scalar broadcast
+    + anti-join on a date-filtered order slice, pushdown-visible) while
+    producing live rows the gate actually checks (7 at sf0.001, 58 at
+    sf0.01); semantically it is the "lapsed high-value customer" report.
 
     The global average is one tiny aggregate broadcast into the filter;
     the anti-join shuffles on c_custkey only for customers passing it.
@@ -363,7 +367,11 @@ def q_h22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("avg_bal")
     )
-    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
     rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("avg_bal")
     )
@@ -382,7 +390,8 @@ SELECT c_mktsegment, COUNT(*) AS numcust,
 FROM customer c
 WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                           / COUNT(*) FROM customer)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
 GROUP BY c_mktsegment
 """
 
@@ -414,7 +423,7 @@ def q_h8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(20,6)")
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .join(F.broadcast(supp_nation), li["l_suppkey"] == supp_nation["s_suppkey"])

@@ -40,7 +40,7 @@ from .tpch_more import SQL_REVENUE, _revenue
 
 
 def q_h2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape: for each LARGE part, the region-0 supplier(s) whose
+    """TPC-H Q2 shape: for each LARGE part, the ASIA-region supplier(s) whose
     observed unit sale price equals the part's minimum — a correlated MIN
     subquery joined back on (part, exact min), ordered top-100.
 
@@ -70,7 +70,7 @@ def q_h2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eligible = li.join(
         F.broadcast(part), li["l_partkey"] == part["p_partkey"]
-    ).join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+    ).join(supp, li["l_suppkey"] == supp["s_suppkey"])
     min_price = eligible.groupBy(F.col("p_partkey").alias("mp_key")).agg(
         F.min("unit_price").alias("min_price")
     )
@@ -159,8 +159,8 @@ def q_h7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .filter(pair)
     )
     return joined.groupBy("supp_nation", "cust_nation", "l_year").agg(
@@ -217,7 +217,7 @@ def q_h9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(12,2)")
     joined = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
     )
     agg = joined.groupBy("n_name", "o_year").agg(
@@ -270,7 +270,7 @@ def q_h11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    base = li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+    base = li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
     per_part = base.groupBy("l_partkey").agg(
         F.sum(_revenue()).cast("double").alias("part_value")
     )
@@ -364,7 +364,7 @@ def q_h15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -503,7 +503,7 @@ def q_h21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        waiting.join(F.broadcast(supp), waiting["l_suppkey"] == supp["s_suppkey"])
+        waiting.join(supp, waiting["l_suppkey"] == supp["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -331,23 +331,25 @@ def minhash_signatures(
 def lsh_bands(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
     """(doc_id, band_no, band_sig): concat of each band's signature rows.
 
-    The signature length must be a MULTIPLE of ``rows_per_band`` —
-    enforced with an in-plan assert_true. Silently flooring would drop
-    the trailing signature rows (recall lower than the k the caller
-    paid for), and rows_per_band > k would make ``sequence(0, -1)``
-    yield a phantom negative-start band that slices from the array
-    TAIL."""
+    The signature length must be a NON-EMPTY MULTIPLE of
+    ``rows_per_band`` — enforced with an in-plan assert_true. Silently
+    flooring would drop the trailing signature rows (recall lower than
+    the k the caller paid for), rows_per_band > k would make
+    ``sequence(0, -1)`` yield a phantom negative-start band that slices
+    from the array TAIL, and an EMPTY signature (0 % r == 0) would hit
+    the same phantom-band path and bucket every empty-sig doc
+    together."""
     # the guard is the sequence bound itself (a detached assert column
     # would be pruned as unused): rows with a mismatched length hit the
     # raise_error branch instead of silently flooring the band count
     n_bands_minus_1 = F.when(
-        F.size("sig") % rows_per_band == 0,
+        (F.size("sig") % rows_per_band == 0) & (F.size("sig") >= rows_per_band),
         (F.size("sig") / rows_per_band).cast("int") - 1,
     ).otherwise(
         F.raise_error(
             F.lit(
-                "lsh_bands: signature length must be a multiple of "
-                f"rows_per_band={rows_per_band}"
+                "lsh_bands: signature length must be a non-empty "
+                f"multiple of rows_per_band={rows_per_band}"
             )
         ).cast("int")
     )
@@ -390,6 +392,7 @@ def minhash_lsh_dedup_pairs(
     rows_per_band: int = 3,
     threshold: float = 0.7,
     hasher: str = "md5",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH bands → candidate
     pairs → exact Jaccard verification ≥ threshold.
@@ -408,9 +411,21 @@ def minhash_lsh_dedup_pairs(
     codegen'd hash (see :func:`minhash_signatures`) — the production
     choice when DuckDB-reproducible signatures aren't needed; output
     pairs are still exact-Jaccard-verified.
+
+    ``shingles`` lets a caller running SEVERAL hasher/parameter variants
+    over one corpus supply the (doc_id, sh) shingle-set table once
+    (materialized) instead of re-shingling per variant — the signature
+    build downward is hasher-specific, the shingling is not. Must be
+    the same (df, text_col, n) shingling this function would compute;
+    equivalence of the two paths is pinned by
+    tests/test_dedup.py::test_d3_shared_shingles_equivalence.
     """
-    sets_ = ensure_parallelism(df, "doc_id").transform(
-        lambda d: shingle_sets(d, text_col, n=n)
+    sets_ = (
+        shingles
+        if shingles is not None
+        else ensure_parallelism(df, "doc_id").transform(
+            lambda d: shingle_sets(d, text_col, n=n)
+        )
     )
     sigs = sets_.select(
         "doc_id", _minhash_sig_expr(F.col("sh"), k, hasher).alias("sig")

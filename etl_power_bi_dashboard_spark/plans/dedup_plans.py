@@ -79,11 +79,28 @@ WHERE len(list_intersect(a.sg, b.sg))
 """
 
 
+def d3_shingle_table(
+    spark: SparkSession, sf_dir: str, max_doc: int | None = 150
+) -> DataFrame:
+    """The (doc_id, sh) unigram shingle-set table the d3 pipeline starts
+    from — exposed so a caller timing several HASHER variants over one
+    corpus (bench.py's md5-vs-xxhash64 pair) can materialize it once and
+    pass it through ``q_d3_minhash_lsh(shingles=...)``; the signature
+    build downward is the hasher-specific part being priced."""
+    docs = load(spark, sf_dir, "documents")
+    if max_doc is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc)
+    return dedup.ensure_parallelism(docs, "doc_id").transform(
+        lambda d: dedup.shingle_sets(d, "text", n=1)
+    )
+
+
 def q_d3_minhash_lsh(
     spark: SparkSession,
     sf_dir: str,
     max_doc: int | None = 150,
     hasher: str = "md5",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash(k=12) + LSH(4 bands × 3 rows) candidate pairs, verified at
     unigram Jaccard ≥ 0.7 (unigram space is dense in this corpus, so LSH
@@ -92,13 +109,21 @@ def q_d3_minhash_lsh(
     The oracle-checked registry entry bounds the corpus to ``doc_id <
     150`` (the DuckDB twin recomputes the same slice); bench calls with
     ``max_doc=None`` so the recorded dedup number measures the FULL
-    corpus, not a slice.
+    corpus, not a slice, and passes a shared materialized ``shingles``
+    table (from :func:`d3_shingle_table`) so the md5/xxhash64 variant
+    pair prices the hasher, not the shingling twice.
     """
     docs = load(spark, sf_dir, "documents")
     if max_doc is not None:
         docs = docs.filter(F.col("doc_id") < max_doc)
     return dedup.minhash_lsh_dedup_pairs(
-        docs, n=1, k=12, rows_per_band=3, threshold=0.7, hasher=hasher
+        docs,
+        n=1,
+        k=12,
+        rows_per_band=3,
+        threshold=0.7,
+        hasher=hasher,
+        shingles=shingles,
     )
 
 

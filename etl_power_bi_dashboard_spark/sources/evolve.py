@@ -58,11 +58,37 @@ def conform_to_schema(df: DataFrame, schema: StructType | str) -> DataFrame:
     def _key(name: str) -> str:
         return name if case_sensitive else name.lower()
 
-    have = {_key(f.name) for f in df.schema.fields}
+    # key -> actual source column names; a source with BOTH 'lang' and
+    # 'LANG' collapses to one key, where a bare F.col("lang") would be
+    # an ambiguous reference. Prefer the exact-case match (it is what
+    # the declaration asked for), else accept a single
+    # case-insensitive hit; multiple inexact hits stay ambiguous and
+    # fail here with the field named, not with Spark's resolver error.
+    have: dict[str, list[tuple[int, str]]] = {}
+    for i, f in enumerate(df.schema.fields):
+        have.setdefault(_key(f.name), []).append((i, f.name))
+    # positional rename — PySpark has no true ordinal column access
+    # (df[int] resolves by NAME), so duplicate-modulo-case sources would
+    # hit AMBIGUOUS_REFERENCE; a toDF over unique positional names is a
+    # pure projection that makes every pick exact
+    base = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
     cols = []
     for field in schema.fields:
-        if _key(field.name) in have:
-            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
-        else:
+        hits = have.get(_key(field.name), [])
+        if not hits:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
-    return df.select(*cols)
+            continue
+        exact = [(i, n) for i, n in hits if n == field.name]
+        if exact:
+            idx = exact[0][0]
+        elif len(hits) == 1:
+            idx = hits[0][0]
+        else:
+            raise ValueError(
+                f"conform_to_schema: declared column {field.name!r} matches "
+                f"multiple source columns case-insensitively "
+                f"({[n for _, n in hits]}) and none exactly; rename the "
+                "source columns or enable spark.sql.caseSensitive"
+            )
+        cols.append(F.col(f"_c{idx}").cast(field.dataType).alias(field.name))
+    return base.select(*cols)

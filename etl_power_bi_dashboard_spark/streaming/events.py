@@ -448,7 +448,7 @@ def trending_topk_sink(
                 .filter(F.col("_rk") == 1)
                 .drop("_rk", "_src")
             )
-        merged = merged.localCheckpoint(eager=True)  # read+overwrite same path
+        merged = _pin_for_overwrite(merged)  # read+overwrite same path
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -488,6 +488,28 @@ def _fs_and_path(spark: SparkSession, path: str):
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return fs, hpath
+
+
+def _pin_for_overwrite(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` so the subsequent overwrite of the path its
+    lineage reads cannot corrupt it. On ``local[*]`` masters the
+    executor IS the driver process, so ``localCheckpoint`` blocks can
+    only die with the whole job — cheap and safe. On a real cluster
+    those blocks die with their executor, making the merge
+    unrecoverable for that attempt, so use reliable ``checkpoint()``
+    (re-readable from the checkpoint dir); that requires
+    ``setCheckpointDir`` — fail loudly if unset rather than silently
+    degrading to executor-pinned blocks."""
+    sc = df.sparkSession.sparkContext
+    if sc.master.startswith("local"):
+        return df.localCheckpoint(eager=True)
+    if sc.getCheckpointDir() is None:
+        raise RuntimeError(
+            "streaming state merge on a non-local master needs a "
+            "reliable checkpoint dir: call "
+            "spark.sparkContext.setCheckpointDir(<fault-tolerant path>)"
+        )
+    return df.checkpoint(eager=True)
 
 
 def _mark_complete(spark: SparkSession, path: str) -> None:
@@ -707,7 +729,7 @@ def scd2_parquet_sink_bucketed(
             if untouched_slice is None
             else untouched_slice.select(*rebuilt.columns).unionByName(rebuilt)
         )
-        merged = merged.localCheckpoint(eager=True)  # read+overwrite target
+        merged = _pin_for_overwrite(merged)  # read+overwrite target
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -926,14 +948,11 @@ def _gap_state_merge(
             )
         else:
             merged = fold
-        # pin the merge to executor blocks before the swap overwrites
-        # what `current`'s lineage may read (stage_state, on the
-        # recovery path) — executor-side, no driver round-trip. On a
-        # multi-executor cluster localCheckpoint blocks die with their
-        # executor (unrecoverable mid-batch); this sink targets the
-        # single-JVM posture — swap in df.checkpoint() (reliable,
-        # re-readable) when running with dynamic allocation.
-        merged = merged.localCheckpoint()
+        # pin the merge before the swap overwrites what `current`'s
+        # lineage may read (stage_state, on the recovery path) —
+        # master-gated: localCheckpoint on local[*], reliable
+        # checkpoint() on a real cluster (see _pin_for_overwrite)
+        merged = _pin_for_overwrite(merged)
         _republish(merged, state_path, stage_state)
         _mark_complete(spark, state_path)
         state = spark.read.parquet(state_path)

@@ -20,6 +20,13 @@ an atomic-create primitive):
 - legacy resume (checkpoint has COMMITTED PROGRESS but predates the
   marker — created by a build before this protocol existed): its batches
   were folded under RAW epoch ids, i.e. base ``legacy_base`` (0).
+  SUPPORTED CARDINALITY: at most ONE legacy checkpoint per state table.
+  Two distinct marker-less checkpoints resuming against the same state
+  are indistinguishable from the safe folded-nothing case below (both
+  leave a claimed sentinel + confirmed ownership), so the second would
+  be pushed to a fresh stride and its one crash-replayed batch could
+  re-fold and double-count; migrating a second legacy run requires a
+  state reset (or deleting its checkpoint so it starts fresh).
   Claiming a fresh stride here would let the one batch Spark
   legitimately replays after a crash re-fold under a new, larger
   absolute epoch — exactly the double-count the guard exists to stop —
@@ -86,6 +93,12 @@ def claim_run_base(
     exists but ownership is NOT confirmed, the pin proceeds: that is a
     prior legacy-pin attempt that crashed between sentinel and marker,
     and re-pinning is exactly right.
+
+    CONTRACT: at most one legacy (pre-marker) checkpoint may exist per
+    state table. A second one is filesystem-indistinguishable from the
+    confirmed-ownership fall-through above and would take a fresh
+    stride despite having folded under raw epochs (replay double-count)
+    — see the module docstring; reset state before migrating a second.
     """
     jvm = spark._jvm
 

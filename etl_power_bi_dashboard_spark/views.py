@@ -38,12 +38,22 @@ def register_star_views(
     ``spark`` is validated against them rather than used to register, so
     a frame from a different session fails loudly here instead of
     ``answer_measures(spark)`` failing later with a missing-view error.
+    The comparison is on the underlying JVM session, not Python object
+    identity: two Python wrappers around the same JVM session share a
+    catalog, so rejecting them would be a false positive.
     """
+
+    def _same_session(a: SparkSession, b: SparkSession) -> bool:
+        try:
+            return bool(a._jsparkSession.equals(b._jsparkSession))
+        except Exception:  # Connect or wrapper without a JVM handle
+            return a is b
+
     names = []
     for view, df in [("fact_sales", fact)] + [
         (f"dim_{name}", df) for name, df in dims.items()
     ]:
-        if df.sparkSession is not spark:
+        if not _same_session(df.sparkSession, spark):
             raise ValueError(
                 f"{view}: DataFrame belongs to a different SparkSession "
                 "than the one passed; its temp view would not be visible "

@@ -250,6 +250,32 @@ def test_d6_dependents_shared_labels_equivalence(spark):
         assert shared == standalone and len(standalone) > 0, fn.__name__
 
 
+def test_d3_shared_shingles_equivalence(spark):
+    """bench.py materializes the d3 shingle table once (localCheckpoint)
+    and feeds it to BOTH hasher variants via the ``shingles`` kwarg so
+    the md5-vs-xxhash64 pair prices the hasher, not the shingling twice.
+    The shared-shingles path must be bit-identical to the standalone
+    recompute path the driver verifies, for each hasher."""
+    from etl_power_bi_dashboard_spark.plans.dedup_plans import (
+        d3_shingle_table,
+        q_d3_minhash_lsh,
+    )
+
+    shingles = d3_shingle_table(spark, SF_DIR).localCheckpoint()
+    for hasher in ("md5", "xxhash64"):
+        standalone = {
+            tuple(r)
+            for r in q_d3_minhash_lsh(spark, SF_DIR, hasher=hasher).collect()
+        }
+        shared = {
+            tuple(r)
+            for r in q_d3_minhash_lsh(
+                spark, SF_DIR, hasher=hasher, shingles=shingles
+            ).collect()
+        }
+        assert shared == standalone and len(standalone) > 0, hasher
+
+
 def test_lsh_bands_rejects_mismatched_rows_per_band(spark):
     """A signature length that is not a multiple of rows_per_band must
     raise in-plan, not silently drop the trailing rows (lower recall

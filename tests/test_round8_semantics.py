@@ -1,0 +1,475 @@
+"""Round-8 semantic audit (VERDICT r7 item 4) — brute-force pure-Python
+law tests for the window family (w1–w7 frame semantics), the sampling
+family (p7–p10, p14 exact-rate and selection laws), and the
+survival/retention definitions (e6, e17). Each statistic is recomputed
+from the parquet fixture with plain Python/Decimal from the DEFINITION,
+so a formula misdefined identically on both engines (invisible to the
+driver's hash gate) still fails here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+from datetime import date, timedelta
+from decimal import Decimal
+
+import pandas as pd
+
+from etl_power_bi_dashboard_spark.plans import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def _tbl(name: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/{name}.parquet")
+
+
+def _fact_rows():
+    """(date_id, year, month, price_decimal) per lineitem, per the shared
+    fact definition: price = l_extendedprice as DECIMAL(18,2)."""
+    li = _tbl("lineitem")[["l_orderkey", "l_extendedprice"]]
+    o = _tbl("orders")[["o_orderkey", "o_orderdate"]]
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    for _, r in j.iterrows():
+        d = pd.Timestamp(r["o_orderdate"])
+        yield (
+            int(d.strftime("%Y%m%d")),
+            d.year,
+            d.month,
+            Decimal(repr(round(float(r["l_extendedprice"]), 2))),
+        )
+
+
+# ---------------------------------------------------------------- w1-w3
+
+
+def test_w1_top3_per_segment_law(spark):
+    cust = _tbl("customer")
+    expect = set()
+    for seg, grp in cust.groupby("c_mktsegment"):
+        ordered = grp.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        )
+        for rank, (_, r) in enumerate(ordered.head(3).iterrows(), start=1):
+            expect.add((seg, int(r["c_custkey"]), rank))
+    got = {
+        (r.c_mktsegment, r.c_custkey, r.rank_in_segment)
+        for r in REGISTRY["w1_rank_per_group"].spark(spark, SF_DIR).collect()
+    }
+    assert got == expect and len(expect) > 0
+
+
+def test_w2_running_total_is_prefix_sum_of_daily(spark):
+    daily = defaultdict(Decimal)
+    for date_id, _, _, price in _fact_rows():
+        daily[date_id] += price
+    run, expect = Decimal(0), {}
+    for d in sorted(daily):
+        run += daily[d]
+        expect[d] = (float(daily[d]), float(run))
+    rows = REGISTRY["w2_running_total"].spark(spark, SF_DIR).collect()
+    got = {r.date_id: (r.total_sales, r.cumulative_sales) for r in rows}
+    assert got == expect
+
+
+def test_w3_lag_delta_is_consecutive_month_difference(spark):
+    monthly = defaultdict(Decimal)
+    for _, y, m, price in _fact_rows():
+        monthly[(y, m)] += price
+    keys = sorted(monthly)
+    expect = {}
+    for i, k in enumerate(keys):
+        prev = monthly[keys[i - 1]] if i else None
+        expect[k] = (
+            float(monthly[k]),
+            float(monthly[k] - prev) if prev is not None else None,
+        )
+    rows = REGISTRY["w3_lag_delta"].spark(spark, SF_DIR).collect()
+    got = {(r.year, r.month): (r.total_sales, r.mom_delta) for r in rows}
+    assert got == expect
+
+
+# ---------------------------------------------------------------- w4-w7
+
+
+def test_w4_moving_avg_is_trailing_3_row_mean(spark):
+    ev = _tbl("events").sort_values(["user_id", "ts", "event_id"])
+    expect = {}
+    for _, grp in ev.groupby("user_id"):
+        vals = [Decimal(repr(round(v, 6))) for v in grp["value"]]
+        ids = list(grp["event_id"])
+        for i in range(len(vals)):
+            frame = vals[max(0, i - 2) : i + 1]
+            expect[int(ids[i])] = float(sum(frame)) / len(frame)
+    rows = REGISTRY["w4_moving_avg"].spark(spark, SF_DIR).collect()
+    got = {r.event_id: r.moving_avg_3 for r in rows}
+    assert got == expect
+
+
+def test_w5_distribution_laws(spark):
+    """ntile front-loads the n % k remainder one row each onto the first
+    buckets; percent_rank = (rank-1)/(n-1); cume_dist = (#rows ≤ peer
+    group)/n — with a unique total order, position/n."""
+    cust = _tbl("customer").sort_values(["c_acctbal", "c_custkey"])
+    n = len(cust)
+    base, rem = divmod(n, 4)
+    expect = {}
+    pos = 0
+    for b in range(1, 5):
+        size = base + (1 if b <= rem else 0)
+        for _ in range(size):
+            key = int(cust.iloc[pos]["c_custkey"])
+            expect[key] = (b, pos / (n - 1), (pos + 1) / n)
+            pos += 1
+    rows = REGISTRY["w5_distribution"].spark(spark, SF_DIR).collect()
+    got = {r.c_custkey: (r.quartile, r.pct_rank, r.cume) for r in rows}
+    assert got == expect
+
+
+def test_w6_value_picks_full_frame_law(spark):
+    cust = _tbl("customer")
+    expect = {}
+    for seg, grp in cust.groupby("c_mktsegment"):
+        ordered = grp.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        )["c_custkey"].tolist()
+        expect[seg] = (
+            int(ordered[0]),
+            int(ordered[-1]),
+            int(ordered[1]) if len(ordered) > 1 else None,
+        )
+    rows = REGISTRY["w6_value_picks"].spark(spark, SF_DIR).collect()
+    for r in rows:
+        assert (
+            r.richest_custkey,
+            r.poorest_custkey,
+            r.runner_up_custkey,
+        ) == expect[r.c_mktsegment]
+
+
+def test_w7_range_frame_includes_all_same_day_peers(spark):
+    """RANGE 6 PRECEDING bounds by day VALUE: every order of the same
+    customer within [day-6, day] is in-frame — including same-day peers
+    that a ROWS frame would split on row order."""
+    o = _tbl("orders")[["o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"]]
+    epoch = date(1970, 1, 1)
+    recs = [
+        (
+            int(r["o_custkey"]),
+            int(r["o_orderkey"]),
+            Decimal(repr(round(float(r["o_totalprice"]), 2))),
+            (pd.Timestamp(r["o_orderdate"]).date() - epoch).days,
+        )
+        for _, r in o.iterrows()
+    ]
+    by_cust = defaultdict(list)
+    for c, k, p, d in recs:
+        by_cust[c].append((k, p, d))
+    expect = {}
+    for c, rows_ in by_cust.items():
+        for k, _, d in rows_:
+            expect[k] = float(
+                sum(p2 for _, p2, d2 in rows_ if d - 6 <= d2 <= d)
+            )
+    got = {
+        r.o_orderkey: r.trailing_7d_revenue
+        for r in REGISTRY["w7_range_frame"].spark(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+# ------------------------------------------------------------- sampling
+
+
+def _md5_bucket(text: str, digits: int = 4, mod: int = 100) -> int:
+    return int(hashlib.md5(text.encode()).hexdigest()[:digits], 16) % mod
+
+
+def test_p7_exact_key_modulus_sample(spark):
+    o = _tbl("orders")
+    kept = o[o["o_orderkey"] % 20 == 0]
+    total = sum(Decimal(repr(round(float(v), 2))) for v in kept["o_totalprice"])
+    row = REGISTRY["p7_sample_mod"].spark(spark, SF_DIR).collect()[0]
+    assert row.sample_rows == len(kept)
+    assert row.sample_total == float(total)
+
+
+def test_p8_hash_split_assignment_law(spark):
+    docs = _tbl("documents")
+    rows = REGISTRY["p8_hash_split"].spark(spark, SF_DIR).collect()
+    got = {r.doc_id: (r.bucket, r.split) for r in rows}
+    assert len(got) == len(docs)
+    for _, r in docs.iterrows():
+        b = _md5_bucket(r["text"])
+        split = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert got[int(r["doc_id"])] == (b, split)
+
+
+def test_p9_stratified_exact_rate_and_selection(spark):
+    docs = _tbl("documents")
+    expect = set()
+    for lang, grp in docs.groupby("lang"):
+        n = len(grp)
+        k = math.ceil(n * 0.2)
+        ordered = sorted(
+            grp.itertuples(),
+            key=lambda r: (hashlib.md5(r.text.encode()).hexdigest(), r.doc_id),
+        )
+        expect.update((int(r.doc_id), lang) for r in ordered[:k])
+    rows = REGISTRY["p9_stratified_sample"].spark(spark, SF_DIR).collect()
+    got = {(r.doc_id, r.lang) for r in rows}
+    assert got == expect
+    # exact per-stratum rate, not approximate
+    per_stratum = defaultdict(int)
+    for _, lang in got:
+        per_stratum[lang] += 1
+    for lang, grp in docs.groupby("lang"):
+        assert per_stratum[lang] == math.ceil(len(grp) * 0.2)
+
+
+def test_p10_tiered_acceptance_law(spark):
+    docs = _tbl("documents")
+    rows = REGISTRY["p10_quality_weighted_sample"].spark(spark, SF_DIR).collect()
+    got = {r.doc_id: (r.tier, r.bucket, r.keep) for r in rows}
+    for _, r in docs.iterrows():
+        nt = len(r["text"].split(" "))
+        tier = "high" if nt >= 100 else ("mid" if nt >= 40 else "low")
+        pct = 100 if nt >= 100 else (50 if nt >= 40 else 10)
+        b = _md5_bucket(r["text"])
+        assert got[int(r["doc_id"])] == (tier, b, 1 if b < pct else 0)
+
+
+def test_p14_efraimidis_spirakis_selection_law(spark):
+    """key = round(u^(1/w), 9) with u = (md5-prefix + 1)/2^32; the
+    sample is exactly the top-10 by (key desc, doc_id asc)."""
+    docs = _tbl("documents")
+    keyed = []
+    for _, r in docs.iterrows():
+        u = (int(hashlib.md5(r["text"].encode()).hexdigest()[:8], 16) + 1) / 4294967296.0
+        key = round(u ** (1.0 / float(r["n_chars"])), 9)
+        keyed.append((key, int(r["doc_id"]), int(r["n_chars"])))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    expect = {
+        (doc, w, key, rk)
+        for rk, (key, doc, w) in enumerate(keyed[:10], start=1)
+    }
+    rows = REGISTRY["p14_weighted_reservoir"].spark(spark, SF_DIR).collect()
+    got = {(r.doc_id, r.weight, r.es_key, r.rk) for r in rows}
+    assert got == expect
+
+
+# --------------------------------------------------- survival/retention
+
+
+def _monday_week(d: date) -> date:
+    return d - timedelta(days=d.weekday())
+
+
+def test_e6_weekly_cohort_retention_law(spark):
+    ev = _tbl("events")[["user_id", "ts"]]
+    first = ev.groupby("user_id")["ts"].min()
+    cohort = {int(u): _monday_week(pd.Timestamp(t).date()) for u, t in first.items()}
+    cells = defaultdict(set)
+    for _, r in ev.iterrows():
+        u = int(r["user_id"])
+        week = _monday_week(pd.Timestamp(r["ts"]).date())
+        offset = (week - cohort[u]).days // 7
+        cells[(cohort[u], offset)].add(u)
+    expect = {k: len(v) for k, v in cells.items()}
+    rows = REGISTRY["e6_retention_cohorts"].spark(spark, SF_DIR).collect()
+    got = {
+        (r.cohort_week.date(), r.week_offset): r.n_users for r in rows
+    }
+    assert got == expect
+    # retention sanity: every cohort has its own week-0 cell with every member
+    for u, cw in cohort.items():
+        assert (cw, 0) in got
+
+
+def test_e17_censored_horizon_conversion_law(spark):
+    ev = _tbl("events")[["user_id", "event_type", "ts"]]
+    us = {
+        int(u): int(pd.Timestamp(t).value // 1000)
+        for u, t in ev[ev["event_type"] == "signup"]
+        .groupby("user_id")["ts"]
+        .min()
+        .items()
+    }
+    first_p = {}
+    for _, r in ev[ev["event_type"] == "purchase"].iterrows():
+        u = int(r["user_id"])
+        if u not in us:
+            continue
+        p = int(pd.Timestamp(r["ts"]).value // 1000)
+        if p >= us[u] and (u not in first_p or p < first_p[u]):
+            first_p[u] = p
+    end_us = int(ev["ts"].max().value // 1000)
+    expect = {}
+    for h in (3600, 86400, 604800):
+        at_risk = [u for u, s in us.items() if s + h * 1_000_000 <= end_us]
+        conv = [
+            u
+            for u in at_risk
+            if u in first_p and first_p[u] - us[u] <= h * 1_000_000
+        ]
+        expect[h] = (len(at_risk), len(conv), len(conv) / len(at_risk))
+    rows = REGISTRY["e17_survival_horizons"].spark(spark, SF_DIR).collect()
+    got = {
+        r.horizon_sec: (r.n_at_risk, r.n_converted, r.conv_rate) for r in rows
+    }
+    assert got == expect
+    # censoring law: a user whose observation window hasn't closed is
+    # excluded from the denominator, never counted as a failure
+    assert all(got[h][0] <= len(us) for h in got)
+
+
+# --------------------------------------------- eval-metrics definitions
+# The classifier-evaluation family is classic both-engines-wrong
+# territory (AUC tie handling, decile remainder placement, F1 as a
+# harmonic mean vs a mean of ratios, KS sup over the merged support,
+# calibration bin edges) — recompute each from the textbook definition.
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def _scored_docs():
+    """(doc_id, lang, pos, score_q) per non-empty doc — the shared
+    definition: score_q = (stopword_hits * 10^9) // n_tokens."""
+    out = []
+    for _, r in _tbl("documents").iterrows():
+        if len(r["text"]) == 0:
+            continue
+        toks = r["text"].split(" ")
+        hits = sum(1 for t in toks if t in STOPWORDS)
+        out.append(
+            (
+                int(r["doc_id"]),
+                r["lang"],
+                r["lang"] == "en",
+                (hits * 1_000_000_000) // len(toks),
+            )
+        )
+    return out
+
+
+def test_ml12_auc_is_pairwise_mann_whitney_with_midrank_ties(spark):
+    docs = _scored_docs()
+    langs = sorted({lang for _, lang, _, _ in docs})
+    rows = REGISTRY["ml12_score_bias_auc"].spark(spark, SF_DIR).collect()
+    got = {r.lang: (r.n_pos, r.n_neg, r.auc) for r in rows}
+    assert set(got) == set(langs)
+    for lang in langs:
+        pos = [q for _, l, _, q in docs if l == lang]
+        neg = [q for _, l, _, q in docs if l != lang]
+        u = sum(
+            1.0 if p > n_ else (0.5 if p == n_ else 0.0)
+            for p in pos
+            for n_ in neg
+        )
+        auc = u / (len(pos) * len(neg))
+        g_np, g_nn, g_auc = got[lang]
+        assert (g_np, g_nn) == (len(pos), len(neg))
+        assert abs(g_auc - auc) < 1e-12, lang
+
+
+def test_ml13_gain_lift_decile_law(spark):
+    docs = _scored_docs()
+    ranked = sorted(docs, key=lambda t: (-t[3], t[0]))
+    n = len(ranked)
+    total_pos = sum(1 for _, _, p, _ in ranked if p)
+    per = defaultdict(lambda: [0, 0])  # decile -> [n_rows, n_pos]
+    for rk, (_, _, p, _) in enumerate(ranked, start=1):
+        d = ((rk - 1) * 10) // n
+        per[d][0] += 1
+        per[d][1] += int(p)
+    cum_rows = cum_pos = 0
+    expect = {}
+    for d in sorted(per):
+        cum_rows += per[d][0]
+        cum_pos += per[d][1]
+        expect[d] = (
+            per[d][0],
+            per[d][1],
+            cum_rows,
+            cum_pos,
+            cum_pos / total_pos,
+            (cum_pos * n) / (cum_rows * total_pos),
+        )
+    rows = REGISTRY["ml13_gain_lift"].spark(spark, SF_DIR).collect()
+    got = {
+        r.decile: (r.n_rows, r.n_pos, r.cum_rows, r.cum_pos, r.gain, r.lift)
+        for r in rows
+    }
+    assert set(got) == set(expect)
+    for d in expect:
+        assert got[d][:4] == expect[d][:4], d
+        assert abs(got[d][4] - expect[d][4]) < 1e-12
+        assert abs(got[d][5] - expect[d][5]) < 1e-12
+    # law: the last decile's gain is exactly 1 and overall lift is 1
+    last = max(expect)
+    assert got[last][4] == 1.0
+    assert abs(got[last][5] - 1.0) < 1e-12
+
+
+def test_ml14_pr_curve_confusion_and_f1_law(spark):
+    docs = _scored_docs()
+    rows = REGISTRY["ml14_pr_curve"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        tp = sum(1 for _, _, p, q in docs if q > r.thresh_ppb and p)
+        fp = sum(1 for _, _, p, q in docs if q > r.thresh_ppb and not p)
+        fn = sum(1 for _, _, p, q in docs if q <= r.thresh_ppb and p)
+        tn = sum(1 for _, _, p, q in docs if q <= r.thresh_ppb and not p)
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        assert r.precision == (tp / (tp + fp) if tp + fp else None)
+        assert r.recall == (tp / (tp + fn) if tp + fn else None)
+        # F1 is the harmonic mean 2tp/(2tp+fp+fn), never a mean of the
+        # two printed ratios
+        assert r.f1 == (
+            2 * tp / (2 * tp + fp + fn) if 2 * tp + fp + fn else None
+        )
+        assert r.accuracy == (tp + tn) / len(docs)
+
+
+def test_q14_ks_statistic_is_sup_over_merged_support(spark):
+    ev = _tbl("events")
+    a = sorted(ev[ev["event_type"] == "click"]["value"])
+    b = sorted(ev[ev["event_type"] == "purchase"]["value"])
+    na, nb = len(a), len(b)
+    support = sorted(set(a) | set(b))
+    d = max(
+        abs(
+            sum(1 for x in a if x <= v) / na
+            - sum(1 for x in b if x <= v) / nb
+        )
+        for v in support
+    )
+    crit = (1358 / 1000.0) * math.sqrt((na + nb) / (na * nb))
+    row = REGISTRY["q14_ks_test"].spark(spark, SF_DIR).collect()[0]
+    assert (row.na, row.nb) == (na, nb)
+    assert abs(row.ks_stat - d) < 1e-12
+    assert abs(row.ks_crit_05 - crit) < 1e-12
+    assert row.reject_same_dist == (d > crit)
+
+
+def test_ml16_calibration_bin_law(spark):
+    docs = _scored_docs()
+    bins = defaultdict(lambda: [0, 0, 0])  # bin -> [n, n_pos, sum_q]
+    for _, _, p, q in docs:
+        b = min((q * 10) // 1_000_000_000, 9)
+        bins[b][0] += 1
+        bins[b][1] += int(p)
+        bins[b][2] += q
+    rows = REGISTRY["ml16_calibration"].spark(spark, SF_DIR).collect()
+    got = {r.bin: (r.n_docs, r.n_pos, r.mean_score, r.pos_rate) for r in rows}
+    assert set(got) == set(bins)
+    for b, (n, npos, sq) in bins.items():
+        assert got[b][0] == n and got[b][1] == npos
+        assert abs(got[b][2] - sq / (n * 1_000_000_000)) < 1e-15
+        assert got[b][3] == npos / n
+    # calibration-table law: mean_score of every bin lies inside the
+    # bin's score interval [b/10, (b+1)/10) (capped top bin)
+    for b, (_, _, mean_score, _) in got.items():
+        assert b / 10 <= mean_score and (b == 9 or mean_score < (b + 1) / 10)

@@ -113,3 +113,29 @@ def test_bench_reps_stay_out_of_stdout():
     for line in lines:
         rec = json.loads(line)
         assert "reps" not in rec and "noisy" not in rec
+
+
+def test_conform_exact_duplicate_names_picks_first_occurrence(spark):
+    """Spark legally produces duplicate column names (e.g. post-join
+    select); the resolver would call a bare reference ambiguous, but the
+    positional path picks the FIRST occurrence deterministically."""
+    from etl_power_bi_dashboard_spark.sources.evolve import conform_to_schema
+
+    df = spark.createDataFrame([("first", "second")], ["lang", "lang"])
+    assert conform_to_schema(df, "lang string").collect() == [("first",)]
+
+
+def test_conform_case_sensitive_mode_keeps_exact_semantics(spark):
+    from etl_power_bi_dashboard_spark.sources.evolve import conform_to_schema
+
+    old = spark.conf.get("spark.sql.caseSensitive")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        df = spark.createDataFrame([("pt", "EN")], ["lang", "LANG"])
+        # distinct columns under case sensitivity: exact name resolves,
+        # and a declared name with no exact match backfills NULL
+        assert conform_to_schema(df, "LANG string").collect() == [("EN",)]
+        out = conform_to_schema(df, "Lang string").collect()
+        assert out == [(None,)]
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", old)

@@ -662,3 +662,272 @@ def test_x30_heaps_fit_is_loglog_ols_over_growth_curve(spark):
     assert abs(row.ln_k - intercept) < 1e-5
     assert abs(row.r2 - r2) < 1e-5
     assert 0.0 < row.heaps_beta < 1.0  # sub-linear vocabulary growth
+
+
+# -------------------------------------------- merge/SCD + flow batch 3
+# Warehouse-maintenance and flow-accounting definitions: SCD-2 interval
+# construction, bitemporal visibility, timeline compaction, CDC
+# first/last folding, entry/exit bounce cells, the growth-accounting
+# state machine, closed-form business days, and RFM quintiles.
+
+
+def _events_sorted():
+    ev = _tbl("events")
+    recs = [
+        (
+            int(r["user_id"]),
+            int(pd.Timestamp(r["ts"]).value // 1000),
+            int(r["event_id"]),
+            r["event_type"],
+            float(r["value"]),
+            pd.Timestamp(r["ts"]),
+        )
+        for _, r in ev.iterrows()
+    ]
+    recs.sort(key=lambda t: (t[0], t[1], t[2]))
+    return recs
+
+
+def test_u4_scd2_intervals_law(spark):
+    recs = _events_sorted()
+    by_user = defaultdict(list)
+    for u, us, e, _, v, ts in recs:
+        by_user[u].append((ts, e, v))
+    expect = {}
+    for u, rows_ in by_user.items():
+        for i, (ts, e, v) in enumerate(rows_):
+            nxt = rows_[i + 1][0] if i + 1 < len(rows_) else None
+            expect[e] = (u, v, ts, nxt, 1 if nxt is None else 0)
+    got = {
+        r.event_id: (
+            r.user_id,
+            r.value,
+            pd.Timestamp(r.effective_from),
+            pd.Timestamp(r.effective_to) if r.effective_to else None,
+            r.is_current,
+        )
+        for r in REGISTRY["u4_scd2_history"].spark(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # SCD-2 laws: intervals per user are contiguous and exactly one
+    # current row per user
+    assert sum(1 for v in got.values() if v[4] == 1) == len(by_user)
+
+
+def test_u9_bitemporal_visibility_law(spark):
+    recs = _events_sorted()
+    max_id = max(e for _, _, e, _, _, _ in recs)
+    max_us = max(us for _, us, _, _, _, _ in recs)
+    cells = {
+        "T50_Vnow": (max_id // 2, max_us),
+        "T50_V7d": (max_id // 2, max_us - 604_800_000_000),
+        "Tall_Vnow": (max_id, max_us),
+        "Tall_V7d": (max_id, max_us - 604_800_000_000),
+    }
+    expect = {}
+    for cell, (t_cut, v_cut) in cells.items():
+        vis = defaultdict(list)
+        for u, us, e, _, v, _ in recs:
+            if e <= t_cut and us <= v_cut:
+                vis[u].append((us, e, v))
+        for u, lst in vis.items():
+            us, e, v = max(lst)
+            expect[(cell, u)] = (e, us, v)
+    got = {
+        (r.cell, r.user_id): (r.event_id, r.valid_us, r.value)
+        for r in REGISTRY["u9_bitemporal_lookup"].spark(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # monotone-visibility law: widening either cutoff never removes a user
+    assert set(
+        u for (c, u) in got if c == "T50_V7d"
+    ) <= set(u for (c, u) in got if c == "Tall_Vnow")
+
+
+def test_u10_run_compaction_law(spark):
+    recs = _events_sorted()
+    by_user = defaultdict(list)
+    for u, us, e, et, _, _ in recs:
+        by_user[u].append((us, e, et))
+    expect = set()
+    for u, rows_ in by_user.items():
+        runs = []
+        for us, e, et in rows_:
+            if runs and runs[-1][0] == et:
+                runs[-1][2] += 1
+            else:
+                runs.append([et, us, 1])
+        for i, (et, frm, n) in enumerate(runs):
+            to = runs[i + 1][1] if i + 1 < len(runs) else None
+            expect.add((u, et, frm, to, n))
+    got = {
+        (r.user_id, r.event_type, r.effective_from_us,
+         r.effective_to_us, r.n_collapsed)
+        for r in REGISTRY["u10_scd_compaction"].spark(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # compaction law: collapsed counts reconstruct the raw row count
+    assert sum(t[4] for t in got) == len(recs)
+
+
+def test_u11_cdc_first_last_folding_law(spark):
+    recs = _events_sorted()
+    op_of = lambda et: "I" if et == "signup" else ("D" if et == "error" else "U")
+    by_user = defaultdict(list)
+    for u, us, e, et, v, _ in recs:
+        by_user[u].append((us, e, op_of(et), v))
+    expect = {}
+    for u, rows_ in by_user.items():
+        first_op = rows_[0][2]
+        last_op = rows_[-1][2]
+        if first_op == "I" and last_op == "D":
+            continue  # NONE rows dropped
+        net = (
+            "INSERT" if first_op == "I"
+            else ("DELETE" if last_op == "D" else "UPDATE")
+        )
+        payload = rows_[-1][3] if last_op != "D" else None
+        expect[u] = (
+            net, payload, len(rows_), rows_[0][0], rows_[-1][0]
+        )
+    got = {
+        r.user_id: (r.net_op, r.payload, r.n_ops, r.first_us, r.last_us)
+        for r in REGISTRY["u11_cdc_net_effect"].spark(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_e15_entry_exit_bounce_law(spark):
+    recs = _events_sorted()
+    sessions = defaultdict(list)
+    for u, us, e, et, _, ts in recs:
+        sessions[(u, ts.date())].append((ts, e, et))
+    cells = defaultdict(lambda: [0, 0])
+    for lst in sessions.values():
+        lst.sort()
+        key = (lst[0][2], lst[-1][2])
+        cells[key][0] += 1
+        cells[key][1] += int(len(lst) == 1)
+    rows = REGISTRY["e15_bounce_matrix"].spark(spark, SF_DIR).collect()
+    got = {
+        (r.entry_type, r.exit_type): (r.n_sessions, r.n_bounces, r.bounce_rate)
+        for r in rows
+    }
+    assert set(got) == set(cells)
+    for k, (n, b) in cells.items():
+        assert got[k] == (n, b, b / n), k
+    # bounce cells are diagonal: a 1-event session enters and exits on
+    # the same type
+    for (entry, exit_), (_, b, _) in got.items():
+        if entry != exit_:
+            assert b == 0
+
+
+def test_e18_growth_accounting_state_machine(spark):
+    recs = _events_sorted()
+    # weeks are epoch_day DIV 7 of the event DATE
+    pairs = sorted(
+        {(u, (ts.date() - date(1970, 1, 1)).days // 7)
+         for u, _, _, _, _, ts in recs}
+    )
+    weeks_of = defaultdict(set)
+    for u, wk in pairs:
+        weeks_of[u].add(wk)
+    weekly = defaultdict(lambda: [0, 0, 0, 0])  # active,new,ret,res
+    for u, wks in weeks_of.items():
+        first = min(wks)
+        for wk in wks:
+            st = (
+                "new" if wk == first
+                else ("retained" if wk - 1 in wks else "resurrected")
+            )
+            weekly[wk][0] += 1
+            weekly[wk][{"new": 1, "retained": 2, "resurrected": 3}[st]] += 1
+    rows = REGISTRY["e18_growth_accounting"].spark(spark, SF_DIR).collect()
+    got = {r.wk: r for r in rows}
+    assert set(got) == set(weekly)
+    wks_sorted = sorted(weekly)
+    for i, wk in enumerate(wks_sorted):
+        a, nn, rt, rs = weekly[wk]
+        r = got[wk]
+        assert (r.n_active, r.n_new, r.n_retained, r.n_resurrected) == (
+            a, nn, rt, rs,
+        )
+        assert a == nn + rt + rs  # the ledger identity
+        contig = i > 0 and wks_sorted[i - 1] == wk - 1
+        if contig:
+            churned = weekly[wks_sorted[i - 1]][0] - rt
+            assert r.n_churned == churned
+            if churned > 0:
+                assert abs(r.quick_ratio - (nn + rs) / churned) < 1e-12
+        else:
+            assert r.n_churned is None
+
+
+def test_r13_business_days_closed_form_vs_brute_count(spark):
+    li = _tbl("lineitem")
+    o = _tbl("orders")
+    ship = li.groupby("l_orderkey")["l_shipdate"].max()
+    od = {int(r["o_orderkey"]): pd.Timestamp(r["o_orderdate"]).date()
+          for _, r in o.iterrows()}
+
+    def brute_busdays(d1, d2):
+        if d2 >= d1:
+            return sum(
+                1
+                for i in range(1, (d2 - d1).days + 1)
+                if (d1 + timedelta(days=i)).weekday() < 5
+            )
+        return -brute_busdays(d2, d1)
+
+    rows = REGISTRY["r13_business_days"].spark(spark, SF_DIR).collect()
+    got = {r.o_orderkey: (r.cal_days, r.bus_days) for r in rows}
+    assert len(got) == len(ship)
+    for k, ts in ship.items():
+        d1, d2 = od[int(k)], pd.Timestamp(ts).date()
+        assert got[int(k)] == ((d2 - d1).days, brute_busdays(d1, d2)), k
+
+
+def test_a23_rfm_quintiles_law(spark):
+    o = _tbl("orders")
+    mxd = max(pd.Timestamp(t).date() for t in o["o_orderdate"])
+    per = {}
+    for ck, grp in o.groupby("o_custkey"):
+        last = max(pd.Timestamp(t).date() for t in grp["o_orderdate"])
+        per[int(ck)] = [
+            (mxd - last).days,
+            len(grp),
+            sum(Decimal(repr(round(float(v), 2))) for v in grp["o_totalprice"]),
+        ]
+    n = len(per)
+
+    def quintile(metric_idx):
+        ordered = sorted(per.items(), key=lambda kv: (kv[1][metric_idx], kv[0]))
+        return {
+            ck: ((i * 5) // n) + 1 for i, (ck, _) in enumerate(ordered)
+        }
+
+    rq, fq, mq = quintile(0), quintile(1), quintile(2)
+    cells = defaultdict(lambda: [0, 0, Decimal(0)])
+    for ck, (rec, _, mon) in per.items():
+        key = (rq[ck], fq[ck], mq[ck])
+        cells[key][0] += 1
+        cells[key][1] += rec
+        cells[key][2] += mon
+    rows = REGISTRY["a23_rfm_segments"].spark(spark, SF_DIR).collect()
+    got = {
+        (r.r_q, r.f_q, r.m_q): (r.n_customers, r.avg_recency_days, r.avg_monetary)
+        for r in rows
+    }
+    assert set(got) == set(cells)
+    for key, (cnt, rsum, msum) in cells.items():
+        g = got[key]
+        assert g[0] == cnt
+        assert abs(g[1] - rsum / cnt) < 1e-12
+        assert abs(g[2] - float(msum) / cnt) < 1e-9
+    # quintile law: each metric's quintile populations differ by <= 1
+    from collections import Counter as C
+
+    for q in (rq, fq, mq):
+        sizes = sorted(C(q.values()).values())
+        assert sizes[-1] - sizes[0] <= 1

@@ -931,3 +931,235 @@ def test_a23_rfm_quintiles_law(spark):
     for q in (rq, fq, mq):
         sizes = sorted(C(q.values()).values())
         assert sizes[-1] - sizes[0] <= 1
+
+
+# ------------------------------------ inventory/BI + rule-learner batch 4
+
+
+def _part_revenue():
+    """part -> exact Decimal revenue Σ price·(1−disc), the shared a27/a32
+    revenue definition."""
+    li = _tbl("lineitem")
+    rev = defaultdict(Decimal)
+    for _, r in li.iterrows():
+        p = Decimal(repr(round(float(r["l_extendedprice"]), 2)))
+        d = Decimal(repr(round(float(r["l_discount"]), 4)))
+        rev[int(r["l_partkey"])] += p * (1 - d)
+    return rev
+
+
+def _abc_classes():
+    rev = _part_revenue()
+    ordered = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(rev.values())
+    cum = Decimal(0)
+    classes = {}
+    for pk, rv in ordered:
+        cum += rv
+        classes[pk] = (
+            "A" if cum * 10 <= total * 7 else ("B" if cum * 10 <= total * 9 else "C")
+        )
+    return rev, classes, total
+
+
+def test_a27_pareto_abc_boundaries_law(spark):
+    rev, classes, total = _abc_classes()
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for pk, rv in rev.items():
+        agg[classes[pk]][0] += 1
+        agg[classes[pk]][1] += rv
+    rows = REGISTRY["a27_pareto_abc"].spark(spark, SF_DIR).collect()
+    got = {r.abc_class: (r.n_parts, r.revenue, r.share_pct) for r in rows}
+    assert set(got) == set(agg)
+    for c, (n, s) in agg.items():
+        assert got[c][0] == n
+        assert abs(got[c][1] - float(s)) < 1e-6
+        assert abs(got[c][2] - float(s) / float(total) * 100.0) < 1e-9
+    # Pareto law: A-class revenue share is <= 70% + one part's worth,
+    # and A+B <= 90% + one part's worth (boundary parts stay in-class)
+    assert got["A"][2] <= 70.0 + 100.0 * float(max(rev.values())) / float(total)
+
+
+def test_a32_abc_xyz_cv_classes_law(spark):
+    li = _tbl("lineitem")
+    _, classes, _ = _abc_classes()
+    monthly = defaultdict(lambda: defaultdict(int))
+    months = set()
+    for _, r in li.iterrows():
+        m = pd.Timestamp(r["l_shipdate"]).strftime("%Y%m")
+        months.add(m)
+        monthly[int(r["l_partkey"])][m] += int(r["l_quantity"])
+    n_months = len(months)
+    expect = defaultdict(lambda: [0, 0])
+    rev = _part_revenue()
+    for pk, per_m in monthly.items():
+        s = sum(per_m.values())
+        q2 = sum(v * v for v in per_m.values())
+        var_term = n_months * q2 - s * s  # ∝ n²·variance (zero months free)
+        xyz = (
+            "X" if 4 * var_term < s * s else ("Y" if var_term < s * s else "Z")
+        )
+        # the integer comparisons ARE cv < 0.5 / cv < 1.0 with
+        # cv² = (nQ − S²)/S²
+        cv2 = var_term / (s * s)
+        assert (xyz == "X") == (cv2 < 0.25)
+        assert (xyz in ("X", "Y")) == (cv2 < 1.0)
+        key = (classes[pk], xyz)
+        expect[key][0] += 1
+        expect[key][1] += s
+    rows = REGISTRY["a32_abc_xyz"].spark(spark, SF_DIR).collect()
+    got = {
+        (r.abc_class, r.xyz_class): (r.n_parts, r.qty_total) for r in rows
+    }
+    assert set(got) == set(expect)
+    for k, (n, q) in expect.items():
+        assert got[k] == (n, q), k
+
+
+def test_a28_price_volume_bridge_telescopes(spark):
+    li = _tbl("lineitem")
+    monthly = defaultdict(lambda: [Decimal(0), Decimal(0)])  # qty, revenue
+    for _, r in li.iterrows():
+        mid = int(pd.Timestamp(r["l_shipdate"]).strftime("%Y%m"))
+        q = Decimal(repr(round(float(r["l_quantity"]), 2)))
+        p = Decimal(repr(round(float(r["l_extendedprice"]), 2)))
+        d = Decimal(repr(round(float(r["l_discount"]), 4)))
+        monthly[mid][0] += q
+        monthly[mid][1] += p * (1 - d)
+    om = lambda mid: (mid // 100) * 12 + (mid % 100)
+    mids = sorted(monthly)
+    rows = REGISTRY["a28_price_volume_mix"].spark(spark, SF_DIR).collect()
+    got = {r.month_id: r for r in rows}
+    assert set(got) == set(mids)
+    for i, mid in enumerate(mids):
+        qty, rev = (float(x) for x in monthly[mid])
+        r = got[mid]
+        assert abs(r.qty - qty) < 1e-9 and abs(r.revenue - rev) < 1e-6
+        contig = i > 0 and om(mids[i - 1]) == om(mid) - 1
+        if not contig:
+            assert r.delta_revenue is None
+            continue
+        pq, prv = (float(x) for x in monthly[mids[i - 1]])
+        assert abs(r.delta_revenue - (rev - prv)) < 1e-6
+        assert abs(r.volume_effect - (qty - pq) * (prv / pq)) < 1e-6
+        assert abs(r.price_effect - (rev / qty - prv / pq) * qty) < 1e-6
+        # bridge law: volume + price effects telescope to the delta
+        assert abs(r.volume_effect + r.price_effect - r.delta_revenue) < 1e-6
+
+
+def test_a25_yoy_lag12_alignment_law(spark):
+    o = _tbl("orders")
+    monthly = defaultdict(Decimal)
+    for _, r in o.iterrows():
+        mid = int(pd.Timestamp(r["o_orderdate"]).strftime("%Y%m"))
+        monthly[mid] += Decimal(repr(round(float(r["o_totalprice"]), 2)))
+    mids = sorted(monthly)
+    rows = REGISTRY["a25_yoy_growth"].spark(spark, SF_DIR).collect()
+    got = {r.month_id: r for r in rows}
+    assert set(got) == set(mids)
+    for i, mid in enumerate(mids):
+        r = got[mid]
+        assert abs(r.revenue - float(monthly[mid])) < 1e-6
+        # lag-12 in SERIES position must also be the same month last
+        # calendar year, else NULL
+        if i >= 12 and mids[i - 12] == mid - 100:
+            prev = float(monthly[mid - 100])
+            assert abs(r.revenue_prev_year - prev) < 1e-6
+            assert abs(r.yoy_pct - (float(monthly[mid]) - prev) / prev * 100.0) < 1e-9
+        else:
+            assert r.revenue_prev_year is None and r.yoy_pct is None
+
+
+def test_a26_cohort_ltv_cumulative_law(spark):
+    o = _tbl("orders")
+    per = []
+    for _, r in o.iterrows():
+        ts = pd.Timestamp(r["o_orderdate"])
+        per.append(
+            (
+                int(r["o_custkey"]),
+                ts.year * 12 + ts.month,
+                int(ts.strftime("%Y%m")),
+                Decimal(repr(round(float(r["o_totalprice"]), 2))),
+            )
+        )
+    first = {}
+    for ck, om, mid, _ in per:
+        if ck not in first or (om, mid) < first[ck]:
+            first[ck] = (om, mid)
+    cohort_size = defaultdict(int)
+    for ck in first:
+        cohort_size[first[ck][1]] += 1
+    cells = defaultdict(lambda: [set(), Decimal(0)])
+    for ck, om, mid, price in per:
+        cm, cmid = first[ck]
+        k = om - cm
+        cells[(cmid, k)][0].add(ck)
+        cells[(cmid, k)][1] += price
+    rows = REGISTRY["a26_cohort_ltv"].spark(spark, SF_DIR).collect()
+    got = {(r.cohort_month, r.k): r for r in rows}
+    assert set(got) == set(cells)
+    cum = defaultdict(Decimal)
+    for (cmid, k) in sorted(cells):
+        users, rev = cells[(cmid, k)]
+        cum[cmid] += rev
+        r = got[(cmid, k)]
+        assert r.n_active == len(users)
+        assert r.cohort_size == cohort_size[cmid]
+        assert abs(r.revenue - float(rev)) < 1e-6
+        assert abs(r.ltv_per_customer - float(cum[cmid]) / cohort_size[cmid]) < 1e-9
+        # LTV curves are non-decreasing in k by construction
+    for cmid in cohort_size:
+        ks = sorted(k for (c, k) in got if c == cmid)
+        ltvs = [got[(cmid, k)].ltv_per_customer for k in ks]
+        assert all(b >= a - 1e-12 for a, b in zip(ltvs, ltvs[1:]))
+
+
+def test_ml10_stump_exhaustive_threshold_search(spark):
+    docs = _tbl("documents")
+    pts = [(int(r["n_chars"]), r["lang"] == "en") for _, r in docs.iterrows()]
+    thresholds = sorted({t for t, _ in pts})
+    ttot = len(pts)
+    tpos = sum(1 for _, p in pts if p)
+    best = None
+    for t in thresholds:
+        lpos = sum(1 for v, p in pts if v <= t and p)
+        ltot = sum(1 for v, _ in pts if v <= t)
+        err = min(
+            (ltot - lpos) + (tpos - lpos),           # left labeled en
+            lpos + ((ttot - ltot) - (tpos - lpos)),  # right labeled en
+        )
+        if best is None or (err, t) < best:
+            best = (err, t)
+    row = REGISTRY["ml10_decision_stump"].spark(spark, SF_DIR).collect()[0]
+    assert (row.err, row.threshold) == best
+    assert row.baseline_err == min(tpos, ttot - tpos)
+    assert row.accuracy == (ttot - best[0]) / ttot
+    # a stump is never worse than the majority-class baseline
+    assert row.err <= row.baseline_err
+
+
+def test_ml11_oner_majority_rule_error_law(spark):
+    docs = _tbl("documents")
+
+    def rule(vals):
+        cells = defaultdict(lambda: defaultdict(int))
+        for v, c in vals:
+            cells[v][c] += 1
+        err = sum(sum(cs.values()) - max(cs.values()) for cs in cells.values())
+        n = sum(sum(cs.values()) for cs in cells.values())
+        return len(cells), err, (n - err) / n
+
+    feats = {
+        "source": [(str(r["source"]), r["lang"]) for _, r in docs.iterrows()],
+        "n_chars_div64": [
+            (str(int(r["n_chars"]) // 64), r["lang"]) for _, r in docs.iterrows()
+        ],
+    }
+    rows = REGISTRY["ml11_oner"].spark(spark, SF_DIR).collect()
+    got = {r.feature: (r.n_values, r.err, r.accuracy) for r in rows}
+    assert set(got) == set(feats)
+    for f, vals in feats.items():
+        nv, err, acc = rule(vals)
+        assert got[f][0] == nv and got[f][1] == err
+        assert abs(got[f][2] - acc) < 1e-12

@@ -1163,3 +1163,293 @@ def test_ml11_oner_majority_rule_error_law(spark):
         nv, err, acc = rule(vals)
         assert got[f][0] == nv and got[f][1] == err
         assert abs(got[f][2] - acc) < 1e-12
+
+
+# ------------------------------------------- temporal interval batch 5
+# Gap-fill, as-of direction/tie rules, calendarization conservation,
+# interval intersection/coalescing/pairwise overlap — classic
+# off-by-one territory, recomputed from the definitions.
+
+
+def _daily_user_values():
+    ev = _tbl("events")
+    daily = defaultdict(Decimal)
+    for _, r in ev.iterrows():
+        d = pd.Timestamp(r["ts"]).date()
+        daily[(int(r["user_id"]), d)] += Decimal(repr(round(float(r["value"]), 2)))
+    return daily
+
+
+def test_r5_locf_gapfill_law(spark):
+    daily = _daily_user_values()
+    span = defaultdict(lambda: [date.max, date.min])
+    for (u, d) in daily:
+        span[u][0] = min(span[u][0], d)
+        span[u][1] = max(span[u][1], d)
+    expect = {}
+    for u, (d0, d1) in span.items():
+        carry = None
+        d = d0
+        while d <= d1:
+            if (u, d) in daily:
+                carry = float(daily[(u, d)])
+                expect[(u, d)] = (carry, 0)
+            else:
+                expect[(u, d)] = (carry, 1)
+            d += timedelta(days=1)
+    rows = REGISTRY["r5_gapfill_locf"].spark(spark, SF_DIR).collect()
+    got = {
+        (r.user_id, pd.Timestamp(r.d).date()): (r.value_locf, r.gap_filled)
+        for r in rows
+    }
+    assert got == expect
+
+
+def test_r6_interpolation_gapfill_law(spark):
+    daily = _daily_user_values()
+    span = defaultdict(lambda: [date.max, date.min])
+    for (u, d) in daily:
+        span[u][0] = min(span[u][0], d)
+        span[u][1] = max(span[u][1], d)
+    rows = REGISTRY["r6_gapfill_interpolate"].spark(spark, SF_DIR).collect()
+    got = {
+        (r.user_id, pd.Timestamp(r.d).date()): (r.value_interp, r.gap_filled)
+        for r in rows
+    }
+    n_checked = 0
+    for u, (d0, d1) in span.items():
+        obs = sorted(d for (uu, d) in daily if uu == u)
+        d = d0
+        while d <= d1:
+            if (u, d) in daily:
+                assert got[(u, d)] == (float(daily[(u, d)]), 0)
+            else:
+                prev_d = max(x for x in obs if x < d)
+                next_d = min(x for x in obs if x > d)
+                pv = float(daily[(u, prev_d)])
+                nv = float(daily[(u, next_d)])
+                gap = float((next_d - prev_d).days)
+                elapsed = float((d - prev_d).days)
+                interp = pv + (nv - pv) * elapsed / gap
+                v, flag = got[(u, d)]
+                assert flag == 1 and abs(v - interp) < 1e-9, (u, d)
+                # interpolation stays inside [min, max] of its endpoints
+                assert min(pv, nv) - 1e-9 <= v <= max(pv, nv) + 1e-9
+                n_checked += 1
+            d += timedelta(days=1)
+    assert n_checked > 0  # fixture must actually have gaps
+
+
+def _clicks_purchases():
+    recs = _events_sorted()
+    clicks = [(u, us, e) for u, us, e, et, _, _ in recs if et == "click"]
+    purch = [(u, us, e) for u, us, e, et, _, _ in recs if et == "purchase"]
+    return clicks, purch
+
+
+def test_r9_forward_asof_law(spark):
+    clicks, purch = _clicks_purchases()
+    by_user = defaultdict(list)
+    for u, us, e in purch:
+        by_user[u].append((us, e))
+    expect = {}
+    for u, us, e in clicks:
+        cands = sorted((p_us, p_id) for p_us, p_id in by_user.get(u, [])
+                       if p_us >= us)
+        if cands:
+            p_us, p_id = cands[0]
+            expect[e] = (p_id, (p_us - us) / 1e6)
+        else:
+            expect[e] = (None, None)
+    rows = REGISTRY["r9_asof_forward"].spark(spark, SF_DIR).collect()
+    got = {r.event_id: (r.next_purchase_id, r.lag_seconds) for r in rows}
+    assert set(got) == set(expect)
+    for e in expect:
+        assert got[e] == expect[e], e
+    # forward as-of law: lag is never negative
+    assert all(l is None or l >= 0 for _, l in got.values())
+
+
+def test_r11_nearest_asof_tie_and_tolerance_law(spark):
+    TOL = 48 * 3600 * 1_000_000
+    clicks, purch = _clicks_purchases()
+    by_user = defaultdict(list)
+    for u, us, e in purch:
+        by_user[u].append((us, e))
+    expect = {}
+    for u, us, e in clicks:
+        ps = by_user.get(u, [])
+        prevs = sorted(((p_us, p_id) for p_us, p_id in ps if p_us <= us),
+                       key=lambda t: (-t[0], -t[1]))
+        nexts = sorted((p_us, p_id) for p_us, p_id in ps if p_us > us)
+        prev = prevs[0] if prevs and us - prevs[0][0] <= TOL else None
+        nxt = nexts[0] if nexts and nexts[0][0] - us <= TOL else None
+        if prev and (not nxt or us - prev[0] <= nxt[0] - us):
+            expect[e] = (prev[1], -(us - prev[0]) / 1e6)
+        elif nxt:
+            expect[e] = (nxt[1], (nxt[0] - us) / 1e6)
+        else:
+            expect[e] = (None, None)
+    rows = REGISTRY["r11_asof_nearest"].spark(spark, SF_DIR).collect()
+    got = {r.event_id: (r.nearest_purchase_id, r.delta_seconds) for r in rows}
+    assert set(got) == set(expect)
+    for e in expect:
+        assert got[e] == expect[e], e
+    # tolerance law: no match farther than 48h either way
+    assert all(d is None or abs(d) <= 48 * 3600 for _, d in got.values())
+
+
+def test_r12_calendarize_allocation_conserves_days(spark):
+    li = _tbl("lineitem")
+    o = _tbl("orders")
+    end = {
+        int(k): pd.Timestamp(v).date()
+        for k, v in li.groupby("l_orderkey")["l_shipdate"].max().items()
+    }
+    month_rev = defaultdict(int)   # month_id -> micro units
+    month_orders = defaultdict(set)
+    for _, r in o.iterrows():
+        k = int(r["o_orderkey"])
+        if k not in end:
+            continue
+        start_d = pd.Timestamp(r["o_orderdate"]).date()
+        end_d = max(end[k], start_d)
+        price = float(r["o_totalprice"])
+        total_days = (end_d - start_d).days + 1
+        m = date(start_d.year, start_d.month, 1)
+        total_overlap = 0
+        while m <= end_d:
+            nxt = (
+                date(m.year + 1, 1, 1) if m.month == 12
+                else date(m.year, m.month + 1, 1)
+            )
+            last_day = nxt - timedelta(days=1)
+            ov = (min(end_d, last_day) - max(start_d, m)).days + 1
+            total_overlap += ov
+            micro = math.floor(price * float(ov) / float(total_days) * 1e6 + 0.5)
+            mid = m.year * 100 + m.month
+            month_rev[mid] += micro
+            month_orders[mid].add(k)
+            m = nxt
+        assert total_overlap == total_days  # conservation of days
+    rows = REGISTRY["r12_calendarize"].spark(spark, SF_DIR).collect()
+    got = {r.month_id: (r.n_orders, r.revenue_alloc) for r in rows}
+    assert set(got) == set(month_rev)
+    for mid in month_rev:
+        assert got[mid][0] == len(month_orders[mid])
+        assert abs(got[mid][1] - month_rev[mid] / 1e6) < 1e-9, mid
+
+
+def _day_sessions():
+    recs = _events_sorted()
+    s = defaultdict(lambda: [None, None])
+    for u, us, e, _, _, ts in recs:
+        key = (u, (ts.date() - date(1970, 1, 1)).days)
+        if s[key][0] is None:
+            s[key] = [us, us]
+        else:
+            s[key][0] = min(s[key][0], us)
+            s[key][1] = max(s[key][1], us)
+    return s
+
+
+def test_r14_peak_window_intersection_law(spark):
+    sessions = _day_sessions()
+    per_day = defaultdict(lambda: [0, 0, 0])  # n, dur_us, ov_us
+    for (u, day), (s_us, e_us) in sessions.items():
+        ws = day * 86_400_000_000 + 12 * 3600 * 1_000_000
+        we = day * 86_400_000_000 + 14 * 3600 * 1_000_000
+        ov = max(0, min(e_us, we) - max(s_us, ws))
+        per_day[day][0] += 1
+        per_day[day][1] += e_us - s_us
+        per_day[day][2] += ov
+    rows = REGISTRY["r14_peak_window_overlap"].spark(spark, SF_DIR).collect()
+    got = {r.day_ep: r for r in rows}
+    assert set(got) == set(per_day)
+    for day, (n, dur, ov) in per_day.items():
+        r = got[day]
+        assert r.n_sessions == n
+        assert r.total_session_sec == dur / 1e6
+        assert r.peak_window_sec == ov / 1e6
+        if dur > 0:
+            assert abs(r.peak_share - ov / dur) < 1e-15
+        # intersection law: the peak share can never exceed 1
+        assert r.peak_share is None or r.peak_share <= 1.0
+
+
+def test_r15_interval_coalesce_touch_merges_law(spark):
+    li = _tbl("lineitem")
+    o = _tbl("orders")
+    end = {
+        int(k): pd.Timestamp(v).date()
+        for k, v in li.groupby("l_orderkey")["l_shipdate"].max().items()
+    }
+    epoch = date(1970, 1, 1)
+    by_cust = defaultdict(list)
+    for _, r in o.iterrows():
+        k = int(r["o_orderkey"])
+        if k not in end:
+            continue
+        s = (pd.Timestamp(r["o_orderdate"]).date() - epoch).days
+        e = max(s, (end[k] - epoch).days)
+        by_cust[int(r["o_custkey"])].append((s, e, k))
+    expect = {}
+    for ck, ivs in by_cust.items():
+        ivs.sort()  # (s, e, order)
+        periods = []
+        for s, e, _ in ivs:
+            # touch (s == cur_e) merges; s == cur_e + 1 does not
+            if periods and s <= periods[-1][1]:
+                periods[-1][1] = max(periods[-1][1], e)
+                periods[-1][2] += 1
+            else:
+                periods.append([s, e, 1])
+        covered = sum(e - s + 1 for s, e, _ in periods)
+        longest = max(e - s + 1 for s, e, _ in periods)
+        expect[ck] = (len(ivs), len(periods), covered, longest)
+    rows = REGISTRY["r15_interval_coalesce"].spark(spark, SF_DIR).collect()
+    got = {
+        r.o_custkey: (r.n_orders, r.n_busy_periods, r.covered_days, r.longest_days)
+        for r in rows
+    }
+    assert got == expect
+
+
+def test_r16_pairwise_overlap_equals_quadratic_join(spark):
+    sessions = _day_sessions()
+    per_day = defaultdict(list)
+    for (u, day), (s_us, e_us) in sessions.items():
+        if e_us > s_us:  # zero-length sessions excluded up front
+            per_day[day].append((s_us, e_us))
+    expect = {}
+    for day, ivs in per_day.items():
+        pairs = total = 0
+        peak_events = []
+        for i in range(len(ivs)):
+            for j in range(i + 1, len(ivs)):
+                ov = min(ivs[i][1], ivs[j][1]) - max(ivs[i][0], ivs[j][0])
+                if ov > 0:
+                    pairs += 1
+                    total += ov
+        # peak concurrency via literal sweep
+        bounds = sorted(
+            [(s, 1) for s, _ in ivs] + [(e, -1) for _, e in ivs],
+            key=lambda t: (t[0], t[1]),
+        )
+        c = peak = 0
+        for _, d in bounds:
+            c += d
+            peak = max(peak, c)
+        expect[day] = (len(ivs), pairs, total / 1e6, peak)
+    rows = REGISTRY["r16_pairwise_overlap"].spark(spark, SF_DIR).collect()
+    got = {
+        r.day_ep: (r.n_sessions, r.n_overlapping_pairs, r.pair_overlap_sec,
+                   r.peak_concurrency)
+        for r in rows
+    }
+    assert set(got) == set(expect)
+    for day in expect:
+        n, p, t, pk = expect[day]
+        gn, gp, gt, gpk = got[day]
+        assert (gn, gp, gpk) == (n, p, pk), day
+        assert abs(gt - t) < 1e-9, day

@@ -851,34 +851,43 @@ SELECT (SELECT COUNT(*) FROM terms) AS n_cells,
 
 
 def q_ml6_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-proportion z-test — the A/B-test read-out: is FRANCE's
-    line-item return rate different from GERMANY's? Completes the
+    """Two-proportion z-test — the A/B-test read-out: does nation 0's
+    line-item return rate differ from nation 1's? Completes the
     hypothesis-testing kit next to q7's chi² (q7 asks "any association
     at all", this scores one planned contrast).
 
-    Counts (n, returns) come from one pass over lineitem joined to its
-    supplier nation (broadcast dims); the pooled-proportion z statistic
-    is then a fixed IEEE expression over four exact BIGINTs —
-    bit-identical on both engines, no rounding convention needed. One
-    row out at any scale.
+    The contrast is DATA-DERIVED — the two supplier nations with the
+    most line items (tie-break on the smaller nationkey), i.e. the two
+    largest samples: the round-8 semantic audit caught the original
+    FRANCE-vs-GERMANY name filter matching ZERO rows of the synthetic
+    fixture (NATION_0…24), so the z arithmetic had never executed and
+    the driver's r5 row was a degenerate 0-row agreement; fixed keys
+    were no better (the sf0.001 fixture has suppliers in only 10 of 25
+    nations). Counts (n, returns) come from one pass over lineitem
+    joined to its supplier (broadcast dim); the top-2 pick is a window
+    over the ≤|nations| post-aggregation rows (calendar-bounded class);
+    the pooled-proportion z statistic is then a fixed IEEE expression
+    over four exact BIGINTs — bit-identical on both engines, no
+    rounding convention needed. One row out at any scale.
     """
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     counts = (
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .filter(F.col("n_name").isin("FRANCE", "GERMANY"))
-        .groupBy("n_name")
+        .groupBy("s_nationkey")
         .agg(
             F.count("*").alias("n"),
             F.sum((F.col("l_returnflag") == "R").cast("bigint")).alias("x"),
         )
     )
-    a = counts.filter(F.col("n_name") == "FRANCE").select(
+    w = Window.orderBy(F.desc("n"), F.asc("s_nationkey"))
+    ranked = counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 2
+    )
+    a = ranked.filter(F.col("rk") == 1).select(
         F.col("n").alias("n1"), F.col("x").alias("x1")
     )
-    b = counts.filter(F.col("n_name") == "GERMANY").select(
+    b = ranked.filter(F.col("rk") == 2).select(
         F.col("n").alias("n2"), F.col("x").alias("x2")
     )
     both = a.crossJoin(F.broadcast(b))
@@ -894,15 +903,16 @@ def q_ml6_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ML6 = """
 WITH counts AS (
-    SELECT n.n_name, COUNT(*) AS n,
+    SELECT s.s_nationkey, COUNT(*) AS n,
            SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE n.n_name IN ('FRANCE', 'GERMANY')
-    GROUP BY n.n_name
-), a AS (SELECT n AS n1, x AS x1 FROM counts WHERE n_name = 'FRANCE'),
-b AS (SELECT n AS n2, x AS x2 FROM counts WHERE n_name = 'GERMANY')
+    GROUP BY s.s_nationkey
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, s_nationkey) AS rk
+    FROM counts
+), a AS (SELECT n AS n1, x AS x1 FROM ranked WHERE rk = 1),
+b AS (SELECT n AS n2, x AS x2 FROM ranked WHERE rk = 2)
 SELECT n1, x1, n2, x2,
        (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
         - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))

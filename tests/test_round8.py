@@ -139,3 +139,44 @@ def test_conform_case_sensitive_mode_keeps_exact_semantics(spark):
         assert out == [(None,)]
     finally:
         spark.conf.set("spark.sql.caseSensitive", old)
+
+
+def test_pin_for_overwrite_cluster_master_requires_checkpoint_dir():
+    """The non-local branch can't run under local[*]; drive the gate
+    with duck-typed stubs: cluster master without a checkpoint dir must
+    fail loudly; with one it must take reliable checkpoint()."""
+    import pytest
+
+    from etl_power_bi_dashboard_spark.streaming.events import _pin_for_overwrite
+
+    class _Ctx:
+        def __init__(self, master, ckdir):
+            self.master = master
+            self._ckdir = ckdir
+
+        def getCheckpointDir(self):
+            return self._ckdir
+
+    class _Sess:
+        def __init__(self, master, ckdir):
+            self.sparkContext = _Ctx(master, ckdir)
+
+    class _DF:
+        def __init__(self, master, ckdir):
+            self.sparkSession = _Sess(master, ckdir)
+            self.calls = []
+
+        def localCheckpoint(self, eager=True):
+            self.calls.append("local")
+            return self
+
+        def checkpoint(self, eager=True):
+            self.calls.append("reliable")
+            return self
+
+    with pytest.raises(RuntimeError, match="checkpoint dir"):
+        _pin_for_overwrite(_DF("spark://cluster:7077", None))
+    df = _DF("yarn", "hdfs:///ck")
+    assert _pin_for_overwrite(df) is df and df.calls == ["reliable"]
+    df2 = _DF("local[32]", None)
+    assert _pin_for_overwrite(df2) is df2 and df2.calls == ["local"]

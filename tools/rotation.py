@@ -30,6 +30,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW_SIZE = 50
 
+# Queries whose SEMANTICS changed after their latest driver row — the
+# old row no longer evidences the current code, so the ranking treats
+# them as no-row (they front the next window). Remove an entry once the
+# re-check lands. ml6: the round-8 semantic audit found its original
+# FRANCE/GERMANY name filter matched zero fixture rows (degenerate
+# 0-row green in r5); the contrast now keys on n_nationkey 0 vs 1.
+FORCE_FRONT = {"ml6_ab_proportion_test"}
+
 
 def _load_rows() -> dict[str, tuple[int, dict]]:
     """query -> (latest round with a driver row, that round's row)."""
@@ -67,7 +75,12 @@ def _status(row: dict) -> str:
 
 
 def compute_window(order: list[str], latest: dict[str, tuple[int, dict]]) -> list[str]:
-    ranked = sorted(order, key=lambda n: latest.get(n, (0, None))[0])
+    def rank(n: str) -> int:
+        if n in FORCE_FRONT:
+            return 0
+        return latest.get(n, (0, None))[0]
+
+    ranked = sorted(order, key=rank)
     return ranked[:WINDOW_SIZE]
 
 
@@ -114,7 +127,12 @@ def cmd_status() -> None:
     for name in order:
         if name in latest:
             rnd, row = latest[name]
-            lines.append(f"| `{name}` | r{rnd} | {_status(row)} |")
+            note = (
+                " — STALE (semantics changed since this row; re-fronted)"
+                if name in FORCE_FRONT
+                else ""
+            )
+            lines.append(f"| `{name}` | r{rnd} | {_status(row)}{note} |")
         else:
             lines.append(f"| `{name}` | — | no driver row |")
     out = os.path.join(REPO, "CORRECTNESS_STATUS.md")

@@ -1647,3 +1647,67 @@ def test_x28_kl_divergence_formula(spark):
         assert abs(got[s][2] - kl) < 1e-12, s
         # Gibbs' inequality: KL >= 0 (up to the nano-quantization)
         assert got[s][2] >= -1e-6
+
+
+# ------------------------------------------ degeneracy sensitivity tests
+# tools/degeneracy_sweep.py (built after the ml6 catch) flagged three
+# always-NULL columns on the fixture. e16's disorder sensitivity was
+# already pinned (test_round6_late.py); these two make the other dead
+# arms fire on crafted fixtures so the gate's silence is no longer
+# vacuous: e18.quick_ratio (the fixture's users never churn) and
+# d11.dup_of (the fixture's ingest batch shares no hash with the base).
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i + 1, pd.Timestamp(ts).to_pydatetime(), u, et, 1.0, "{}")
+         for i, (ts, u, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_e18_quick_ratio_fires_on_churning_fixture(spark, tmp_path):
+    # weeks are epoch_day DIV 7; consecutive weeks = +7 days.
+    # A,B,C all start week 1; B survives to week 2 with newcomer D;
+    # C resurrects in week 3.
+    d0 = "2024-01-01"
+    rows = [
+        (d0, 1, "click"), (d0, 2, "click"), (d0, 3, "click"),   # w1: A,B,C
+        ("2024-01-08", 2, "click"), ("2024-01-08", 4, "click"),  # w2: B,D
+        ("2024-01-15", 3, "click"),                              # w3: C
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.wk: r
+        for r in REGISTRY["e18_growth_accounting"].spark(spark, sf).collect()
+    }
+    wks = sorted(got)
+    w1, w2, w3 = wks
+    assert got[w1].n_new == 3 and got[w1].n_churned is None
+    # w2: B retained, D new; A and C churned (3 - 1) = 2
+    assert (got[w2].n_retained, got[w2].n_new, got[w2].n_churned) == (1, 1, 2)
+    assert got[w2].quick_ratio == (1 + 0) / 2
+    # w3: C resurrected; B and D churned (2 - 0) = 2
+    assert (got[w3].n_resurrected, got[w3].n_churned) == (1, 2)
+    assert got[w3].quick_ratio == (0 + 1) / 2
+
+
+def test_d11_dup_of_fires_on_cross_batch_duplicate(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (5, "alpha beta", "en", "src0", 10),
+            (6, "gamma", "en", "src0", 5),
+            (450, "alpha beta", "en", "src1", 10),   # dup of 5
+            (451, "entirely new", "en", "src1", 12),  # genuinely new
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.dup_of, r.is_new)
+        for r in REGISTRY["d11_incremental_dedup"].spark(spark, str(tmp_path)).collect()
+    }
+    assert got == {450: (5, 0), 451: (None, 1)}

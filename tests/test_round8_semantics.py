@@ -1711,3 +1711,239 @@ def test_d11_dup_of_fires_on_cross_batch_duplicate(spark, tmp_path):
         for r in REGISTRY["d11_incremental_dedup"].spark(spark, str(tmp_path)).collect()
     }
     assert got == {450: (5, 0), 451: (None, 1)}
+
+
+# ---------------------------------------- events & moments batch 7
+
+
+def test_e5_e12_funnel_sequencing_law(spark):
+    """Strict-progression funnel: first click strictly after signup,
+    first purchase strictly after that click; e12's timings are exact
+    µs lags over the same stages."""
+    recs = _events_sorted()
+    by_user = defaultdict(list)
+    for u, us, e, et, _, _ in recs:
+        by_user[u].append((us, et))
+    signup, click, purchase = {}, {}, {}
+    for u, rows_ in by_user.items():
+        s = min((us for us, et in rows_ if et == "signup"), default=None)
+        if s is None:
+            continue
+        signup[u] = s
+        c = min((us for us, et in rows_ if et == "click" and us > s),
+                default=None)
+        if c is None:
+            continue
+        click[u] = c
+        p = min((us for us, et in rows_ if et == "purchase" and us > c),
+                default=None)
+        if p is not None:
+            purchase[u] = p
+    r5 = REGISTRY["e5_funnel"].spark(spark, SF_DIR).collect()[0]
+    assert (r5.n_signup, r5.n_click_after_signup,
+            r5.n_purchase_after_click) == (
+        len(signup), len(click), len(purchase))
+    assert r5.n_signup >= r5.n_click_after_signup >= r5.n_purchase_after_click
+    lag1 = [click[u] - signup[u] for u in purchase]
+    lag2 = [purchase[u] - click[u] for u in purchase]
+    r12 = REGISTRY["e12_time_to_convert"].spark(spark, SF_DIR).collect()[0]
+    assert r12.n_converters == len(purchase)
+    assert abs(r12.mean_signup_to_click_s - sum(lag1) / len(lag1) / 1e6) < 1e-9
+    assert abs(r12.mean_click_to_purchase_s - sum(lag2) / len(lag2) / 1e6) < 1e-9
+    assert r12.min_click_to_purchase_s == min(lag2) / 1e6
+    assert r12.max_click_to_purchase_s == max(lag2) / 1e6
+
+
+def _z_outliers(per_user_frames, min_n, cutoff):
+    """Shared brute force for e7/e9: frames yield (event_id, value,
+    [frame values as 2dp Decimals])."""
+    out = {}
+    for e, v, frame in per_user_frames:
+        n = len(frame)
+        if n < min_n:
+            continue
+        s1 = float(sum(frame))
+        s2 = float(sum(x * x for x in frame))
+        if not (n * s2 - s1 * s1 > 0):
+            continue
+        mean = s1 / n
+        var = (n * s2 - s1 * s1) / (n * (n - 1.0))
+        z = (v - mean) / math.sqrt(var)
+        if abs(z) > cutoff:
+            out[e] = z
+    return out
+
+
+def test_e7_full_history_zscore_law(spark):
+    recs = _events_sorted()
+    by_user = defaultdict(list)
+    for u, us, e, et, v, _ in recs:
+        by_user[u].append((e, v))
+    frames = []
+    for rows_ in by_user.values():
+        dec = [Decimal(repr(round(v, 2))) for _, v in rows_]
+        for e, v in rows_:
+            frames.append((e, v, dec))  # full-partition frame
+    expect = _z_outliers(frames, min_n=2, cutoff=2.0)
+    rows = REGISTRY["e7_value_outliers"].spark(spark, SF_DIR).collect()
+    got = {r.event_id: r.z for r in rows}
+    assert set(got) == set(expect)
+    for e in expect:
+        assert abs(got[e] - expect[e]) < 1e-9
+
+
+def test_e9_trailing_window_zscore_law(spark):
+    recs = _events_sorted()
+    by_user = defaultdict(list)
+    for u, us, e, et, v, _ in recs:
+        by_user[u].append((e, v))
+    frames = []
+    for rows_ in by_user.values():
+        dec = [Decimal(repr(round(v, 2))) for _, v in rows_]
+        for i, (e, v) in enumerate(rows_):
+            frames.append((e, v, dec[max(0, i - 20):i]))  # excludes current
+    expect = _z_outliers(frames, min_n=5, cutoff=3.0)
+    rows = REGISTRY["e9_rolling_zscore"].spark(spark, SF_DIR).collect()
+    got = {r.event_id: r.z for r in rows}
+    assert set(got) == set(expect)
+    for e in expect:
+        assert abs(got[e] - expect[e]) < 1e-9
+
+
+def test_e11_trailing_distinct_law(spark):
+    recs = _events_sorted()
+    act = {(u, ts.date()) for u, _, _, _, _, ts in recs}
+    days = sorted({d for _, d in act})
+    d0, d1 = days[0], days[-1]
+    rows = REGISTRY["e11_rolling_active_users"].spark(spark, SF_DIR).collect()
+    got = {pd.Timestamp(r.day).date(): (r.dau, r.wau, r.stickiness)
+           for r in rows}
+    d = d0
+    while d <= d1:
+        dau = sum(1 for u, dd in act if dd == d)
+        wau = len({u for u, dd in act if d - timedelta(days=6) <= dd <= d})
+        if wau == 0:
+            assert d not in got
+        else:
+            assert got[d] == (dau, wau, dau / wau), d
+        d += timedelta(days=1)
+    # a user active twice in the window still counts once: wau <= users
+    assert all(w <= len({u for u, _ in act}) for _, w, _ in got.values())
+
+
+def test_e14_top_paths_law(spark):
+    recs = _events_sorted()
+    sessions = defaultdict(list)
+    for u, us, e, et, _, ts in recs:
+        sessions[(u, ts.date())].append((us, e, et))
+    counts = defaultdict(int)
+    for lst in sessions.values():
+        lst.sort()
+        counts[">".join(et for _, _, et in lst[:8])] += 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = REGISTRY["e14_top_paths"].spark(spark, SF_DIR).collect()
+    assert [(r.path, r.n_sessions) for r in rows] == top
+
+
+def test_x16_entropy_definition(spark):
+    docs = _tbl("documents")
+    rows = REGISTRY["x16_doc_entropy"].spark(spark, SF_DIR).collect()
+    got = {r.doc_id: (r.n_tokens, r.entropy_nats) for r in rows}
+    for _, r in docs.iterrows():
+        toks = [t for t in r["text"].split(" ") if t]
+        if not toks:
+            continue
+        from collections import Counter as C
+
+        tf = C(toks)
+        n = len(toks)
+        clnc = sum(Decimal(repr(round(c * math.log(c), 9)))
+                   for c in tf.values())
+        ent = round(math.log(n) - float(clnc) / n, 9)
+        g_n, g_e = got[int(r["doc_id"])]
+        assert g_n == n
+        assert abs(g_e - ent) < 1e-9
+        # entropy law: 0 <= H <= ln(n_tokens)
+        assert -1e-9 <= g_e <= math.log(n) + 1e-9
+
+
+def test_a17_cumulative_distinct_law(spark):
+    recs = _events_sorted()
+    first = {}
+    for u, us, e, et, _, ts in recs:
+        if et == "purchase" and u not in first:
+            first[u] = ts.date()
+    daily = defaultdict(int)
+    for d in first.values():
+        daily[d] += 1
+    rows = REGISTRY["a17_cumulative_distinct"].spark(spark, SF_DIR).collect()
+    got = {pd.Timestamp(r.d).date(): (r.new_users, r.cum_distinct_users)
+           for r in rows}
+    assert set(got) == set(daily)
+    cum = 0
+    for d in sorted(daily):
+        cum += daily[d]
+        assert got[d] == (daily[d], cum)
+    assert cum == len(first)  # totals to the distinct purchaser count
+
+
+def test_a18_pearson_exact_moments(spark):
+    li = _tbl("lineitem")
+    names = {
+        "quantity": "l_quantity",
+        "price": "l_extendedprice",
+        "discount": "l_discount",
+        "tax": "l_tax",
+    }
+    dec = {
+        a: [Decimal(repr(round(float(v), 2))) for v in li[c]]
+        for a, c in names.items()
+    }
+    n = len(li)
+    order = ["quantity", "price", "discount", "tax"]
+    rows = REGISTRY["a18_corr_matrix"].spark(spark, SF_DIR).collect()
+    got = {(r.col_x, r.col_y): r.pearson_r for r in rows}
+    import itertools
+
+    for a, b in itertools.combinations(order, 2):
+        sa, sb = float(sum(dec[a])), float(sum(dec[b]))
+        ssa = float(sum(x * x for x in dec[a]))
+        ssb = float(sum(x * x for x in dec[b]))
+        sp = float(sum(x * y for x, y in zip(dec[a], dec[b])))
+        r_ = (n * sp - sa * sb) / (
+            math.sqrt(n * ssa - sa * sa) * math.sqrt(n * ssb - sb * sb)
+        )
+        assert abs(got[(a, b)] - r_) < 1e-12, (a, b)
+        assert -1.0 - 1e-12 <= got[(a, b)] <= 1.0 + 1e-12
+
+
+def test_ml5_regional_trend_ols(spark):
+    o = _tbl("orders")
+    c = _tbl("customer")[["c_custkey", "c_nationkey"]]
+    nt = _tbl("nation")[["n_nationkey", "n_regionkey"]]
+    rg = _tbl("region")[["r_regionkey", "r_name"]]
+    j = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(nt, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(rg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    daily = defaultdict(Decimal)
+    for _, r in j.iterrows():
+        x = (pd.Timestamp(r["o_orderdate"]).date() - date(1992, 1, 1)).days
+        daily[(r["r_name"], x)] += Decimal(repr(round(float(r["o_totalprice"]), 2)))
+    rows = REGISTRY["ml5_linreg_trend"].spark(spark, SF_DIR).collect()
+    got = {r.r_name: (r.n_days, r.slope, r.intercept) for r in rows}
+    regions = {rn for rn, _ in daily}
+    assert set(got) == regions
+    for rn in regions:
+        pts = [(x, float(y)) for (r2, x), y in daily.items() if r2 == rn]
+        nd = len(pts)
+        sx = float(sum(x for x, _ in pts))
+        sy = sum(y for _, y in pts)
+        sxy = float(sum(Decimal(x) * Decimal(repr(y)) for x, y in pts))
+        sxx = float(sum(x * x for x, _ in pts))
+        slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+        intercept = (sy - slope * sx) / nd
+        g = got[rn]
+        assert g[0] == nd
+        assert abs(g[1] - slope) < 1e-9 and abs(g[2] - intercept) < 1e-6, rn

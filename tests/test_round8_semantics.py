@@ -1947,3 +1947,189 @@ def test_ml5_regional_trend_ols(spark):
         g = got[rn]
         assert g[0] == nd
         assert abs(g[1] - slope) < 1e-9 and abs(g[2] - intercept) < 1e-6, rn
+
+
+# ----------------------------------------- profiles & mixes batch 8
+
+
+def test_e8_transition_rows_normalize(spark):
+    recs = _events_sorted()
+    by_user = defaultdict(list)
+    for u, us, e, et, _, _ in recs:
+        by_user[u].append(et)
+    counts = defaultdict(int)
+    for seq in by_user.values():
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    row_tot = defaultdict(int)
+    for (a, _), c in counts.items():
+        row_tot[a] += c
+    rows = REGISTRY["e8_transition_matrix"].spark(spark, SF_DIR).collect()
+    got = {(r.from_type, r.to_type): (r.n_transitions, r.p) for r in rows}
+    assert set(got) == set(counts)
+    for k, c in counts.items():
+        assert got[k] == (c, c / row_tot[k[0]])
+    # stochastic-matrix law: every row's probabilities sum to 1
+    by_from = defaultdict(float)
+    for (a, _), (_, p) in got.items():
+        by_from[a] += p
+    assert all(abs(s - 1.0) < 1e-9 for s in by_from.values())
+
+
+def test_e13_interarrival_moments(spark):
+    recs = _events_sorted()
+    gaps = defaultdict(list)
+    by_key = defaultdict(list)
+    for u, us, e, et, _, _ in recs:
+        by_key[(u, et)].append(us)
+    for (u, et), uss in by_key.items():
+        for a, b in zip(uss, uss[1:]):
+            gaps[et].append(b - a)
+    rows = REGISTRY["e13_interarrival"].spark(spark, SF_DIR).collect()
+    got = {r.event_type: r for r in rows}
+    assert set(got) == set(gaps)
+    for et, g in gaps.items():
+        r = got[et]
+        n = len(g)
+        s = sum(g)
+        ss = sum(x * x for x in g)
+        mean_s = s / n / 1e6
+        var_s = (ss - s * s / n) / n / 1e12
+        assert r.n_gaps == n
+        assert abs(r.mean_gap_s - mean_s) < 1e-9
+        assert r.min_gap_s == min(g) / 1e6 and r.max_gap_s == max(g) / 1e6
+        assert abs(r.var_gap_s - var_s) < 1e-6
+        assert abs(r.rate_per_s - 1.0 / mean_s) < 1e-12
+        assert r.var_gap_s >= -1e-9  # population variance is non-negative
+
+
+def test_q13_fanout_includes_zero_bucket(spark):
+    o = _tbl("orders")
+    cust = _tbl("customer")
+    li = _tbl("lineitem")
+    opc = defaultdict(int)
+    per_c = o.groupby("o_custkey").size()
+    for ck in cust["c_custkey"]:
+        opc[int(per_c.get(ck, 0))] += 1
+    ipo = defaultdict(int)
+    per_o = li.groupby("l_orderkey").size()
+    for ok in o["o_orderkey"]:
+        ipo[int(per_o.get(ok, 0))] += 1
+    rows = REGISTRY["q13_fanout_profile"].spark(spark, SF_DIR).collect()
+    got = defaultdict(dict)
+    for r in rows:
+        got[r.relation][r.fanout] = r.n_keys
+    assert got["orders_per_customer"] == dict(opc)
+    assert got["items_per_order"] == dict(ipo)
+    # the zero bucket exists iff some parent has no children — and the
+    # histogram totals to the parent-table row count either way
+    assert sum(got["orders_per_customer"].values()) == len(cust)
+    assert sum(got["items_per_order"].values()) == len(o)
+
+
+def test_q16_sequence_gap_report(spark):
+    ev = _tbl("events")
+    ids = sorted(int(i) for i in ev["event_id"])
+    glens = [b - a - 1 for a, b in zip(ids, ids[1:]) if b > a + 1]
+    row = REGISTRY["q16_sequence_gaps"].spark(spark, SF_DIR).collect()[0]
+    assert (row.min_id, row.max_id, row.n_rows) == (ids[0], ids[-1], len(ids))
+    assert row.missing == ids[-1] - ids[0] + 1 - len(ids)
+    assert row.n_gaps == len(glens)
+    assert row.max_gap == (max(glens) if glens else 0)
+    assert row.gap_total == (sum(glens) if glens else 0)
+    # identity: total missing ids == the sum of gap lengths
+    assert row.missing == row.gap_total
+
+
+def test_x22_temperature_mix_alpha_half(spark):
+    docs = _tbl("documents")
+    tok = defaultdict(int)
+    for _, r in docs.iterrows():
+        tok[r["source"]] += len(r["text"].split(" "))
+    total = sum(tok.values())
+    w = {s: math.floor(math.sqrt(n / total) * 1e9 + 0.5) for s, n in tok.items()}
+    z = sum(w.values())
+    rows = REGISTRY["x22_temperature_mix"].spark(spark, SF_DIR).collect()
+    got = {r.source: r for r in rows}
+    assert set(got) == set(tok)
+    for s in tok:
+        r = got[s]
+        assert r.n_tokens == tok[s]
+        assert r.raw_share == tok[s] / total
+        assert abs(r.p_temp - w[s] / z) < 1e-15
+        assert abs(r.boost - (w[s] / z) / (tok[s] / total)) < 1e-9
+    # temperature law (alpha=0.5 flattens): small sources boost > 1,
+    # large sources boost < 1, and the mix still sums to 1
+    assert abs(sum(r.p_temp for r in rows) - 1.0) < 1e-12
+    mean_share = 1.0 / len(tok)
+    for s in tok:
+        if got[s].raw_share < mean_share / 2:
+            assert got[s].boost > 1.0
+
+
+def test_x29_oov_against_top50_vocab(spark):
+    docs = _tbl("documents")
+    cnt = defaultdict(int)
+    for _, r in docs.iterrows():
+        for t in r["text"].split(" "):
+            if t:
+                cnt[t] += 1
+    vocab = {
+        t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    }
+    rows = REGISTRY["x29_oov_rate"].spark(spark, SF_DIR).collect()
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate) for r in rows}
+    for _, r in docs.iterrows():
+        toks = [t for t in r["text"].split(" ") if t]
+        oov = sum(1 for t in toks if t not in vocab)
+        g = got[int(r["doc_id"])]
+        assert g[0] == len(toks) and g[1] == oov
+        if toks:
+            assert g[2] == oov / len(toks)
+        else:
+            assert g[2] is None
+
+
+def test_ml15_two_feature_normal_equations(spark):
+    li = _tbl("lineitem")
+    o = _tbl("orders")
+    per = {
+        int(k): (len(g), int(g["l_quantity"].sum()))
+        for k, g in li.groupby("l_orderkey")
+    }
+    pts = []
+    for _, r in o.iterrows():
+        k = int(r["o_orderkey"])
+        if k in per:
+            y_cents = int(
+                (Decimal(repr(round(float(r["o_totalprice"]), 2))) * 100)
+            )
+            pts.append((per[k][0], per[k][1], y_cents))
+    n = len(pts)
+    sx1 = sum(p[0] for p in pts)
+    sx2 = sum(p[1] for p in pts)
+    sy = sum(p[2] for p in pts)
+    sx1x1 = sum(p[0] * p[0] for p in pts)
+    sx2x2 = sum(p[1] * p[1] for p in pts)
+    sx1x2 = sum(p[0] * p[1] for p in pts)
+    sx1y = sum(p[0] * p[2] for p in pts)
+    sx2y = sum(p[1] * p[2] for p in pts)
+    syy = sum(p[2] * p[2] for p in pts)
+    a11 = float(n * sx1x1 - sx1 * sx1)
+    a12 = float(n * sx1x2 - sx1 * sx2)
+    a22 = float(n * sx2x2 - sx2 * sx2)
+    c1 = float(n * sx1y - sx1 * sy)
+    c2 = float(n * sx2y - sx2 * sy)
+    syy_c = float(n * syy - sy * sy)
+    det = a11 * a22 - a12 * a12
+    b1 = (c1 * a22 - c2 * a12) / det
+    b2 = (c2 * a11 - c1 * a12) / det
+    b0 = (sy - b1 * sx1 - b2 * sx2) / n / 100.0
+    r2 = (b1 * c1 + b2 * c2) / syy_c
+    row = REGISTRY["ml15_ols2"].spark(spark, SF_DIR).collect()[0]
+    assert row.n == n
+    assert abs(row.b1 - b1) < 1e-9 * max(1, abs(b1))
+    assert abs(row.b2 - b2) < 1e-9 * max(1, abs(b2))
+    assert abs(row.b0_dollars - b0) < 1e-6 * max(1, abs(b0))
+    assert abs(row.r2 - r2) < 1e-9
+    assert 0.0 <= row.r2 <= 1.0 + 1e-12  # OLS R^2 law (with intercept)

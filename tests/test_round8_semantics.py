@@ -2133,3 +2133,104 @@ def test_ml15_two_feature_normal_equations(spark):
     assert abs(row.b0_dollars - b0) < 1e-6 * max(1, abs(b0))
     assert abs(row.r2 - r2) < 1e-9
     assert 0.0 <= row.r2 <= 1.0 + 1e-12  # OLS R^2 law (with intercept)
+
+
+# ------------------------------------------------ similarity batch 9
+
+
+def _vecs():
+    emb = _tbl("embeddings")
+    return {
+        int(r["vec_id"]): ([float(x) for x in r["embedding"]], int(r["label"]))
+        for _, r in emb.iterrows()
+    }
+
+
+def _cos(a, b):
+    # sequential fold, matching the engines' aggregate order
+    d = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        d += x * y
+    for x in a:
+        na += x * x
+    for y in b:
+        nb += y * y
+    return d / (math.sqrt(na) * math.sqrt(nb))
+
+
+def test_v1_exact_cosine_topk_law(spark):
+    vecs = _vecs()
+    expect = {}
+    for q in (i for i in vecs if i < 10):
+        scored = sorted(
+            (
+                (-round(_cos(vecs[q][0], vecs[c][0]), 6), c)
+                for c in vecs
+                if c != q
+            )
+        )[:5]
+        for rank, (negcos, c) in enumerate(scored, start=1):
+            expect[(q, rank)] = (c, -negcos)
+    rows = REGISTRY["v1_cosine_topk"].spark(spark, SF_DIR).collect()
+    got = {(r.query_id, r.rank): (r.vec_id, r.cosine) for r in rows}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0], k
+        assert abs(got[k][1] - expect[k][1]) < 1e-9, k
+    # cosine law: every score in [-1, 1]
+    assert all(-1.0 - 1e-9 <= v[1] <= 1.0 + 1e-9 for v in got.values())
+
+
+def test_ml4_knn_majority_vote_law(spark):
+    vecs = _vecs()
+    expect = {}
+    for q in (i for i in vecs if i < 20):
+        scored = sorted(
+            (
+                (-round(_cos(vecs[q][0], vecs[c][0]), 6), c)
+                for c in vecs
+                if c >= 20
+            )
+        )[:5]
+        votes = defaultdict(int)
+        for _, c in scored:
+            votes[vecs[c][1]] += 1
+        label, v = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect[q] = (label, v)
+    rows = REGISTRY["ml4_knn_classify"].spark(spark, SF_DIR).collect()
+    got = {r.query_id: (r.predicted_label, r.votes) for r in rows}
+    assert got == expect
+
+
+def test_v2_ivf_probe_semantics_law(spark):
+    """IVF is approximate vs v1 but EXACT as specified: corpus assigned
+    to its nearest centroid (squared L2, centroid-id tie-break),
+    queries probe their 2 nearest clusters, and the top-3 comes from
+    exactly those candidates."""
+    vecs = _vecs()
+    cents = {i: v for i, (v, _) in vecs.items() if i % 50 == 0}
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    assign = {
+        c: min(cents, key=lambda z: (sqd(vecs[c][0], cents[z]), z))
+        for c in vecs
+    }
+    expect = {}
+    for q in (i for i in vecs if i < 5):
+        probes = sorted(cents, key=lambda z: (sqd(vecs[q][0], cents[z]), z))[:2]
+        cand = [c for c in vecs if assign[c] in probes and c != q]
+        scored = sorted(
+            ((-round(_cos(vecs[q][0], vecs[c][0]), 6), c) for c in cand)
+        )[:3]
+        for rank, (negcos, c) in enumerate(scored, start=1):
+            expect[(q, rank)] = c
+    rows = REGISTRY["v2_ann_ivf"].spark(spark, SF_DIR).collect()
+    got = {(r.query_id, r.rank): r.vec_id for r in rows}
+    assert got == expect

@@ -2234,3 +2234,191 @@ def test_v2_ivf_probe_semantics_law(spark):
     rows = REGISTRY["v2_ann_ivf"].spark(spark, SF_DIR).collect()
     got = {(r.query_id, r.rank): r.vec_id for r in rows}
     assert got == expect
+
+
+# --------------------------------------- learners & reports batch 10
+
+
+def test_ml7_naive_bayes_nano_quantized(spark):
+    docs = _tbl("documents")
+    train = docs[docs["doc_id"] % 5 != 0]
+    test = docs[docs["doc_id"] % 5 == 0]
+    cls_docs = defaultdict(int)
+    tc = defaultdict(lambda: defaultdict(int))
+    tok_c = defaultdict(int)
+    vocab = set()
+    for _, r in train.iterrows():
+        cls_docs[r["lang"]] += 1
+        for t in r["text"].split(" "):
+            if t:
+                tc[r["lang"]][t] += 1
+                tok_c[r["lang"]] += 1
+                vocab.add(t)
+    N = len(train)
+    V = len(vocab)
+    prior = {
+        c: math.floor(math.log(n / N) * 1e9 + 0.5) for c, n in cls_docs.items()
+    }
+    like = {
+        (c, t): math.floor(
+            math.log((tc[c].get(t, 0) + 1) / (tok_c[c] + V)) * 1e9 + 0.5
+        )
+        for c in cls_docs
+        for t in vocab
+    }
+    expect = {}
+    for _, r in test.iterrows():
+        tf = defaultdict(int)
+        for t in r["text"].split(" "):
+            if t and t in vocab:  # OOV dropped
+                tf[t] += 1
+        scores = {
+            c: sum(n * like[(c, t)] for t, n in tf.items()) + prior[c]
+            for c in cls_docs
+        }
+        pred = min(scores, key=lambda c: (-scores[c], c))
+        expect[int(r["doc_id"])] = (
+            r["lang"], pred, scores[pred] / 1e9, pred == r["lang"]
+        )
+    rows = REGISTRY["ml7_naive_bayes"].spark(spark, SF_DIR).collect()
+    got = {r.doc_id: (r.true_lang, r.pred_lang, r.score, r.correct)
+           for r in rows}
+    assert set(got) == set(expect)
+    for d in expect:
+        tl, pl, sc_, ok = expect[d]
+        assert got[d][0] == tl and got[d][1] == pl and got[d][3] == ok, d
+        assert abs(got[d][2] - sc_) < 1e-9
+
+
+def test_x26_rake_degree_over_frequency(spark):
+    stops = set(STOPWORDS)
+    docs = _tbl("documents")
+    phrases = []
+    for _, r in docs.iterrows():
+        marked = " ".join(
+            "§" if t in stops else t for t in r["text"].split(" ")
+        )
+        for p in marked.split("§"):
+            p = p.strip()
+            if p:
+                phrases.append(p)
+    freq = defaultdict(int)
+    deg = defaultdict(int)
+    for p in phrases:
+        ws = p.split(" ")
+        for w in ws:
+            freq[w] += 1
+            deg[w] += len(ws)
+    ppm = {w: (deg[w] * 1_000_000) // freq[w] for w in freq}
+    counts = defaultdict(int)
+    for p in phrases:
+        counts[p] += 1
+    # member word scores sum WITH multiplicity (rake-nltk convention;
+    # a repeated word in a phrase contributes once per occurrence)
+    scores = {
+        p: sum(ppm[w] for w in p.split(" ")) / 1e6 for p in counts
+    }
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = REGISTRY["x26_rake_keywords"].spark(spark, SF_DIR).collect()
+    assert [(r.phrase, r.n_occurrences, round(r.score, 6)) for r in rows] == [
+        (p, counts[p], round(s, 6)) for p, s in top
+    ]
+
+
+def test_x31_fertility_subword_rule(spark):
+    docs = _tbl("documents")
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, words, subwords, chars
+    for _, r in docs.iterrows():
+        toks = r["text"].split(" ")
+        a = agg[r["lang"]]
+        a[0] += 1
+        a[1] += len(toks)
+        a[2] += sum((len(t) + 3) // 4 for t in toks)
+        a[3] += len(r["text"])
+    rows = REGISTRY["x31_tokenizer_fertility"].spark(spark, SF_DIR).collect()
+    got = {r.lang: r for r in rows}
+    assert set(got) == set(agg)
+    for lang, (nd, nw, ns, nc) in agg.items():
+        r = got[lang]
+        assert (r.n_docs, r.n_words, r.n_subwords) == (nd, nw, ns)
+        assert r.fertility == ns / nw
+        assert r.chars_per_word == nc / nw
+        assert r.fertility >= 0.25  # every word yields >= 1 subword
+
+
+def test_ml9_also_bought_support_confidence(spark):
+    li = _tbl("lineitem")
+    baskets = defaultdict(set)
+    for _, r in li.iterrows():
+        baskets[int(r["l_orderkey"])].add(int(r["l_partkey"]))
+    cnt = defaultdict(int)
+    sup = defaultdict(int)
+    for parts in baskets.values():
+        for p in parts:
+            cnt[p] += 1
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                sup[(ps[i], ps[j])] += 1
+    expect = {}
+    for probe in (p for p in cnt if p < 20):
+        partners = []
+        for (a, b), s in sup.items():
+            if a == probe:
+                partners.append((s, b))
+            elif b == probe:
+                partners.append((s, a))
+        top = sorted(partners, key=lambda t: (-t[0], t[1]))[:5]
+        for rank, (s, rec) in enumerate(top, start=1):
+            expect[(probe, rank)] = (rec, s, s / cnt[probe])
+    rows = REGISTRY["ml9_also_bought"].spark(spark, SF_DIR).collect()
+    got = {(r.part, r.rank): (r.rec, r.support, r.confidence) for r in rows}
+    assert got == expect
+    # support is symmetric and confidence <= 1
+    assert all(c <= 1.0 for _, _, c in got.values())
+
+
+def test_q6_profile_summary_law(spark):
+    o = _tbl("orders")
+    rows = REGISTRY["q6_profile_summary"].spark(spark, SF_DIR).collect()
+    got = {r.col_name: r for r in rows}
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    for c in ("o_orderkey", "o_custkey", "o_orderstatus",
+              "o_totalprice", "o_orderdate", "o_orderpriority"):
+        r = got[c]
+        assert r.n_rows == len(o)
+        assert r.n_nulls == int(o[c].isna().sum())
+        assert r.n_distinct == o[c].nunique()
+        if c in numeric:
+            assert r.min_num == float(o[c].min())
+            assert r.max_num == float(o[c].max())
+        else:
+            assert r.min_num is None and r.max_num is None
+
+
+def test_q15_pk_uniqueness_law(spark):
+    li = _tbl("lineitem")
+    o = _tbl("orders")
+    rows = REGISTRY["q15_pk_uniqueness"].spark(spark, SF_DIR).collect()
+    got = {r.table_name: r for r in rows}
+    # lineitem's textbook composite key is genuinely violated by the
+    # generator — verify the audit quantifies it exactly
+    g = li.groupby(["l_orderkey", "l_linenumber"]).size()
+    r = got["lineitem"]
+    assert r.n_rows == len(li) and r.n_keys == len(g)
+    assert r.dup_key_groups == int((g > 1).sum())
+    assert r.excess_rows == int((g[g > 1] - 1).sum())
+    assert bool(r.is_unique) == (len(g) == len(li))
+    # orders' key is clean
+    assert bool(got["orders"].is_unique) == (o["o_orderkey"].nunique() == len(o))
+    # conservation: excess = rows - keys, per table
+    for r in rows:
+        assert r.excess_rows == r.n_rows - r.n_keys
+
+
+def test_t3_keyset_equals_offset_pagination(spark):
+    o = _tbl("orders")
+    ordered = o.sort_values(["o_orderdate", "o_orderkey"])
+    page = ordered.iloc[40:60]
+    rows = REGISTRY["t3_keyset_page"].spark(spark, SF_DIR).collect()
+    assert [(r.o_orderkey) for r in rows] == [int(k) for k in page["o_orderkey"]]

@@ -2422,3 +2422,159 @@ def test_t3_keyset_equals_offset_pagination(spark):
     page = ordered.iloc[40:60]
     rows = REGISTRY["t3_keyset_page"].spark(spark, SF_DIR).collect()
     assert [(r.o_orderkey) for r in rows] == [int(k) for k in page["o_orderkey"]]
+
+
+# --------------------------------------------- sketch & LM batch 11
+
+
+def _minhash_sigs(doc_tokens, k=12):
+    sigs = {}
+    for d, toks in doc_tokens.items():
+        sigs[d] = [
+            min(hashlib.md5(f"{i}|{t}".encode()).hexdigest() for t in toks)
+            for i in range(k)
+        ]
+    return sigs
+
+
+def _lsh_cands(sigs, rows_per_band=3):
+    buckets = defaultdict(set)
+    for d, sig in sigs.items():
+        for band in range(len(sig) // rows_per_band):
+            key = (band, "".join(sig[band * rows_per_band:(band + 1) * rows_per_band]))
+            buckets[key].add(d)
+    cands = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cands.add((ds[i], ds[j]))
+    return cands
+
+
+def test_d14_minhash_estimate_vs_exact(spark):
+    docs = _tbl("documents")
+    toks = {
+        int(r["doc_id"]): set(r["text"].split(" "))
+        for _, r in docs.iterrows()
+        if int(r["doc_id"]) < 150
+    }
+    sigs = _minhash_sigs(toks)
+    expect = {}
+    for a, b in _lsh_cands(sigs):
+        matches = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        inter = len(toks[a] & toks[b])
+        union = len(toks[a] | toks[b])
+        exact = inter / union
+        expect[(a, b)] = (matches / 12, exact, matches / 12 - exact)
+    rows = REGISTRY["d14_minhash_calibration"].spark(spark, SF_DIR).collect()
+    got = {(r.doc_a, r.doc_b): (r.est_jaccard, r.exact_jaccard, r.err)
+           for r in rows}
+    assert set(got) == set(expect) and len(expect) > 0
+    for k in expect:
+        for g, e in zip(got[k], expect[k]):
+            assert abs(g - e) < 1e-12, k
+
+
+def test_d17_s_curve_empirical_and_theory(spark):
+    docs = _tbl("documents")
+    toks = {
+        int(r["doc_id"]): set(r["text"].split(" "))
+        for _, r in docs.iterrows()
+        if int(r["doc_id"]) < 150
+    }
+    cands = _lsh_cands(_minhash_sigs(toks))
+    ids = sorted(toks)
+    per_bucket = defaultdict(lambda: [0, 0])
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            inter = len(toks[a] & toks[b])
+            if inter == 0:  # universe = pairs sharing >= 1 token
+                continue
+            jac = inter / len(toks[a] | toks[b])
+            bucket = min(int(jac * 10), 9)
+            per_bucket[bucket][0] += 1
+            per_bucket[bucket][1] += int((a, b) in cands)
+    rows = REGISTRY["d17_lsh_s_curve"].spark(spark, SF_DIR).collect()
+    got = {r.bucket: r for r in rows}
+    assert set(got) == set(per_bucket)
+    prev_theory = -1.0
+    for bucket in sorted(per_bucket):
+        n, c = per_bucket[bucket]
+        r = got[bucket]
+        assert (r.n_pairs, r.n_candidates) == (n, c), bucket
+        assert r.empirical_rate == c / n
+        s = (bucket + 0.5) / 10.0
+        theory = 1.0 - (1.0 - s ** 3) ** 4
+        assert abs(r.theoretical_rate - theory) < 1e-9
+        # S-curve law: the theoretical pass rate is monotone in J
+        assert r.theoretical_rate > prev_theory
+        prev_theory = r.theoretical_rate
+
+
+def test_x12_unigram_familiarity_law(spark):
+    docs = _tbl("documents")
+    corpus = defaultdict(int)
+    per_doc = {}
+    for _, r in docs.iterrows():
+        toks = [t for t in r["text"].split(" ") if t]
+        per_doc[int(r["doc_id"])] = toks
+        for t in toks:
+            corpus[t] += 1
+    rows = REGISTRY["x12_unigram_score"].spark(spark, SF_DIR).collect()
+    got = {r.doc_id: r for r in rows}
+    for d, toks in per_doc.items():
+        if not toks:
+            continue
+        sum_freq = sum(corpus[t] for t in toks)
+        rare = sum(1 for t in toks if corpus[t] <= 2)
+        r = got[d]
+        assert r.n_tokens == len(toks)
+        assert r.sum_freq == sum_freq
+        assert r.avg_token_freq == sum_freq / len(toks)
+        assert r.rare_tokens == rare
+        # familiarity law: every token occurs at least once (itself)
+        assert r.avg_token_freq >= 1.0
+
+
+def test_x21_stupid_backoff_score(spark):
+    docs = _tbl("documents")
+    train = docs[docs["doc_id"] % 5 != 0]
+    test = docs[docs["doc_id"] % 5 == 0]
+    uni = defaultdict(int)
+    bg = defaultdict(int)
+    for _, r in train.iterrows():
+        toks = [t for t in r["text"].split(" ") if t]
+        for t in toks:
+            uni[t] += 1
+        full = r["text"].split(" ")
+        for x, y in zip(full, full[1:]):
+            bg[(x, y)] += 1
+    U = sum(uni.values())
+    expect = {}
+    for _, r in test.iterrows():
+        full = r["text"].split(" ")
+        if len(full) < 2:
+            continue
+        s = hits = n = 0
+        for x, y in zip(full, full[1:]):
+            # inner joins on train unigram counts: OOV-x or OOV-y
+            # slots are dropped from the score
+            if x not in uni or y not in uni:
+                continue
+            n += 1
+            if (x, y) in bg:
+                hits += 1
+                p = bg[(x, y)] / uni[x]
+            else:
+                p = 0.4 * uni[y] / U
+            s += math.floor(math.log(p) * 1e9 + 0.5)
+        if n:
+            expect[int(r["doc_id"])] = (n, hits, s)
+    rows = REGISTRY["x21_bigram_score"].spark(spark, SF_DIR).collect()
+    got = {r.doc_id: r for r in rows}
+    assert set(got) == set(expect)
+    for d, (n, hits, s) in expect.items():
+        r = got[d]
+        assert (r.n_slots, r.n_hits) == (n, hits), d

@@ -2578,3 +2578,95 @@ def test_x21_stupid_backoff_score(spark):
     for d, (n, hits, s) in expect.items():
         r = got[d]
         assert (r.n_slots, r.n_hits) == (n, hits), d
+
+
+# ------------------------------------- filtered/probed ANN batch 12
+
+
+def test_v10_filtered_ann_prefilter_law(spark):
+    vecs = _vecs()
+    expect = {}
+    for q in (i for i in vecs if i < 8):
+        qlabel = vecs[q][1]
+        cand = [c for c in vecs if vecs[c][1] == qlabel and c != q]
+        scored = sorted(
+            ((-round(_cos(vecs[q][0], vecs[c][0]), 6), c) for c in cand)
+        )[:3]
+        for rank, (negcos, c) in enumerate(scored, start=1):
+            expect[(q, rank)] = (c, qlabel)
+    rows = REGISTRY["v10_filtered_ann"].spark(spark, SF_DIR).collect()
+    got = {(r.query_id, r.rank): (r.vec_id, r.label) for r in rows}
+    assert got == expect
+    # pre-filter law: every result carries the query's own label
+    # (checked above via the expected label) and fills all 3 slots
+    # whenever the label bucket has >= 3 other members
+    from collections import Counter as C
+
+    label_sizes = C(lab for _, lab in vecs.values())
+    for q in (i for i in vecs if i < 8):
+        have = sum(1 for (qq, _) in got if qq == q)
+        assert have == min(3, label_sizes[vecs[q][1]] - 1)
+
+
+def test_v8_probe_sweep_recall_monotone(spark):
+    vecs = _vecs()
+    cents = {i: v for i, (v, _) in vecs.items() if i % 50 == 0}
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    assign = {
+        c: min(cents, key=lambda z: (sqd(vecs[c][0], cents[z]), z))
+        for c in vecs
+    }
+    queries = [i for i in vecs if i < 5]
+    exact = {}
+    for q in queries:
+        exact[q] = [
+            c for _, c in sorted(
+                ((-round(_cos(vecs[q][0], vecs[c][0]), 6), c)
+                 for c in vecs if c != q)
+            )[:3]
+        ]
+    expect = {}
+    for np_ in (1, 2, 4):
+        match = 0
+        for q in queries:
+            probes = sorted(
+                cents, key=lambda z: (sqd(vecs[q][0], cents[z]), z)
+            )[:np_]
+            cand = [c for c in vecs if assign[c] in probes and c != q]
+            approx = {
+                c for _, c in sorted(
+                    ((-round(_cos(vecs[q][0], vecs[c][0]), 6), c)
+                     for c in cand)
+                )[:3]
+            }
+            match += sum(1 for c in exact[q] if c in approx)
+        expect[np_] = (match, match / (3 * len(queries)))
+    rows = REGISTRY["v8_ivf_probe_sweep"].spark(spark, SF_DIR).collect()
+    got = {r.n_probe: (r.n_match, r.recall) for r in rows}
+    assert got == expect
+    # recall law: more probes never lose neighbors
+    assert got[1][1] <= got[2][1] <= got[4][1]
+
+
+def test_u5_merged_partials_equal_direct_rollup(spark):
+    """The mergeable-partials identity that justifies DECIMAL partial
+    sums: base + tranche merged per day == one direct rollup of all
+    events."""
+    recs = _events_sorted()
+    direct = defaultdict(lambda: [0, Decimal(0)])
+    for u, us, e, et, v, ts in recs:
+        d = ts.date()
+        direct[d][0] += 1
+        direct[d][1] += Decimal(repr(round(v, 2)))
+    rows = REGISTRY["u5_incremental_rollup"].spark(spark, SF_DIR).collect()
+    got = {pd.Timestamp(r.day).date(): (r.n_events, r.total_value)
+           for r in rows}
+    assert set(got) == set(direct)
+    for d, (n, tv) in direct.items():
+        assert got[d] == (n, float(tv)), d

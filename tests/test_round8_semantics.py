@@ -2776,3 +2776,102 @@ def test_x13_token_budget_rule(spark):
         assert g[2] == len(r["text"]) / est
         # budget law: ceil-div means est >= n_tokens for non-empty tokens
         assert g[1] >= sum(1 for t in toks if t)
+
+
+# ----------------------------------------- windows & CDC batch 14
+
+
+def test_e1_e2_window_assignment_laws(spark):
+    """Tumbling windows partition events exactly once; 1h/30m sliding
+    windows place every event in exactly TWO windows, so the sliding
+    totals double-count the corpus by construction."""
+    recs = _events_sorted()
+    tumb = defaultdict(lambda: [0, Decimal(0)])
+    slide = defaultdict(lambda: [0, Decimal(0)])
+    for u, us, e, et, v, ts in recs:
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        d = Decimal(repr(round(v, 2)))
+        tumb[(hour, et)][0] += 1
+        tumb[(hour, et)][1] += d
+        half = ts.replace(minute=(ts.minute // 30) * 30, second=0,
+                          microsecond=0)
+        for w0 in (half, half - timedelta(minutes=30)):
+            slide[w0][0] += 1
+            slide[w0][1] += d
+    rows1 = REGISTRY["e1_tumbling_hourly"].spark(spark, SF_DIR).collect()
+    got1 = {
+        (pd.Timestamp(r.window_start), r.event_type): (r.n_events, r.total_value)
+        for r in rows1
+    }
+    assert got1 == {k: (n, float(tv)) for k, (n, tv) in tumb.items()}
+    assert sum(n for n, _ in got1.values()) == len(recs)  # exactly once
+    rows2 = REGISTRY["e2_sliding_windows"].spark(spark, SF_DIR).collect()
+    got2 = {
+        pd.Timestamp(r.window_start): (r.n_events, r.total_value)
+        for r in rows2
+    }
+    assert got2 == {k: (n, float(tv)) for k, (n, tv) in slide.items()}
+    assert sum(n for n, _ in got2.values()) == 2 * len(recs)  # exactly twice
+
+
+def test_e3_session_window_end_is_last_plus_gap(spark):
+    recs = _events_sorted()
+    by_user = defaultdict(list)
+    for u, us, e, et, v, ts in recs:
+        by_user[u].append((us, ts, Decimal(repr(round(v, 2)))))
+    expect = {}
+    for u, rows_ in by_user.items():
+        cur = []
+        sessions = []
+        for i, (us, ts, d) in enumerate(rows_):
+            if i > 0 and us - rows_[i - 1][0] > 3_600_000_000:
+                sessions.append(cur)
+                cur = []
+            cur.append((us, ts, d))
+        sessions.append(cur)
+        for s in sessions:
+            start = s[0][1]
+            end = s[-1][1] + timedelta(hours=1)
+            expect[(u, start)] = (end, len(s), float(sum(d for _, _, d in s)))
+    rows = REGISTRY["e3_session_windows"].spark(spark, SF_DIR).collect()
+    got = {
+        (r.user_id, pd.Timestamp(r.session_start)): (
+            pd.Timestamp(r.session_end), r.n_events, r.total_value
+        )
+        for r in rows
+    }
+    assert got == expect
+
+
+def test_u6_cdc_apply_with_tombstones(spark):
+    cust = _tbl("customer").sort_values("c_custkey")
+    base = {
+        int(r["c_custkey"]): (
+            r["c_name"], int(r["c_nationkey"]), float(r["c_acctbal"]),
+            r["c_mktsegment"],
+        )
+        for _, r in cust.iterrows()
+    }
+    target = dict(base)
+    # updates: every 10th key gets +100 balance
+    for k in base:
+        if k % 10 == 0:
+            n, nk, bal, seg = base[k]
+            target[k] = (n, nk, bal + 100.0, seg)
+    # inserts: 3 smallest keys re-keyed by negation
+    for k in sorted(base)[:3]:
+        n, nk, bal, seg = base[k]
+        target[-k] = ("new_" + n, nk, bal, seg)
+    # tombstones: every key % 7 == 3 deletes (delete-after-update wins)
+    for k in [k for k in target if k % 7 == 3]:
+        del target[k]
+    rows = REGISTRY["u6_apply_cdc"].spark(spark, SF_DIR).collect()
+    got = {
+        r.c_custkey: (r.c_name, r.c_nationkey, r.c_acctbal, r.c_mktsegment)
+        for r in rows
+    }
+    assert set(got) == set(target)
+    for k in target:
+        gn, gnk, gbal, gseg = got[k]
+        assert (gn, gnk, gseg) == (target[k][0], target[k][1], target[k][3])
+        assert abs(gbal - target[k][2]) < 1e-9

@@ -2875,3 +2875,107 @@ def test_u6_cdc_apply_with_tombstones(spark):
         gn, gnk, gbal, gseg = got[k]
         assert (gn, gnk, gseg) == (target[k][0], target[k][1], target[k][3])
         assert abs(gbal - target[k][2]) < 1e-9
+
+
+# ------------------------------------ as-of, chunks, rollups batch 15
+
+
+def test_r1_backward_asof_law(spark):
+    clicks, purch = _clicks_purchases()
+    by_user = defaultdict(list)
+    for u, us, e in clicks:
+        by_user[u].append((us, e))
+    expect = {}
+    for u, us, e in purch:
+        cands = sorted(
+            ((c_us, c_id) for c_us, c_id in by_user.get(u, []) if c_us <= us),
+            key=lambda t: (-t[0], -t[1]),
+        )
+        expect[e] = cands[0][1] if cands else None
+    rows = REGISTRY["r1_asof_join"].spark(spark, SF_DIR).collect()
+    got = {r.event_id: r.asof_click_id for r in rows}
+    assert set(got) == set(expect)
+    assert got == expect
+
+
+def _chunks(toks, n=8, stride=4):
+    starts = range(1, max(len(toks) - (n - 1), 1) + 1, stride)
+    return [" ".join(toks[s - 1:s - 1 + n]) for s in starts]
+
+
+def test_d8_chunk_dedup_fractions(spark):
+    docs = _tbl("documents")
+    per_doc = {
+        int(r["doc_id"]): _chunks(r["text"].split(" "))
+        for _, r in docs.iterrows()
+    }
+    owners = defaultdict(set)
+    for d, chs in per_doc.items():
+        for c in chs:
+            owners[c].add(d)
+    rows = REGISTRY["d8_chunk_dedup"].spark(spark, SF_DIR).collect()
+    got = {r.doc_id: (r.n_chunks, r.dup_chunks, r.dup_chunk_frac)
+           for r in rows}
+    assert set(got) == set(per_doc)
+    for d, chs in per_doc.items():
+        dup = sum(1 for c in chs if len(owners[c]) >= 2)
+        assert got[d] == (len(chs), dup, dup / len(chs)), d
+
+
+def test_d10_cross_source_containment(spark):
+    docs = _tbl("documents")
+    ref = set()
+    for _, r in docs.iterrows():
+        if r["source"] != "src0":
+            ref.update(_chunks(r["text"].split(" "), stride=1))
+    rows = REGISTRY["d10_cross_source_contamination"].spark(spark, SF_DIR).collect()
+    got = {r.doc_id: (r.n_chunks, r.contaminated_chunks, r.containment)
+           for r in rows}
+    n_checked = 0
+    for _, r in docs.iterrows():
+        if r["source"] != "src0":
+            continue
+        chs = set(_chunks(r["text"].split(" "), stride=1))
+        hit = sum(1 for c in chs if c in ref)
+        assert got[int(r["doc_id"])] == (len(chs), hit, hit / len(chs))
+        n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_g1_rollup_levels_are_consistent(spark):
+    rows = REGISTRY["g1_rollup"].spark(spark, SF_DIR).collect()
+    detail = [(r.year, r.quarter, r.total_sales) for r in rows
+              if r.year is not None and r.quarter is not None]
+    per_year = {r.year: r.total_sales for r in rows
+                if r.year is not None and r.quarter is None}
+    grand = [r.total_sales for r in rows
+             if r.year is None and r.quarter is None]
+    assert len(grand) == 1
+    # rollup law: each year total is the sum of its quarters, the grand
+    # total is the sum of the years (exact: DECIMAL partials underneath)
+    ysum = defaultdict(float)
+    for y, _, ts in detail:
+        ysum[y] += ts
+    for y, ts in per_year.items():
+        assert abs(ts - ysum[y]) < 1e-6
+    assert abs(grand[0] - sum(per_year.values())) < 1e-6
+
+
+def test_pv1_pivot_matches_contingency_table(spark):
+    o = _tbl("orders")
+    cells = defaultdict(int)
+    for _, r in o.iterrows():
+        cells[(r["o_orderpriority"], r["o_orderstatus"])] += 1
+    rows = REGISTRY["pv1_pivot"].spark(spark, SF_DIR).collect()
+    got = {r.o_orderpriority: (r.F, r.O, r.P) for r in rows}
+    prios = {p for p, _ in cells}
+    assert set(got) == prios
+    for p in prios:
+        expect = tuple(
+            cells.get((p, s)) if (p, s) in cells else None
+            for s in ("F", "O", "P")
+        )
+        assert got[p] == expect, p
+    # pivot law: the wide cells total to the row count of orders (over
+    # the explicit status list, which covers the domain here)
+    assert sum(v for t in got.values() for v in t if v) == len(o)

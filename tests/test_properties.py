@@ -563,3 +563,57 @@ def test_sequence_gap_report_empty_input_is_concrete(spark):
         0, 0, 0, 0, 0,
     )
     assert r.min_id is None and r.max_id is None
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=10),
+        min_size=2,
+        max_size=8,
+    )
+)
+@_settings
+def test_minhash_lsh_pipeline_matches_bruteforce(spark, docs):
+    """The full MinHash→LSH→verify pipeline on ARBITRARY corpora equals
+    the pure-Python pipeline with the same conventions (md5 signature
+    permutations, 3-row bands, exact unigram-Jaccard verification at
+    0.5) — the operator-level generalization of the fixture-pinned d3/
+    d14 audits. LSH may MISS high-Jaccard pairs (that is the sketch's
+    contract), so equality is against the brute-forced candidate set,
+    not all-pairs."""
+    import hashlib
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sets_ = {i: set(toks) for i, toks in enumerate(docs)}
+    sigs = {
+        d: [
+            min(hashlib.md5(f"{p}|{t}".encode()).hexdigest() for t in toks)
+            for p in range(12)
+        ]
+        for d, toks in sets_.items()
+    }
+    buckets = {}
+    for d, sig in sigs.items():
+        for band in range(4):
+            key = (band, "".join(sig[band * 3:band * 3 + 3]))
+            buckets.setdefault(key, set()).add(d)
+    expected = set()
+    for ds in buckets.values():
+        for i in ds:
+            for j in ds:
+                if i < j:
+                    inter = len(sets_[i] & sets_[j])
+                    union = len(sets_[i] | sets_[j])
+                    if union and inter / union >= 0.5:
+                        expected.add((i, j))
+
+    from etl_power_bi_dashboard_spark.operators import dedup
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_dedup_pairs(
+            df, n=1, k=12, rows_per_band=3, threshold=0.5
+        ).collect()
+    }
+    assert got == expected

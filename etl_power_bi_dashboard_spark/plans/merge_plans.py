@@ -23,11 +23,16 @@ from .base import Query, load
 
 def _delta(cust: DataFrame) -> DataFrame:
     """Deterministic upsert source: updated balances for every 10th
-    customer, plus three brand-new rows re-keyed by NEGATION — customer
-    keys are positive at every scale factor, so a negative key can never
+    customer, plus three brand-new rows re-keyed to ``-(key) - 1`` —
+    strictly negative for every key ≥ 0, so an insert key can never
     collide with a real customer (a fixed "+1,000,000" offset would
     collide once SF reaches ~7 and 150k·SF keys pass the offset,
-    silently turning the inserts into overwrites)."""
+    silently turning the inserts into overwrites). The round-8 semantic
+    audit caught the original bare negation here: this fixture's keys
+    START AT ZERO and −0 == 0, so customer 0's "insert" silently became
+    a second source row for key 0 and the u1 MERGE emitted a
+    duplicate-key dimension — identically on both engines, invisible to
+    the hash gate."""
     updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
         "c_custkey",
         "c_name",
@@ -36,7 +41,7 @@ def _delta(cust: DataFrame) -> DataFrame:
         "c_mktsegment",
     )
     inserts = cust.orderBy("c_custkey").limit(3).select(
-        (-F.col("c_custkey")).alias("c_custkey"),
+        (-F.col("c_custkey") - F.lit(1)).alias("c_custkey"),
         F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
         "c_nationkey",
         "c_acctbal",
@@ -82,7 +87,7 @@ WITH src AS (
            c_mktsegment
     FROM customer WHERE c_custkey % 10 = 0
     UNION ALL
-    SELECT -c_custkey, 'new_' || c_name, c_nationkey, c_acctbal,
+    SELECT -c_custkey - 1, 'new_' || c_name, c_nationkey, c_acctbal,
            c_mktsegment
     FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 3)
 )
@@ -121,7 +126,7 @@ SQL_U2 = """
 WITH src AS (
     SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0
     UNION ALL
-    SELECT -c_custkey
+    SELECT -c_custkey - 1
     FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 3)
 )
 SELECT (SELECT COUNT(*) FROM src s
@@ -261,7 +266,7 @@ WITH src AS (
            c_mktsegment
     FROM customer WHERE c_custkey % 10 = 0
     UNION ALL
-    SELECT -c_custkey, 'new_' || c_name, c_nationkey, c_acctbal,
+    SELECT -c_custkey - 1, 'new_' || c_name, c_nationkey, c_acctbal,
            c_mktsegment
     FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 3)
 ), upserted AS (
@@ -427,7 +432,7 @@ WITH src AS (
            c_mktsegment
     FROM customer WHERE c_custkey % 10 = 0
     UNION ALL
-    SELECT -c_custkey, 'new_' || c_name, c_nationkey, c_acctbal,
+    SELECT -c_custkey - 1, 'new_' || c_name, c_nationkey, c_acctbal,
            c_mktsegment
     FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 3)
 ), new AS (

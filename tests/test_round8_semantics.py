@@ -2858,10 +2858,11 @@ def test_u6_cdc_apply_with_tombstones(spark):
         if k % 10 == 0:
             n, nk, bal, seg = base[k]
             target[k] = (n, nk, bal + 100.0, seg)
-    # inserts: 3 smallest keys re-keyed by negation
+    # inserts: 3 smallest keys re-keyed to -(key)-1 (strictly negative;
+    # the round-8 audit caught bare negation colliding on key 0)
     for k in sorted(base)[:3]:
         n, nk, bal, seg = base[k]
-        target[-k] = ("new_" + n, nk, bal, seg)
+        target[-k - 1] = ("new_" + n, nk, bal, seg)
     # tombstones: every key % 7 == 3 deletes (delete-after-update wins)
     for k in [k for k in target if k % 7 == 3]:
         del target[k]
@@ -3061,3 +3062,138 @@ def test_x15_winnowing_fingerprints(spark):
     # windows -> per-doc fingerprint count >= ceil(#windows / w) is NOT
     # the law (mins repeat); the real guarantee checked here is exact
     # equality with the literal window-minimum sweep
+
+
+# ------------------------------------- quality & mix & CDC batch 17
+
+
+def _x7_signals():
+    docs = _tbl("documents")
+    out = {}
+    for _, r in docs.iterrows():
+        toks = r["text"].split(" ")
+        n = len(toks)
+        dup = (n - len(set(toks))) / n
+        if n < 2:
+            bigrams = [r["text"]]
+        else:
+            bigrams = [" ".join(toks[i:i + 2]) for i in range(n - 1)]
+        from collections import Counter as C
+
+        bc = C(bigrams)
+        out[int(r["doc_id"])] = (n, dup, max(bc.values()) / sum(bc.values()))
+    return out
+
+
+def test_x7_gopher_repetition_signals(spark):
+    expect = _x7_signals()
+    rows = REGISTRY["x7_repetition"].spark(spark, SF_DIR).collect()
+    got = {r.doc_id: (r.n_tokens, r.dup_word_frac, r.top_bigram_frac)
+           for r in rows}
+    assert set(got) == set(expect)
+    for d, (n, dup, top) in expect.items():
+        g = got[d]
+        assert g[0] == n and abs(g[1] - dup) < 1e-12 and abs(g[2] - top) < 1e-12
+        assert 0.0 <= g[1] < 1.0 and 0.0 < g[2] <= 1.0
+
+
+def test_x9_cascade_reason_bitmask(spark):
+    rep = _x7_signals()
+    docs = _tbl("documents")
+    rows = REGISTRY["x9_quality_cascade"].spark(spark, SF_DIR).collect()
+    got = {r.doc_id: (r.reasons, r.keep) for r in rows}
+    for _, r in docs.iterrows():
+        d = int(r["doc_id"])
+        toks = r["text"].split(" ")
+        n, dup, top = rep[d]
+        sw = sum(1 for t in toks if t in STOPWORDS) / n
+        atl = len(r["text"].replace(" ", "")) / n
+        reasons = (
+            (1 if (n < 20 or n > 400) else 0)
+            + (2 if dup > 0.3 else 0)
+            + (4 if top > 0.2 else 0)
+            + (8 if sw < 0.02 else 0)
+            + (16 if (atl < 3.0 or atl > 10.0) else 0)
+        )
+        assert got[d] == (reasons, 1 if reasons == 0 else 0), d
+
+
+def test_x10_x11_token_shares_and_equalizer(spark):
+    docs = _tbl("documents")
+    cells = defaultdict(lambda: [0, 0])
+    for _, r in docs.iterrows():
+        c = cells[(r["source"], r["lang"])]
+        c[0] += 1
+        c[1] += len(r["text"].split(" "))
+    total = sum(t for _, t in cells.values())
+    rows10 = REGISTRY["x10_source_mix"].spark(spark, SF_DIR).collect()
+    got10 = {(r.source, r.lang): (r.n_docs, r.n_tokens, r.token_share)
+             for r in rows10}
+    assert got10 == {
+        k: (n, t, t / total) for k, (n, t) in cells.items()
+    }
+    assert abs(sum(s for _, _, s in got10.values()) - 1.0) < 1e-12
+    # x11: every source downsampled to the smallest source's tokens
+    src_tokens = defaultdict(int)
+    for (s, _), (_, t) in cells.items():
+        src_tokens[s] += t
+    mn = min(src_tokens.values())
+    rows11 = REGISTRY["x11_mixing_weights"].spark(spark, SF_DIR).collect()
+    got11 = {(r.source, r.lang): r for r in rows11}
+    assert set(got11) == set(cells)
+    per_source_expected = defaultdict(float)
+    for (s, lang), (_, t) in cells.items():
+        r = got11[(s, lang)]
+        assert r.src_tokens == src_tokens[s]
+        assert r.sample_rate == mn / src_tokens[s]
+        assert abs(r.expected_tokens - (mn / src_tokens[s]) * t) < 1e-9
+        per_source_expected[s] += r.expected_tokens
+    # equalizer law: after sampling, every source contributes the same
+    # expected token mass (the smallest source's)
+    for s, tot in per_source_expected.items():
+        assert abs(tot - mn) < 1e-6, s
+
+
+def test_u2_u3_cdc_classification_and_compaction(spark):
+    cust = _tbl("customer")
+    keys = set(int(k) for k in cust["c_custkey"])
+    delta_keys = {k for k in keys if k % 10 == 0} | {
+        -k - 1 for k in sorted(keys)[:3]
+    }
+    inserted = sum(1 for k in delta_keys if k not in keys)
+    updated = sum(1 for k in delta_keys if k in keys)
+    unchanged = sum(1 for k in keys if k not in delta_keys)
+    r = REGISTRY["u2_delete_detect"].spark(spark, SF_DIR).collect()[0]
+    assert (r.n_inserted, r.n_updated, r.n_unchanged) == (
+        inserted, updated, unchanged)
+    # u3: latest record per user under (ts DESC, event_id DESC)
+    recs = _events_sorted()
+    latest = {}
+    for u, us, e, et, v, ts in recs:  # sorted ascending; last one wins
+        latest[u] = (e, ts, et, v)
+    rows = REGISTRY["u3_latest_per_key"].spark(spark, SF_DIR).collect()
+    got = {r.user_id: (r.event_id, pd.Timestamp(r.ts), r.event_type, r.value)
+           for r in rows}
+    assert got == latest
+    assert len(got) == len({u for u, *_ in recs})  # exactly one per key
+
+
+def test_u1_merge_output_keys_are_unique(spark):
+    """The MERGE law the round-8 audit caught being violated: the merged
+    dimension must carry each business key EXACTLY once (the fixture's
+    keys start at 0, and the old bare-negation insert keying collided
+    -0 == 0, emitting customer 0 twice on both engines)."""
+    from collections import Counter as C
+
+    cust = _tbl("customer")
+    rows = REGISTRY["u1_scd1_merge"].spark(spark, SF_DIR).collect()
+    counts = C(r.c_custkey for r in rows)
+    assert max(counts.values()) == 1
+    assert len(rows) == len(cust) + 3  # every customer + 3 true inserts
+    # updated keys carry the +100 adjustment exactly once
+    base = {int(r["c_custkey"]): float(r["c_acctbal"])
+            for _, r in cust.iterrows()}
+    got = {r.c_custkey: r.c_acctbal for r in rows}
+    for k, bal in base.items():
+        expect = bal + 100.0 if k % 10 == 0 else bal
+        assert abs(got[k] - expect) < 1e-9, k

@@ -35,8 +35,19 @@ WINDOW_SIZE = 50
 # them as no-row (they front the next window). Remove an entry once the
 # re-check lands. ml6: the round-8 semantic audit found its original
 # FRANCE/GERMANY name filter matched zero fixture rows (degenerate
-# 0-row green in r5); the contrast now keys on n_nationkey 0 vs 1.
-FORCE_FRONT = {"ml6_ab_proportion_test"}
+# 0-row green in r5); the contrast is now data-derived (top-2 supplier
+# nations). u1/u2/u6/u7: the same audit caught _delta's bare-negation
+# insert keying colliding on customer key 0 (the fixture's keys start
+# at zero, -0 == 0), so the u1 MERGE emitted a duplicate-key dimension
+# on both engines; inserts now key to -(key)-1 and all four _delta
+# consumers need fresh driver rows.
+FORCE_FRONT = {
+    "ml6_ab_proportion_test",
+    "u1_scd1_merge",
+    "u2_delete_detect",
+    "u6_apply_cdc",
+    "u7_snapshot_diff",
+}
 
 
 def _load_rows() -> dict[str, tuple[int, dict]]:

@@ -9,7 +9,10 @@ vacuous:
 - 0 rows;
 - every row entirely NULL outside the first (key) column;
 - any individual column that is NULL in every row (a guard or lag that
-  never fires — weaker signal, but worth an eyeball).
+  never fires — weaker signal, but worth an eyeball);
+- fully-identical duplicate output rows (a report row appearing twice
+  usually means a join fanned out or a key collided — the u1
+  duplicate-key catch was one column short of this flag).
 
 A flag is not automatically a bug (an empty anomaly report can be the
 right answer), but every flag is a place where the correctness gate
@@ -59,6 +62,18 @@ def main() -> int:
         ]
         if dead:
             flags.append(f"{name}: always-NULL column(s) {dead}")
+        seen: set = set()
+        dups = 0
+        for r in rows:
+            key = tuple(
+                tuple(v) if isinstance(v, list) else v for v in r
+            )
+            if key in seen:
+                dups += 1
+            else:
+                seen.add(key)
+        if dups:
+            flags.append(f"{name}: {dups} fully-identical duplicate row(s)")
     print(f"swept {len(REGISTRY)} queries at {args.sf_dir}")
     if flags:
         print(f"{len(flags)} degeneracy flag(s):")

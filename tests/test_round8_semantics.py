@@ -3197,3 +3197,84 @@ def test_u1_merge_output_keys_are_unique(spark):
     for k, bal in base.items():
         expect = bal + 100.0 if k % 10 == 0 else bal
         assert abs(got[k] - expect) < 1e-9, k
+
+
+# ---------------------------------------- OHLC, SimHash, JSON batch 18
+
+
+def test_r8_ohlc_bar_conventions(spark):
+    """OHLC: open = value at the FIRST (ts, event_id) of the bar,
+    close = at the LAST; high/low are plain extremes; bars are 15-min
+    tumbling per event_type."""
+    recs = _events_sorted()
+    bars = defaultdict(list)
+    for u, us, e, et, v, ts in recs:
+        bar = ts.replace(minute=(ts.minute // 15) * 15, second=0,
+                         microsecond=0)
+        bars[(bar, et)].append((us, e, v))
+    rows = REGISTRY["r8_resample_ohlc"].spark(spark, SF_DIR).collect()
+    got = {(pd.Timestamp(r.bar_start), r.event_type): r for r in rows}
+    assert set(got) == set(bars)
+    for k, evs in bars.items():
+        evs.sort()
+        r = got[k]
+        assert r.open == evs[0][2] and r.close == evs[-1][2]
+        assert r.high == max(v for _, _, v in evs)
+        assert r.low == min(v for _, _, v in evs)
+        assert r.n_events == len(evs)
+        tv = sum(Decimal(repr(round(v, 2))) for _, _, v in evs)
+        assert r.total_value == float(tv)
+        assert r.low <= r.open <= r.high and r.low <= r.close <= r.high
+
+
+def _simhash60(text):
+    toks = set(text.split(" "))
+    bits = []
+    for j in range(60):
+        s = 0
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            s += 1 if (h >> j) & 1 == 1 else -1
+        bits.append(1 if s > 0 else 0)
+    return sum(b << j for j, b in enumerate(bits))
+
+
+def test_d4_simhash_bit_majority_law(spark):
+    docs = _tbl("documents")
+    rows = REGISTRY["d4_simhash"].spark(spark, SF_DIR).collect()
+    got = {r.doc_id: r.simhash for r in rows}
+    for _, r in docs.iterrows():
+        assert got[int(r["doc_id"])] == _simhash60(r["text"]), r["doc_id"]
+
+
+def test_d4b_simhash_pairs_exact_recall_at_3(spark):
+    """15-bit-band blocking has EXACT recall at Hamming <= 3 over 4
+    bands (pigeonhole: 4 bands, 3 differing bits, one band must be
+    clean) — so the pair set equals the brute-force Hamming scan."""
+    docs = _tbl("documents")
+    fp = {
+        int(r["doc_id"]): _simhash60(r["text"])
+        for _, r in docs.iterrows()
+        if int(r["doc_id"]) < 150
+    }
+    expect = {}
+    ids = sorted(fp)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            d = bin(fp[a] ^ fp[b]).count("1")
+            if d <= 3:
+                expect[(a, b)] = d
+    rows = REGISTRY["d4b_simhash_pairs"].spark(spark, SF_DIR).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert got == expect and len(expect) > 0
+
+
+def test_e4_json_extraction(spark):
+    import json as _json
+
+    ev = _tbl("events")
+    rows = REGISTRY["e4_props_json"].spark(spark, SF_DIR).collect()
+    got = {r.event_id: r.k for r in rows}
+    for _, r in ev.iterrows():
+        assert got[int(r["event_id"])] == _json.loads(r["props"])["k"]

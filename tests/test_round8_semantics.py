@@ -3278,3 +3278,125 @@ def test_e4_json_extraction(spark):
     got = {r.event_id: r.k for r in rows}
     for _, r in ev.iterrows():
         assert got[int(r["event_id"])] == _json.loads(r["props"])["k"]
+
+
+# --------------------------------------- PQ, hyperplane LSH, RAG batch 19
+
+
+def test_v7_pq_adc_matches_literal_quantizer(spark):
+    """Product quantization: 8 subspaces x 8 dims, codebook = vectors
+    with vec_id % 64 == 0, assignment by 6dp-rounded squared L2 with
+    code_id tie-break; ADC distance = sum over subspaces of the
+    query-to-assigned-centroid distances; top-5 per query by
+    (adc, vec_id)."""
+    vecs = _vecs()
+    M = D = 8
+
+    def sub(v, s):
+        return v[s * D:(s + 1) * D]
+
+    def sqd6(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return round(acc, 6)
+
+    cb = {i for i in vecs if i % 64 == 0}
+    codes = {}
+    for v_id, (v, _) in vecs.items():
+        codes[v_id] = [
+            min(cb, key=lambda c: (sqd6(sub(v, s), sub(vecs[c][0], s)), c))
+            for s in range(M)
+        ]
+    expect = {}
+    for q in (i for i in vecs if i < 10):
+        qv = vecs[q][0]
+        qd = {
+            (s, c): Decimal(repr(sqd6(sub(qv, s), sub(vecs[c][0], s))))
+            for s in range(M)
+            for c in cb
+        }
+        scored = sorted(
+            (
+                float(sum(qd[(s, codes[v_id][s])] for s in range(M))),
+                v_id,
+            )
+            for v_id in vecs
+            if v_id != q
+        )[:5]
+        for rank, (d, v_id) in enumerate(scored, start=1):
+            expect[(q, rank)] = (v_id, d)
+    rows = REGISTRY["v7_pq_adc"].spark(spark, SF_DIR).collect()
+    got = {(r.query_id, r.rank): (r.vec_id, r.adc_dist) for r in rows}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0], k
+        assert abs(got[k][1] - expect[k][1]) < 1e-9
+
+
+def test_v3_hyperplane_lsh_bucketing(spark):
+    """8 md5-derived +-1 hyperplanes bucket the corpus; near-dup pairs
+    are same-bucket pairs whose EXACT cosine >= 0.3 — brute-forced with
+    the identical sign convention (round the projection to 6dp before
+    the > 0 test)."""
+    vecs = _vecs()
+    signs = {
+        p: [
+            1 if int(hashlib.md5(f"{p}|{j}".encode()).hexdigest()[:2], 16) % 2 == 1
+            else -1
+            for j in range(1, 65)
+        ]
+        for p in range(8)
+    }
+
+    def bucket(v):
+        b = 0
+        for p in range(8):
+            acc = 0.0
+            for x, sgn in zip(v, signs[p]):
+                acc += x if sgn == 1 else -x
+            if round(acc, 6) > 0:
+                b += 1 << p
+        return b
+
+    buckets = defaultdict(list)
+    for v_id, (v, _) in vecs.items():
+        buckets[bucket(v)].append(v_id)
+    expect = {}
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                # the operator rounds to 6dp BEFORE thresholding
+                cos = round(_cos(vecs[ids[i]][0], vecs[ids[j]][0]), 6)
+                if cos >= 0.3:
+                    expect[(ids[i], ids[j])] = cos
+    rows = REGISTRY["v3_lsh_neardup"].spark(spark, SF_DIR).collect()
+    got = {(r.vec_a, r.vec_b): r.cosine for r in rows}
+    assert set(got) == set(expect) and len(expect) > 0
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-9
+
+
+def test_x20_chunk_split_coverage_law(spark):
+    """RAG chunking (size 32, stride 24): starts run 0..n-overlap-1 by
+    stride, every token is covered, and no chunk is fully contained in
+    its predecessor (the trailing-duplicate guard)."""
+    docs = _tbl("documents")
+    rows = REGISTRY["x20_chunk_split"].spark(spark, SF_DIR).collect()
+    got = defaultdict(dict)
+    for r in rows:
+        got[r.doc_id][r.start] = (r.chunk_tokens, r.chunk_text)
+    size, stride, overlap = 32, 24, 8
+    for _, r in docs.iterrows():
+        toks = r["text"].split(" ")
+        n = len(toks)
+        starts = list(range(0, max(n - overlap - 1, 0) + 1, stride))
+        d = int(r["doc_id"])
+        assert sorted(got[d]) == starts
+        covered = 0
+        for s in starts:
+            chunk = toks[s:s + size]
+            assert got[d][s] == (len(chunk), " ".join(chunk)), (d, s)
+            covered = max(covered, s + len(chunk))
+        assert covered == n  # full coverage, no token dropped

@@ -3400,3 +3400,89 @@ def test_x20_chunk_split_coverage_law(spark):
             assert got[d][s] == (len(chunk), " ".join(chunk)), (d, s)
             covered = max(covered, s + len(chunk))
         assert covered == n  # full coverage, no token dropped
+
+
+# ------------------------------------------------- mop-up batch 20
+
+
+def test_x5_corpus_top_terms(spark):
+    docs = _tbl("documents")
+    cnt = defaultdict(int)
+    for _, r in docs.iterrows():
+        for t in r["text"].split(" "):
+            if t:
+                cnt[t] += 1
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = REGISTRY["x5_top_terms"].spark(spark, SF_DIR).collect()
+    assert [(r.term, r.term_count) for r in rows] == top
+
+
+def test_v4_text_embedding_join_norms(spark):
+    docs = _tbl("documents")[["doc_id", "lang"]]
+    emb = _tbl("embeddings")
+    norm6 = {
+        int(r["vec_id"]): Decimal(
+            repr(round(math.sqrt(sum(float(x) * float(x)
+                                     for x in r["embedding"])), 6))
+        )
+        for _, r in emb.iterrows()
+    }
+    per = defaultdict(lambda: [0, Decimal(0)])
+    for _, r in docs.iterrows():
+        d = int(r["doc_id"])
+        if d in norm6:
+            per[r["lang"]][0] += 1
+            per[r["lang"]][1] += norm6[d]
+    rows = REGISTRY["v4_text_embedding_join"].spark(spark, SF_DIR).collect()
+    got = {r.lang: (r.n_docs, r[2]) for r in rows}
+    assert set(got) == set(per)
+    for lang, (n, s) in per.items():
+        assert got[lang][0] == n
+        assert abs(got[lang][1] - float(s) / n) < 1e-9
+
+
+def test_q12_expectation_rules(spark):
+    o = _tbl("orders")
+    n = len(o)
+    viol = {
+        "totalprice_positive": int((~(o["o_totalprice"] > 0)).sum()),
+        "status_in_domain": int((~o["o_orderstatus"].isin(["O", "F", "P"])).sum()),
+        "orderdate_not_null": int(o["o_orderdate"].isna().sum()),
+        "totalprice_under_cap": int((~(o["o_totalprice"] <= 400000)).sum()),
+    }
+    rows = REGISTRY["q12_expectations"].spark(spark, SF_DIR).collect()
+    got = {r.rule: (r.n_rows, r.n_violations, r.violation_rate, r.passed)
+           for r in rows}
+    assert set(got) == set(viol)
+    for rule, v in viol.items():
+        assert got[rule] == (n, v, v / n, v == 0), rule
+    # the cap rule is the deliberate warn-level check with real hits
+    assert viol["totalprice_under_cap"] > 0
+
+
+def test_d13_semantic_clusters_are_v3_components(spark):
+    """d13's clusters must be exactly the connected components (min
+    label) of v3's verified edge set — union-find over the edges the
+    v3 law test already brute-forced."""
+    edges = [
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["v3_lsh_neardup"].spark(spark, SF_DIR).collect()
+    ]
+    emb = _tbl("embeddings")
+    parent = {int(v): int(v) for v in emb["vec_id"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {v: min(u for u in parent if find(u) == find(v))
+              for v in parent}
+    rows = REGISTRY["d13_semantic_clusters"].spark(spark, SF_DIR).collect()
+    got = {r.vec_id: r.cluster for r in rows}
+    assert got == expect

@@ -3486,3 +3486,89 @@ def test_d13_semantic_clusters_are_v3_components(spark):
     rows = REGISTRY["d13_semantic_clusters"].spark(spark, SF_DIR).collect()
     got = {r.vec_id: r.cluster for r in rows}
     assert got == expect
+
+
+# ------------------------------------------ TPC-H join shapes batch 21
+
+
+def _rev(row):
+    p = Decimal(repr(round(float(row["l_extendedprice"]), 2)))
+    d = Decimal(repr(round(float(row["l_discount"]), 4)))
+    return p * (1 - d)
+
+
+def test_h3_shipping_priority_brute_force(spark):
+    li = _tbl("lineitem")
+    o = _tbl("orders")
+    c = _tbl("customer")
+    bld = set(
+        int(k) for k in c[c["c_mktsegment"] == "BUILDING"]["c_custkey"]
+    )
+    o_ok = {
+        int(r["o_orderkey"]): (pd.Timestamp(r["o_orderdate"]),
+                               r["o_orderpriority"])
+        for _, r in o.iterrows()
+        if int(r["o_custkey"]) in bld
+        and pd.Timestamp(r["o_orderdate"]) < pd.Timestamp("1999-01-01")
+    }
+    per = defaultdict(Decimal)
+    meta = {}
+    for _, r in li.iterrows():
+        k = int(r["l_orderkey"])
+        if k in o_ok and pd.Timestamp(r["l_shipdate"]) > pd.Timestamp("1999-01-01"):
+            per[k] += _rev(r)
+            meta[k] = o_ok[k]
+    top = sorted(
+        ((float(v), k) for k, v in per.items()), key=lambda t: (-t[0], t[1])
+    )[:10]
+    rows = REGISTRY["h3_shipping_priority"].spark(spark, SF_DIR).collect()
+    assert [(r.l_orderkey, r.revenue) for r in rows] == [
+        (k, v) for v, k in top
+    ]
+    for r in rows:
+        od, pr = meta[r.l_orderkey]
+        assert pd.Timestamp(r.o_orderdate) == od and r.o_orderpriority == pr
+
+
+def test_h5_region_volume_local_supplier_rule(spark):
+    """Q5's defining subtlety: revenue counts only when the SUPPLIER
+    shares the customer's nation (local supply chain)."""
+    li = _tbl("lineitem")
+    o = _tbl("orders")
+    c = _tbl("customer")
+    s = _tbl("supplier")
+    n = _tbl("nation")
+    r = _tbl("region")
+    asia = set(
+        int(k) for k in r[r["r_name"] == "ASIA"]["r_regionkey"]
+    )
+    nat = {
+        int(rr["n_nationkey"]): (rr["n_name"], int(rr["n_regionkey"]))
+        for _, rr in n.iterrows()
+    }
+    cust_nat = {int(rr["c_custkey"]): int(rr["c_nationkey"])
+                for _, rr in c.iterrows()}
+    supp_nat = {int(rr["s_suppkey"]): int(rr["s_nationkey"])
+                for _, rr in s.iterrows()}
+    ord_cust = {
+        int(rr["o_orderkey"]): int(rr["o_custkey"])
+        for _, rr in o.iterrows()
+        if pd.Timestamp("1996-01-01")
+        <= pd.Timestamp(rr["o_orderdate"])
+        < pd.Timestamp("1997-01-01")
+    }
+    per = defaultdict(Decimal)
+    for _, rr in li.iterrows():
+        k = int(rr["l_orderkey"])
+        if k not in ord_cust:
+            continue
+        cn = cust_nat[ord_cust[k]]
+        sn = supp_nat[int(rr["l_suppkey"])]
+        if cn != sn:  # the local-supplier join condition
+            continue
+        name, region = nat[cn]
+        if region in asia:
+            per[name] += _rev(rr)
+    rows = REGISTRY["h5_region_volume"].spark(spark, SF_DIR).collect()
+    got = {r2.n_name: r2.revenue for r2 in rows}
+    assert got == {k: float(v) for k, v in per.items()} and len(got) > 0

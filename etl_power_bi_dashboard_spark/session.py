@@ -44,10 +44,16 @@ def get_spark(
         if shuffle_partitions is not None
         else int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
     )
+    # Config-invariance knob: results must not depend on AQE, so the
+    # parity suite can re-run with SPARK_GRAFT_AQE=false to prove no
+    # plan silently relies on a runtime re-plan for CORRECTNESS (AQE is
+    # a performance feature; only the streaming gap-monitor's
+    # state-merge pin and the bench numbers are allowed to care).
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "true").lower()
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

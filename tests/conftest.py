@@ -29,7 +29,14 @@ TABLES = (
 def spark():
     from etl_power_bi_dashboard_spark.session import get_spark
 
-    s = get_spark(shuffle_partitions=8)
+    # SPARK_TEST_SHUFFLE: config-invariance harness — the whole suite
+    # (notably the oracle parity sweep) re-runs under a hostile shuffle
+    # partition count (e.g. 3) to prove no result depends on the
+    # partitioning; combine with SPARK_GRAFT_AQE=false to also prove
+    # independence from adaptive re-planning.
+    s = get_spark(
+        shuffle_partitions=int(os.environ.get("SPARK_TEST_SHUFFLE", "8"))
+    )
     yield s
     s.stop()
 

@@ -1,0 +1,96 @@
+"""Hypothesis fuzz for the streaming SCD-2 sink: ARBITRARY changelogs
+under ARBITRARY tranching must leave the target equal to the one-shot
+batch `scd2_history` over everything seen — the lambda-architecture
+equivalence that the fixture-based tests pin only for one recent/late
+split. Random tranching exercises the cases a crafted split can't
+enumerate: keys whose history arrives interleaved across tranches,
+exact-timestamp ties split across tranches (tie-break identity), keys
+that appear in every tranche, and single-record tranches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_power_bi_dashboard_spark.plans.merge_plans import scd2_history
+from etl_power_bi_dashboard_spark.streaming import events as se
+
+_BASE = dt.datetime(2024, 1, 1)
+
+# a record: (key 0-2, day 0-4, value) — the tight key/day domain forces
+# same-key interleavings and exact-ts ties; event_id (the tie-break
+# identity) is assigned positionally, so redeliveries stay no-ops
+_records = st.lists(
+    st.tuples(
+        st.integers(0, 2), st.integers(0, 4), st.integers(-5, 5)
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(
+    records=_records,
+    tranche_of=st.lists(st.integers(0, 2), min_size=10, max_size=10),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_sink_equals_batch_history_under_any_tranching(
+    spark, tmp_path_factory, records, tranche_of
+):
+    base = tmp_path_factory.mktemp("scd2fuzz")
+    rows = [
+        (
+            i,
+            _BASE + dt.timedelta(days=day),
+            key,
+            "signup",
+            float(val),
+            "{}",
+        )
+        for i, (key, day, val) in enumerate(records)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = str(base / "target")
+    tranches = [
+        [r for i, r in enumerate(rows) if tranche_of[i % 10] == t]
+        for t in range(3)
+    ]
+    ran = 0
+    for t, recs in enumerate(tranches):
+        if not recs:
+            continue
+        src = str(base / f"src{t}")
+        spark.createDataFrame(recs, schema).write.parquet(src)
+        q = se.scd2_parquet_sink(
+            se.read_event_stream(spark, src), out, str(base / f"ck{t}")
+        )
+        q.awaitTermination(120)
+        q.stop()
+        spark.catalog.refreshByPath(out)
+        ran += 1
+    assert ran >= 1
+
+    def snap(df):
+        return {
+            (
+                r.user_id, r.event_id, r.effective_from, r.effective_to,
+                r.is_current, r.value,
+            )
+            for r in df.select(
+                "user_id", "event_id", "effective_from", "effective_to",
+                "is_current", "value",
+            ).collect()
+        }
+
+    want = snap(scd2_history(spark.createDataFrame(rows, schema)))
+    assert snap(spark.read.parquet(out)) == want and len(want) == len(rows)

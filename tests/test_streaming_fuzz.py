@@ -94,3 +94,83 @@ def test_scd2_sink_equals_batch_history_under_any_tranching(
 
     want = snap(scd2_history(spark.createDataFrame(rows, schema)))
     assert snap(spark.read.parquet(out)) == want and len(want) == len(rows)
+
+
+@given(
+    records=_records,
+    tranche_of=st.lists(st.integers(0, 2), min_size=10, max_size=10),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_upsert_sink_converges_to_global_latest_under_any_tranching(
+    spark, tmp_path_factory, records, tranche_of
+):
+    """Upsert (SCD-1) law: whatever the tranche composition or arrival
+    order, the target converges to the GLOBAL latest record per key by
+    (ts, event_id) — arrival order must be irrelevant because the merge
+    compares order_cols, never ingestion time — and replaying the final
+    tranche is a no-op."""
+    base = tmp_path_factory.mktemp("upsertfuzz")
+    rows = [
+        (
+            i,
+            _BASE + dt.timedelta(days=day),
+            key,
+            "signup",
+            float(val),
+            "{}",
+        )
+        for i, (key, day, val) in enumerate(records)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = str(base / "target")
+    tranches = [
+        [r for i, r in enumerate(rows) if tranche_of[i % 10] == t]
+        for t in range(3)
+    ]
+
+    def run(recs, tag):
+        src = str(base / f"src{tag}")
+        spark.createDataFrame(recs, schema).write.mode("overwrite").parquet(
+            src
+        )
+        q = se.upsert_parquet_sink(
+            se.read_event_stream(spark, src),
+            out,
+            str(base / f"ck{tag}"),
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+        )
+        q.awaitTermination(120)
+        q.stop()
+        spark.catalog.refreshByPath(out)
+
+    last = None
+    for t, recs in enumerate(tranches):
+        if recs:
+            run(recs, t)
+            last = recs
+
+    def snap():
+        return {
+            (r.user_id, r.event_id, r.ts, r.value)
+            for r in spark.read.parquet(out).select(
+                "user_id", "event_id", "ts", "value"
+            ).collect()
+        }
+
+    latest = {}
+    for i, ts, key, _, val, _p in rows:
+        cur = latest.get(key)
+        if cur is None or (ts, i) > (cur[2], cur[1]):
+            latest[key] = (key, i, ts, val)
+    assert snap() == set(latest.values())
+
+    run(last, "replay")  # redeliver the final tranche: no-op
+    assert snap() == set(latest.values())

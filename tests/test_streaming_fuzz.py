@@ -174,3 +174,98 @@ def test_upsert_sink_converges_to_global_latest_under_any_tranching(
 
     run(last, "replay")  # redeliver the final tranche: no-op
     assert snap() == set(latest.values())
+
+
+@given(
+    records=_records,
+    tranche_of=st.lists(st.integers(0, 2), min_size=10, max_size=10),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_trending_topk_incremental_tranches_equal_batch(
+    spark, tmp_path_factory, records, tranche_of
+):
+    """Trending-top-k law: feeding tranches INCREMENTALLY through one
+    checkpoint lineage (the production ingest pattern — each restart
+    processes only new files, state carries the running counts) must
+    leave the target equal to the batch twin over everything ingested;
+    restarting with no new data is a no-op. Watermark set far beyond
+    the data span so no generated tranche is droppable as late — this
+    fuzzes the state merge/republish machinery, not late-data policy."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    base = tmp_path_factory.mktemp("trendfuzz")
+    rows = [
+        (
+            i,
+            _BASE + dt.timedelta(days=day, hours=key),
+            key,
+            f"type_{val % 3}",
+            float(val),
+            "{}",
+        )
+        for i, (key, day, val) in enumerate(records)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(base / "src")
+    out = str(base / "target")
+    ck = str(base / "ck")
+    tranches = [
+        [r for i, r in enumerate(rows) if tranche_of[i % 10] == t]
+        for t in range(3)
+    ]
+
+    def run():
+        q = se.trending_topk_sink(
+            se.read_event_stream(spark, src), out, ck,
+            watermark="3650 days", k=2,
+        )
+        q.awaitTermination(120)
+        q.stop()
+        spark.catalog.refreshByPath(out)
+
+    for recs in tranches:
+        if not recs:
+            continue
+        spark.createDataFrame(recs, schema).write.mode("append").parquet(src)
+        run()
+
+    def snap():
+        return {
+            (r.window_start, r.rk): (r.event_type, r.n_events)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    batch = (
+        spark.createDataFrame(rows, schema)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("window_start").orderBy(
+                    F.desc("n_events"), "event_type"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 2)
+    )
+    want = {
+        (r.window_start, r.rk): (r.event_type, r.n_events)
+        for r in batch.collect()
+    }
+    got = snap()
+    assert got == want and len(got) > 0
+
+    run()  # same checkpoint, no new files: no-op
+    assert snap() == want

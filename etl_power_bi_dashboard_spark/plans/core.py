@@ -988,29 +988,47 @@ def q_q9_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     smell even when orphans are zero). Generalizes q1's single-edge
     anti-join to the full constellation.
 
-    Each relationship costs one distinct-count on the child FK plus one
-    anti-join — all keyed, all partial-aggregated; the 7 one-row results
-    union driver-side-free. Coverage divides two exact BIGINTs.
+    Each relationship costs ONE pass over the child (groupBy the FK —
+    the same shuffle a distinct would pay, but carrying the per-key row
+    count) and one over the parent (distinct PK), full-outer-joined on
+    the key so every metric falls out of a single classify-aggregate:
+    parent-side keys count n_parent, both-sides keys n_referenced, and
+    child-only keys contribute their ROW counts to n_orphans (NULL FKs
+    never equi-match, so they land child-only — exactly the anti-join
+    semantics). The join reuses the aggregation's key partitioning (no
+    extra exchange under AQE), and the 7 one-row results union
+    driver-side-free. Coverage divides two exact BIGINTs.
+
+    (Round-8 rework, surfaced by the PLANS.md digest: the previous
+    semi-join + anti-join + re-count shape scanned the child twice and
+    the parent three times per edge — 35 scans / 49 shuffles for the
+    report; this form is 14 scans and one keyed join per edge with
+    identical semantics, the difference between 2 and 5 passes over a
+    100 TB fact per audited relationship.)
     """
     def rel(name: str, child: DataFrame, fk: str, parent: DataFrame, pk: str):
-        ref = child.select(F.col(fk).alias("k")).distinct()
-        par = parent.select(F.col(pk).alias("k")).distinct()
-        stats = (
-            ref.join(par, "k", "left_semi").agg(
-                F.count("*").cast("bigint").alias("n_referenced")
+        ca = child.groupBy(F.col(fk).alias("k")).agg(
+            F.count("*").alias("n_rows")
+        )
+        par = (
+            parent.select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("_p", F.lit(1))
+        )
+        stats = ca.join(par, "k", "full_outer").agg(
+            F.sum(F.when(F.col("_p").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_parent"),
+            F.sum(
+                F.when(
+                    F.col("_p").isNotNull() & F.col("n_rows").isNotNull(), 1
+                ).otherwise(0)
             )
-            .crossJoin(
-                F.broadcast(
-                    par.agg(F.count("*").cast("bigint").alias("n_parent"))
-                )
-            )
-            .crossJoin(
-                F.broadcast(
-                    child.select(F.col(fk).alias("k"))
-                    .join(par, "k", "left_anti")
-                    .agg(F.count("*").cast("bigint").alias("n_orphans"))
-                )
-            )
+            .cast("bigint")
+            .alias("n_referenced"),
+            F.sum(F.when(F.col("_p").isNull(), F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
         )
         return stats.select(
             F.lit(name).alias("relationship"),

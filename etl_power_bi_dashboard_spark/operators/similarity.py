@@ -317,16 +317,20 @@ def ivf_topk_indexed(
     return ivf_probe_topk(assigned, centroids, queries, k, n_probe, id_col, vec_col)
 
 
-def ivf_probe_topk(
+def ivf_probe_candidates(
     assigned: DataFrame,
     centroids: DataFrame,
     queries: DataFrame,
-    k: int = 3,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Probe stage over an existing (vec_id, cv, cluster_id) assignment."""
+    """Scored IVF candidates with their probe rank: (query_id, vec_id,
+    cosine, pr). The candidate set at ``n_probe = n`` is EXACTLY the
+    ``pr <= n`` subset of the set at any larger n_probe, so a probe
+    sweep (v8) scores once at the largest setting and derives every
+    smaller one by filtering — the per-setting rankings are unchanged
+    because each candidate's cosine is setting-independent."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
@@ -344,18 +348,37 @@ def ivf_probe_topk(
             "query_id", "qv", "centroid_id", F.row_number().over(probe_w).alias("pr")
         )
         .filter(F.col("pr") <= n_probe)
-        .select("query_id", "qv", F.col("centroid_id").alias("cluster_id"))
+        .select(
+            "query_id", "qv", F.col("centroid_id").alias("cluster_id"), "pr"
+        )
     )
     cand = probes.join(assigned, "cluster_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
+    return cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        "pr",
+    )
+
+
+def ivf_probe_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe stage over an existing (vec_id, cv, cluster_id) assignment."""
+    cand = ivf_probe_candidates(
+        assigned, centroids, queries, n_probe, id_col, vec_col
+    )
     rank_w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
-        cand.select(
-            "query_id",
-            "vec_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
-        )
+        cand.select("query_id", "vec_id", "cosine")
         .select("query_id", "vec_id", "cosine", F.row_number().over(rank_w).alias("rank"))
         .filter(F.col("rank") <= k)
     )

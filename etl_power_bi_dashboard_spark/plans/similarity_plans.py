@@ -824,16 +824,45 @@ def q_v8_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned index, so this curve IS the cost/quality dial).
 
     Same centroid/query conventions as v2; recall is exact-integer
-    matches over n_queries·3 with one IEEE division. The corpus
-    assignment is shared logic (operators/similarity.py:ivf_topk);
-    only the probe filter varies across the three branches.
+    matches over n_queries·3 with one IEEE division.
+
+    Scale shape (round-8 rework, surfaced by the PLANS.md digest): the
+    per-setting branches previously each re-assigned the corpus and
+    re-scored their candidates — 3 full assignment passes for one
+    sweep. Now the assignment runs ONCE and candidates are scored ONCE
+    at the LARGEST n_probe (every smaller setting is exactly the
+    ``pr <= n`` subset with unchanged cosines —
+    ``similarity.ivf_probe_candidates``); the scored candidate table
+    (|queries|·(max_probe/n_clusters)·|corpus| rows — the sweep's
+    whole working set) and the 3-row-per-query exact baseline are
+    localCheckpointed so the three branches read them instead of
+    re-deriving (the v9/d6 materialize-once pattern).
     """
     emb, centroids, queries = ivf_parts(spark, sf_dir)
-    exact = similarity.cosine_topk(emb, queries, k=3)
+    exact = (
+        similarity.cosine_topk(emb, queries, k=3)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    assigned = similarity.assign_clusters(emb, centroids)
+    cand = similarity.ivf_probe_candidates(
+        assigned, centroids, queries, n_probe=4
+    ).localCheckpoint(eager=True)
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
     out = None
     for np_ in (1, 2, 4):
-        approx = similarity.ivf_topk(emb, centroids, queries, k=3, n_probe=np_)
-        m = exact.select("query_id", "vec_id").join(
+        approx = (
+            cand.filter(F.col("pr") <= np_)
+            .select(
+                "query_id",
+                "vec_id",
+                F.row_number().over(rank_w).alias("rank"),
+            )
+            .filter(F.col("rank") <= 3)
+        )
+        m = exact.join(
             approx.select("query_id", "vec_id", F.lit(1).alias("hit")),
             ["query_id", "vec_id"],
             "left",

@@ -183,3 +183,43 @@ def test_v5_gram_identity_matches_bruteforce_pairwise(spark, tmp_path):
         n, coh = got[label]
         assert n == len(vecs)
         assert math.isclose(coh, want, abs_tol=5e-5), (label, coh, want)
+
+
+def test_ivf_probe_candidates_subset_law(spark):
+    """The operator contract the v8 sweep rework leans on: candidates at
+    n_probe=n are EXACTLY the pr<=n subset of a larger setting's
+    candidates (same cosines), and ivf_probe_topk over the shared
+    candidates matches an independent direct evaluation."""
+    from etl_power_bi_dashboard_spark.operators import similarity as sim
+    from etl_power_bi_dashboard_spark.plans.similarity_plans import ivf_parts
+
+    emb, centroids, queries = ivf_parts(spark, SF_DIR)
+    assigned = sim.assign_clusters(emb, centroids)
+
+    def snap(df):
+        return {
+            (r.query_id, r.vec_id): (r.cosine, r.pr) for r in df.collect()
+        }
+
+    at4 = snap(sim.ivf_probe_candidates(assigned, centroids, queries, 4))
+    at2 = snap(sim.ivf_probe_candidates(assigned, centroids, queries, 2))
+    assert at2 == {k: v for k, v in at4.items() if v[1] <= 2}
+    assert len(at2) < len(at4)
+
+    direct = {
+        (r.query_id, r.rank): r.vec_id
+        for r in sim.ivf_probe_topk(
+            assigned, centroids, queries, k=3, n_probe=2
+        ).collect()
+    }
+    # recompute top-3 from the pr<=2 slice of the shared candidates
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for (q, v), (cos, _pr) in at2.items():
+        per_q[q].append((-cos, v))
+    expect = {}
+    for q, lst in per_q.items():
+        for rk, (_, v) in enumerate(sorted(lst)[:3], start=1):
+            expect[(q, rk)] = v
+    assert direct == expect and len(direct) > 0

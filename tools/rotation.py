@@ -41,12 +41,20 @@ WINDOW_SIZE = 50
 # at zero, -0 == 0), so the u1 MERGE emitted a duplicate-key dimension
 # on both engines; inserts now key to -(key)-1 and all four _delta
 # consumers need fresh driver rows.
+#
+# q9/v8 (late round 8): PLAN-ONLY reworks (q9 full-outer classify,
+# v8 score-once sweep) against UNCHANGED oracles — the builder
+# hash-verified both at sf0.001 and sf0.01, but their latest driver
+# rows (r6/r7) predate the new plans, so they re-front for driver
+# evidence, mirroring the round-4 d6/d7 precedent for plan changes.
 FORCE_FRONT = {
     "ml6_ab_proportion_test",
     "u1_scd1_merge",
     "u2_delete_detect",
     "u6_apply_cdc",
     "u7_snapshot_diff",
+    "q9_fk_audit",
+    "v8_ivf_probe_sweep",
 }
 
 

@@ -316,6 +316,14 @@ _D3_HASHER = {"d3_minhash_lsh_full": "md5", "d3_minhash_lsh_fast": "xxhash64"}
 # BENCH_DETAIL.json so a judge can tell drift from regression without a
 # quiet-host rerun).
 _NOISE_RATIO = 1.5
+# The "noisy" flag additionally requires this much ABSOLUTE spread:
+# sub-second rows routinely show >1.5x between a cold first rep
+# (codegen/JIT warm-up) and the rest — 25 of the 143 rows flagged on a
+# quiet host, burying the signal the list exists for (multi-second
+# iterative tails whose spread could read as a driver-visible
+# regression). A row can only be mistaken for a 2x regression if its
+# spread is material in seconds.
+_NOISE_ABS_FLOOR = 2.0
 
 _IVF_INDEX_PATH = "/tmp/spark_graft_bench_ivf_index"
 
@@ -412,7 +420,8 @@ def main() -> None:
             t0 = time.perf_counter()
             run_once().write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
-        if noise_guard and max(times) > _NOISE_RATIO * min(times):
+        if noise_guard and max(times) > _NOISE_RATIO * min(times) \
+                and max(times) - min(times) > _NOISE_ABS_FLOOR:
             t0 = time.perf_counter()
             run_once().write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
@@ -524,7 +533,9 @@ def emit_records(
     if reps:
         file_detail["reps"] = reps
         file_detail["noisy"] = sorted(
-            n for n, ts in reps.items() if max(ts) > _NOISE_RATIO * min(ts)
+            n for n, ts in reps.items()
+            if max(ts) > _NOISE_RATIO * min(ts)
+            and max(ts) - min(ts) > _NOISE_ABS_FLOOR
         )
     if write_detail:
         try:

@@ -32,6 +32,10 @@ _records = st.lists(
 )
 
 
+import pytest
+
+
+@pytest.mark.parametrize("bucketed", [False, True], ids=["plain", "bucketed"])
 @given(
     records=_records,
     tranche_of=st.lists(st.integers(0, 2), min_size=10, max_size=10),
@@ -42,8 +46,13 @@ _records = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_scd2_sink_equals_batch_history_under_any_tranching(
-    spark, tmp_path_factory, records, tranche_of
+    spark, tmp_path_factory, bucketed, records, tranche_of
 ):
+    """Both SCD-2 sinks — the plain one and the key-bucketed
+    partition-pruned 100 TB variant — must leave the target equal to
+    the one-shot batch history under arbitrary tranching (the bucketed
+    path additionally exercises random touched-bucket sets and dynamic
+    partition overwrite on every example)."""
     base = tmp_path_factory.mktemp("scd2fuzz")
     rows = [
         (
@@ -71,9 +80,10 @@ def test_scd2_sink_equals_batch_history_under_any_tranching(
             continue
         src = str(base / f"src{t}")
         spark.createDataFrame(recs, schema).write.parquet(src)
-        q = se.scd2_parquet_sink(
-            se.read_event_stream(spark, src), out, str(base / f"ck{t}")
+        sink = (
+            se.scd2_parquet_sink_bucketed if bucketed else se.scd2_parquet_sink
         )
+        q = sink(se.read_event_stream(spark, src), out, str(base / f"ck{t}"))
         q.awaitTermination(120)
         q.stop()
         spark.catalog.refreshByPath(out)
@@ -93,7 +103,10 @@ def test_scd2_sink_equals_batch_history_under_any_tranching(
         }
 
     want = snap(scd2_history(spark.createDataFrame(rows, schema)))
-    assert snap(spark.read.parquet(out)) == want and len(want) == len(rows)
+    got = spark.read.parquet(out)
+    if bucketed:
+        got = got.drop("bucket")
+    assert snap(got) == want and len(want) == len(rows)
 
 
 @given(

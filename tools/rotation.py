@@ -147,7 +147,8 @@ def cmd_status() -> None:
         if name in latest:
             rnd, row = latest[name]
             note = (
-                " — STALE (semantics changed since this row; re-fronted)"
+                " — STALE (query changed since this row — semantics or"
+                " plan rework; re-fronted via FORCE_FRONT)"
                 if name in FORCE_FRONT
                 else ""
             )

@@ -209,3 +209,42 @@ def test_quantize_int8_reconstruction_bound(spark, vec):
         assert -127.0 <= code <= 127.0
         assert code == math.floor(x / scale_ + 0.5)
         assert abs(x - code * scale_) <= scale_ / 2 + 1e-12
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 20),
+            st.integers(0, 99),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_partitioned_distributed_row_number_matches_global_window(
+    spark, rows
+):
+    """The partition_cols path (p16's per-language ranking) must equal
+    ROW_NUMBER() OVER (PARTITION BY p ORDER BY v, id) on arbitrary data,
+    for any monotone bucketing of the leading sort key — including
+    buckets holding many ties and partitions collapsing to one bucket."""
+    data = [(p, v, i) for i, (p, v, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "p string, v int, id int")
+    out = scale.distributed_row_number(
+        df,
+        bucket=F.expr("v DIV 4"),
+        order_cols=["v", "id"],
+        partition_cols=["p"],
+        rn_alias="rn",
+    )
+    got = {(r.p, r.id): r.rn for r in out.collect()}
+    expect = {}
+    by_p = defaultdict(list)
+    for p, v, i in data:
+        by_p[p].append((v, i))
+    for p, recs in by_p.items():
+        for rk, (_, i) in enumerate(sorted(recs), start=1):
+            expect[(p, i)] = rk
+    assert got == expect

@@ -54,6 +54,13 @@ def test_partial_aggregation_present(spark):
     assert "Exchange" in plan
 
 
+@pytest.mark.skipif(
+    __import__("os").environ.get("SPARK_GRAFT_AQE", "true").lower() == "false"
+    or "SPARK_TEST_SHUFFLE" in __import__("os").environ,
+    reason="asserts the TUNED session's plan layout; the hostile-config "
+    "invariance sweep (SPARK_TEST_SHUFFLE/SPARK_GRAFT_AQE) checks "
+    "RESULTS, not session features",
+)
 def test_whole_stage_codegen(spark):
     import contextlib
     import io

@@ -980,6 +980,64 @@ FROM fact
 # registry
 # ---------------------------------------------------------------------------
 
+def _fk_audit_rel(
+    name: str, child: DataFrame, fk: str, parent: DataFrame, pk: str
+) -> DataFrame:
+    """One FK relationship's audit row — see q_q9_fk_audit. Module-level
+    so the empty-input contract (all-zero row, not NULLs) is pinned
+    directly by tests/test_round9.py."""
+    ca = child.groupBy(F.col(fk).alias("k")).agg(
+        F.count("*").alias("n_rows")
+    )
+    par = (
+        parent.select(F.col(pk).alias("k"))
+        .distinct()
+        .withColumn("_p", F.lit(1))
+    )
+    # coalesce(0): SUM over an EMPTY join output is NULL, but when
+    # both child and parent are empty the report must say 0 parents
+    # / 0 referenced / 0 orphans, like the pre-rework count(*)
+    # shape did (ADVICE r8 — unreachable on TPC-H loads, but the
+    # helper's contract shouldn't change silently with the plan)
+    stats = ca.join(par, "k", "full_outer").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_p").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_parent"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_p").isNotNull() & F.col("n_rows").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_referenced"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_p").isNull(), F.col("n_rows")).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_orphans"),
+    )
+    return stats.select(
+        F.lit(name).alias("relationship"),
+        "n_parent",
+        "n_referenced",
+        "n_orphans",
+        (
+            F.col("n_referenced").cast("double")
+            / F.col("n_parent").cast("double")
+        ).alias("coverage"),
+    )
+
+
 def q_q9_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-star referential-integrity report: every FK relationship in
     the schema audited in ONE query — per relationship, the parent key
@@ -1006,41 +1064,6 @@ def q_q9_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical semantics, the difference between 2 and 5 passes over a
     100 TB fact per audited relationship.)
     """
-    def rel(name: str, child: DataFrame, fk: str, parent: DataFrame, pk: str):
-        ca = child.groupBy(F.col(fk).alias("k")).agg(
-            F.count("*").alias("n_rows")
-        )
-        par = (
-            parent.select(F.col(pk).alias("k"))
-            .distinct()
-            .withColumn("_p", F.lit(1))
-        )
-        stats = ca.join(par, "k", "full_outer").agg(
-            F.sum(F.when(F.col("_p").isNotNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_parent"),
-            F.sum(
-                F.when(
-                    F.col("_p").isNotNull() & F.col("n_rows").isNotNull(), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_referenced"),
-            F.sum(F.when(F.col("_p").isNull(), F.col("n_rows")).otherwise(0))
-            .cast("bigint")
-            .alias("n_orphans"),
-        )
-        return stats.select(
-            F.lit(name).alias("relationship"),
-            "n_parent",
-            "n_referenced",
-            "n_orphans",
-            (
-                F.col("n_referenced").cast("double")
-                / F.col("n_parent").cast("double")
-            ).alias("coverage"),
-        )
-
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -1049,13 +1072,13 @@ def q_q9_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
     frames = [
-        rel("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
-        rel("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
-        rel("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
-        rel("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
-        rel("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
-        rel("supplier.s_nationkey->nation", supp, "s_nationkey", nation, "n_nationkey"),
-        rel("nation.n_regionkey->region", nation, "n_regionkey", region, "r_regionkey"),
+        _fk_audit_rel("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        _fk_audit_rel("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        _fk_audit_rel("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        _fk_audit_rel("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        _fk_audit_rel("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        _fk_audit_rel("supplier.s_nationkey->nation", supp, "s_nationkey", nation, "n_nationkey"),
+        _fk_audit_rel("nation.n_regionkey->region", nation, "n_regionkey", region, "r_regionkey"),
     ]
     out = frames[0]
     for f in frames[1:]:

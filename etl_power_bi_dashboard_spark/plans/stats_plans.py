@@ -904,7 +904,8 @@ def q_ml6_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ML6 = """
 WITH counts AS (
     SELECT s.s_nationkey, COUNT(*) AS n,
-           SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY s.s_nationkey

@@ -31,6 +31,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def aqe_enabled() -> bool:
+    """Strict-boolean read of the SPARK_GRAFT_AQE invariance knob.
+
+    Any falsy spelling (false/0/off/no, any case) disables AQE;
+    everything else (including unset) enables it. Passing the raw env
+    value to ``spark.sql.adaptive.enabled`` would produce an invalid
+    boolean conf for "0"/"off" that only fails at first session USE,
+    and the test skip guards must agree with the session on what
+    counts as disabled — both go through this one helper.
+    """
+    return os.environ.get("SPARK_GRAFT_AQE", "true").lower() not in (
+        "false", "0", "off", "no",
+    )
+
+
 def get_spark(
     app_name: str = "etl-power-bi-dashboard-spark",
     shuffle_partitions: int | None = None,
@@ -49,7 +64,7 @@ def get_spark(
     # plan silently relies on a runtime re-plan for CORRECTNESS (AQE is
     # a performance feature; only the streaming gap-monitor's
     # state-merge pin and the bench numbers are allowed to care).
-    aqe = os.environ.get("SPARK_GRAFT_AQE", "true").lower()
+    aqe = "true" if aqe_enabled() else "false"
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -37,10 +37,17 @@ def _canon_cell(v):
 
 
 def canonicalize(df: pd.DataFrame) -> list[tuple]:
+    # Column-wise conversion: iterrows() coerces mixed int/float rows to
+    # float64, which masked the sc4 (r5) and ml6 (r8) driver hash
+    # mismatches — the driver's typed value-hash distinguishes int64
+    # `1985` from float64 `1985.0`. Series.tolist() preserves each
+    # column's dtype (int64 -> int, float64 -> float), so this harness
+    # is at least as strict as the driver gate.
     cols = sorted(df.columns)
-    out = []
-    for _, row in df[cols].iterrows():
-        out.append(tuple(_canon_cell(v) for v in row))
+    columns = [df[c].tolist() for c in cols]
+    out = [tuple(_canon_cell(v) for v in row) for row in zip(*columns)]
+    if not columns:
+        out = [()] * len(df)
     return sorted(out)
 
 

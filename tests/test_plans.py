@@ -55,7 +55,9 @@ def test_partial_aggregation_present(spark):
 
 
 @pytest.mark.skipif(
-    __import__("os").environ.get("SPARK_GRAFT_AQE", "true").lower() == "false"
+    not __import__(
+        "etl_power_bi_dashboard_spark.session", fromlist=["aqe_enabled"]
+    ).aqe_enabled()
     or "SPARK_TEST_SHUFFLE" in __import__("os").environ,
     reason="asserts the TUNED session's plan layout; the hostile-config "
     "invariance sweep (SPARK_TEST_SHUFFLE/SPARK_GRAFT_AQE) checks "

@@ -122,7 +122,9 @@ def test_partitioned_fact_sink(spark, tmp_path):
 
 
 @pytest.mark.skipif(
-    __import__("os").environ.get("SPARK_GRAFT_AQE", "true").lower() == "false",
+    not __import__(
+        "etl_power_bi_dashboard_spark.session", fromlist=["aqe_enabled"]
+    ).aqe_enabled(),
     reason="asserts AQE's skew handling ENGAGES; meaningless with AQE "
     "disabled for the config-invariance sweep",
 )

@@ -33,14 +33,13 @@ WINDOW_SIZE = 50
 # Queries whose SEMANTICS changed after their latest driver row — the
 # old row no longer evidences the current code, so the ranking treats
 # them as no-row (they front the next window). Remove an entry once the
-# re-check lands. ml6: the round-8 semantic audit found its original
-# FRANCE/GERMANY name filter matched zero fixture rows (degenerate
-# 0-row green in r5); the contrast is now data-derived (top-2 supplier
-# nations). u1/u2/u6/u7: the same audit caught _delta's bare-negation
-# insert keying colliding on customer key 0 (the fixture's keys start
-# at zero, -0 == 0), so the u1 MERGE emitted a duplicate-key dimension
-# on both engines; inserts now key to -(key)-1 and all four _delta
-# consumers need fresh driver rows.
+# re-check lands. Round-9 state (u1/u2/u6/u7 pruned — their post-fix
+# re-checks landed green in CORRECTNESS_r08.json):
+#
+# ml6: its r8 driver row is RED — an oracle-side typing bug (uncast
+# SUM(CASE ...) is HUGEINT in DuckDB, materialized float64 by fetchdf
+# vs Spark's int64; the sc4/r5 precedent). Fixed round 9 with
+# CAST(... AS BIGINT) in SQL_ML6; re-fronts for a green r9 row.
 #
 # q9/v8 (late round 8): PLAN-ONLY reworks (q9 full-outer classify,
 # v8 score-once sweep) against UNCHANGED oracles — the builder
@@ -49,10 +48,6 @@ WINDOW_SIZE = 50
 # evidence, mirroring the round-4 d6/d7 precedent for plan changes.
 FORCE_FRONT = {
     "ml6_ab_proportion_test",
-    "u1_scd1_merge",
-    "u2_delete_detect",
-    "u6_apply_cdc",
-    "u7_snapshot_diff",
     "q9_fk_audit",
     "v8_ivf_probe_sweep",
 }

@@ -1,0 +1,202 @@
+"""Hypothesis fuzz for the stateful streaming operators
+(applyInPandasWithState): attribution_stream and funnel_stream under
+ARBITRARY event sets cut into event-time-ordered micro-batch tranches
+must emit exactly what an independent pure-Python brute force computes
+over everything seen — the cross-batch-law treatment the round-8
+verdict assigned (the fixture tests pin one crafted early/late split;
+random corpora exercise what a crafted split can't: exact-ts ties cut
+at tranche boundaries, lookback expiry across tranches, users whose
+whole journey lands in one batch vs one event per batch, purchases
+with no prior click, funnel stage regressions that must be ignored).
+
+Tranches are contiguous segments of the GLOBAL (ts, event_id) order —
+the operators' documented precondition (cross-batch event-time
+regressions are the lambda gap; the batch e5/e10/e12 plans are the
+backfill). Within a tranche, rows are written UNSORTED so the
+operators' intra-batch re-sort is exercised on every example.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_power_bi_dashboard_spark.streaming.events import EVENT_SCHEMA
+from etl_power_bi_dashboard_spark.streaming.stateful import (
+    _SEVEN_DAYS_US,
+    attribution_stream,
+    funnel_stream,
+)
+
+_BASE = dt.datetime(2024, 1, 1)
+_ETYPES = ("signup", "click", "purchase")
+
+# a record: (user 0-1, etype, day 0-9, value) — two users force keyed
+# state to shard; day-granular timestamps force exact-ts ties (broken
+# by event_id); a 0-9 day span crosses the 7-day attribution lookback
+_records = st.lists(
+    st.tuples(
+        st.integers(0, 1),
+        st.integers(0, 2),
+        st.integers(0, 9),
+        st.integers(-5, 5),
+    ),
+    min_size=1,
+    max_size=12,
+)
+# two cut points over the max record count → three contiguous tranches
+_cuts = st.tuples(st.integers(0, 12), st.integers(0, 12))
+
+
+def _mk_rows(records):
+    """(event_id, ts, user_id, event_type, value, props) rows, ids
+    positional, then globally ordered by (ts, event_id)."""
+    rows = [
+        (
+            i,
+            _BASE + dt.timedelta(days=day),
+            user,
+            _ETYPES[etype],
+            float(val),
+            "{}",
+        )
+        for i, (user, etype, day, val) in enumerate(records)
+    ]
+    return sorted(rows, key=lambda r: (r[1], r[0]))
+
+
+def _us(ts: dt.datetime) -> int:
+    return int(pd.Timestamp(ts).value // 1000)
+
+
+def _tranches(ordered, cuts):
+    a, b = sorted((min(cuts[0], len(ordered)), min(cuts[1], len(ordered))))
+    segs = [ordered[:a], ordered[a:b], ordered[b:]]
+    # write each tranche in REVERSED order so the operator's intra-batch
+    # (ts, event_id) re-sort is load-bearing on every example
+    return [list(reversed(s)) for s in segs if s]
+
+
+def _run_stream(spark, op, src, out, ck):
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        op(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    spark.catalog.refreshByPath(out)
+
+
+_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@given(records=_records, cuts=_cuts)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_attribution_stream_matches_bruteforce_under_ordered_tranching(
+    spark, tmp_path_factory, records, cuts
+):
+    """attribution_stream law: every purchase is emitted exactly once,
+    credited to the user's most recent click at most 7 days older,
+    with the click carried across micro-batches in keyed state; a
+    restart with no new files appends nothing."""
+    ordered = _mk_rows(records)
+
+    # independent brute force over the global order
+    last: dict[int, tuple[int, int]] = {}
+    want = set()
+    for i, ts, user, etype, val, _p in ordered:
+        ts_us = _us(ts)
+        if etype == "click":
+            last[user] = (ts_us, i)
+        elif etype == "purchase":
+            lt = last.get(user)
+            hit = lt is not None and ts_us - lt[0] <= _SEVEN_DAYS_US
+            want.add((user, i, ts_us, val, lt[1] if hit else None))
+
+    base = tmp_path_factory.mktemp("attrfuzz")
+    src, out, ck = str(base / "src"), str(base / "out"), str(base / "ck")
+    for recs in _tranches(ordered, cuts):
+        spark.createDataFrame(recs, _SCHEMA).write.mode("append").parquet(src)
+        _run_stream(spark, attribution_stream, src, out, ck)
+
+    def snap():
+        return [
+            (
+                r.user_id, r.purchase_id, r.purchase_ts_us, r.value,
+                r.attributed_click_id,
+            )
+            for r in spark.read.parquet(out).collect()
+        ]
+
+    got = snap()
+    assert len(got) == len(set(got)), "append mode re-emitted a purchase"
+    assert set(got) == want
+
+    _run_stream(spark, attribution_stream, src, out, ck)  # no new files
+    assert sorted(snap()) == sorted(got)
+
+
+@given(records=_records, cuts=_cuts)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_funnel_stream_matches_bruteforce_under_ordered_tranching(
+    spark, tmp_path_factory, records, cuts
+):
+    """funnel_stream law: per user, the first signup, the first click
+    strictly after it, and the first purchase strictly after that click
+    — sequenced across micro-batches in keyed state — produce exactly
+    one conversion row at the purchase transition, never re-emitted by
+    later batches or a no-new-data restart."""
+    ordered = _mk_rows(records)
+
+    UNSET = -1
+    state: dict[int, list[int]] = {}
+    want = set()
+    for i, ts, user, etype, val, _p in ordered:
+        s, c, p = state.setdefault(user, [UNSET, UNSET, UNSET])
+        ts_us = _us(ts)
+        if etype == "signup" and s == UNSET:
+            state[user][0] = ts_us
+        elif etype == "click" and s != UNSET and c == UNSET and ts_us > s:
+            state[user][1] = ts_us
+        elif etype == "purchase" and c != UNSET and p == UNSET and ts_us > c:
+            state[user][2] = ts_us
+            want.add((user, state[user][0], state[user][1], ts_us))
+
+    base = tmp_path_factory.mktemp("funnelfuzz")
+    src, out, ck = str(base / "src"), str(base / "out"), str(base / "ck")
+    for recs in _tranches(ordered, cuts):
+        spark.createDataFrame(recs, _SCHEMA).write.mode("append").parquet(src)
+        _run_stream(spark, funnel_stream, src, out, ck)
+
+    def snap():
+        return [
+            (r.user_id, r.signup_us, r.click_us, r.purchase_us)
+            for r in spark.read.parquet(out).collect()
+        ]
+
+    got = snap()
+    assert len(got) == len(set(got)), "conversion row re-emitted"
+    assert set(got) == want
+
+    _run_stream(spark, funnel_stream, src, out, ck)  # no new files
+    assert sorted(snap()) == sorted(got)

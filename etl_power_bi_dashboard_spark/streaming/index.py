@@ -110,6 +110,12 @@ def ivf_append_sink(
     Epoch directories are ``run_base + batch_id`` (see :func:`_run_base`)
     so replays within a run overwrite their own directory while distinct
     runs never collide and always sort after earlier ones.
+
+    Key contract: ``vec_id`` must be unique WITHIN a micro-batch (the
+    same upstream-dedup precondition every keyed CDC sink carries).
+    Across batches, later epochs supersede; within one batch there is
+    no order column, so two same-id rows in one epoch would make the
+    probe-time latest-per-key compaction pick arbitrarily.
     """
     base = _run_base(vec_stream.sparkSession, index_path, checkpoint_path)
 

@@ -200,3 +200,103 @@ def test_funnel_stream_matches_bruteforce_under_ordered_tranching(
 
     _run_stream(spark, funnel_stream, src, out, ck)  # no new files
     assert sorted(snap()) == sorted(got)
+
+
+# --------------------------------------------------------------------------
+# streaming IVF index maintenance: incremental ingest with re-embeddings
+# --------------------------------------------------------------------------
+
+_vec_records = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # vec_id — repeats across tranches = re-embedding
+        st.integers(1, 5),
+        st.integers(1, 5),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(records=_vec_records, cuts=_cuts)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ivf_streamed_index_equals_batch_over_latest_vectors(
+    spark, tmp_path_factory, records, cuts
+):
+    """Streaming-index law: arbitrary vector tranches ingested
+    incrementally through one checkpoint — with vec_ids re-ingested in
+    later tranches (model-refresh re-embeddings) — must probe exactly
+    like the one-shot batch build over the LATEST embedding per vec_id;
+    a restart with no new files changes nothing. vec_id is deduped
+    keep-last within each tranche (the sink's documented per-batch key
+    contract)."""
+    from etl_power_bi_dashboard_spark.operators import similarity
+    from etl_power_bi_dashboard_spark.streaming import index as si
+
+    a, b = sorted((min(cuts[0], len(records)), min(cuts[1], len(records))))
+    segs = [records[:a], records[a:b], records[b:]]
+    tranches = []
+    for seg in segs:
+        dedup = {vid: (vid, float(x), float(y)) for vid, x, y in seg}
+        if dedup:
+            tranches.append(list(dedup.values()))
+
+    latest: dict[int, tuple] = {}
+    for t in tranches:
+        for vid, x, y in t:
+            latest[vid] = (vid, [x, y], 0)
+
+    base = tmp_path_factory.mktemp("ivffuzz")
+    src, idx, ck = str(base / "src"), str(base / "idx"), str(base / "ck")
+    centroids = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [5.0, 5.0]), (2, [1.0, 0.0])],
+        "centroid_id int, embedding array<float>",
+    )
+    # ivf_probe_topk projects queries' id_col (default vec_id) to
+    # query_id and EXCLUDES self-matches (vec_id == query_id), so query
+    # ids must be disjoint from the corpus ids (0-3). The two probe
+    # sets cover all three clusters between them, so a non-empty corpus
+    # always yields at least one candidate.
+    queries = spark.createDataFrame(
+        [(100, [1.0, 1.0]), (101, [4.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+
+    def drain():
+        q = si.ivf_append_sink(
+            si.read_embedding_stream(spark, src), centroids, idx, ck
+        )
+        q.awaitTermination(120)
+        q.stop()
+        spark.catalog.refreshByPath(idx)
+
+    for t in tranches:
+        rows = [(vid, [x, y], 0) for vid, x, y in t]
+        spark.createDataFrame(rows, si.EMBEDDING_DDL).write.mode(
+            "append"
+        ).parquet(src)
+        drain()
+
+    def probe():
+        return {
+            (r.query_id, r.vec_id, r.cosine, r.rank)
+            for r in si.ivf_topk_streamed(
+                spark, idx, centroids, queries
+            ).collect()
+        }
+
+    got = probe()
+    corpus = spark.createDataFrame(list(latest.values()), si.EMBEDDING_DDL)
+    want = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_probe_topk(
+            similarity.assign_clusters(corpus, centroids), centroids, queries
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    drain()  # same checkpoint, no new files: no-op
+    assert probe() == want

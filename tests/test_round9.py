@@ -105,8 +105,9 @@ def test_a12_stats_exact_matches_statistics_module(spark):
     import math
     import statistics
 
-    sf_dir = "/root/testdata/sf0.001"
     from etl_power_bi_dashboard_spark.plans.tpch_more import q_a12_stats_exact
+
+    from .conftest import SF_DIR as sf_dir
 
     got = {r.l_returnflag: r for r in q_a12_stats_exact(spark, sf_dir).collect()}
     raw = (

@@ -20,9 +20,11 @@ Layout: each micro-batch writes its assignments under its own
   refresh) supersedes its old assignment — probes compact to the latest
   epoch per vec_id (u3's latest-per-key shape) before scoring.
 
-At scale the epoch partitions are periodically folded into the base
-index by ``sinks.compact_parquet`` (small-files maintenance) — the
-probe-time compaction window stays bounded by the fold cadence.
+At scale the epoch partitions are periodically folded by
+:func:`ivf_compact_index` (latest-per-key fold into one fresh-stride
+epoch, layout-preserving — the generic ``sinks.compact_parquet``
+small-files rewrite would lose both) — the probe-time compaction
+window stays bounded by the fold cadence.
 """
 
 from __future__ import annotations
@@ -132,6 +134,76 @@ def ivf_append_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ivf_compact_index(spark, index_path: str) -> int:
+    """Fold every ``epoch=`` partition into one: the latest row per
+    vec_id, rewritten as a single new epoch, old epoch directories
+    removed once the fold commits. Returns the fold's epoch id.
+
+    This is the periodic maintenance the module docstring promises —
+    the generic ``sinks.compact_parquet`` cannot do it, because a flat
+    rewrite of the index root would lose both the latest-per-key
+    semantics (stale re-embedded rows would survive as equals) and the
+    ``epoch=/cluster_id=`` layout that probe-time partition pruning
+    depends on. After a fold, a probe's compaction window is one epoch
+    plus whatever arrived since — bounded by the fold cadence instead
+    of stream lifetime.
+
+    Epoch numbering: the fold claims a fresh ``RUN_STRIDE`` multiple
+    through the same create-exclusive sentinel protocol ingest runs use
+    (``_runbase_<base>`` in the index root), so (1) the folded rows sit
+    ABOVE every epoch they absorbed — latest-per-key still resolves to
+    them; (2) the next ingest run's discovery sees the sentinel/epoch
+    and claims a higher stride — new data supersedes the fold; (3) a
+    crash-replayed batch from a PRE-compaction checkpoint recreates its
+    old (lower) epoch directory, which the fold shadows — the same
+    storage-not-correctness trade the sink documents for lost markers.
+
+    OFFLINE precondition: run between ingest runs, never under a live
+    sink — a live run keeps its already-claimed (lower) base, so its
+    post-fold batches would be wrongly shadowed. A table format
+    (Delta/Iceberg) would own this swap transactionally in production;
+    on plain parquet the fold is crash-safe because old epochs are
+    deleted only after the fold's write commits, and a half-deleted
+    state is merely duplicated storage that the fold shadows.
+    """
+    jvm = spark._jvm
+
+    def _p(path: str):
+        return jvm.org.apache.hadoop.fs.Path(path)
+
+    conf = spark._jsc.hadoopConfiguration()
+    fs = _p(index_path).getFileSystem(conf)
+
+    old_epochs: list[int] = []
+    existing = -1
+    for st in fs.listStatus(_p(index_path)):
+        name = st.getPath().getName()
+        if name.startswith("epoch="):
+            e = int(name.split("=", 1)[1])
+            old_epochs.append(e)
+            existing = max(existing, (e // _RUN_STRIDE) * _RUN_STRIDE)
+        elif name.startswith("_runbase_"):
+            existing = max(existing, int(name.rsplit("_", 1)[1]))
+
+    base = existing + _RUN_STRIDE if existing >= 0 else 0
+    while not fs.createNewFile(_p(f"{index_path}/_runbase_{base}")):
+        base += _RUN_STRIDE
+
+    assigned = spark.read.parquet(index_path)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("epoch"))
+    latest = (
+        assigned.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "epoch")
+    )
+    latest.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        f"{index_path}/epoch={base}"
+    )
+    for e in old_epochs:
+        fs.delete(_p(f"{index_path}/epoch={e}"), True)
+    return base
 
 
 def ivf_topk_streamed(

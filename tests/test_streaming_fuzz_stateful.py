@@ -300,3 +300,13 @@ def test_ivf_streamed_index_equals_batch_over_latest_vectors(
 
     drain()  # same checkpoint, no new files: no-op
     assert probe() == want
+
+    # offline fold between runs: one epoch remains, probes unchanged on
+    # every fuzzed corpus/tranching
+    si.ivf_compact_index(spark, idx)
+    spark.catalog.refreshByPath(idx)
+    import os
+
+    epochs = [n for n in os.listdir(idx) if n.startswith("epoch=")]
+    assert len(epochs) == 1
+    assert probe() == want

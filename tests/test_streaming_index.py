@@ -147,3 +147,99 @@ def test_reembedded_vector_supersedes_without_data_loss(
         (F.col("query_id") == qvec.vec_id) & (F.col("vec_id") == target)
     ).collect()
     assert hit, "re-embedded duplicate of the query must be retrieved"
+
+
+def test_ivf_compact_index_preserves_probes_and_bounds_epochs(
+    spark, emb_parts, tmp_path
+):
+    """ivf_compact_index law: folding collapses all epoch partitions to
+    ONE while probe results stay identical; a stale lower-epoch
+    directory reappearing afterwards (the crash-replay shadow case) is
+    harmless; and a post-fold ingest run claims a HIGHER stride, so new
+    re-embeddings still supersede the folded rows."""
+    stream_dir, corpus, centroids, queries = emb_parts
+    idx = str(tmp_path / "ivf_idx3")
+    # two runs so the index holds epochs from two strides pre-fold
+    _drain(
+        si.ivf_append_sink(
+            si.read_embedding_stream(spark, stream_dir),
+            centroids,
+            idx,
+            str(tmp_path / "ck1"),
+        )
+    )
+    target = corpus.limit(1).collect()[0].vec_id
+    qvec = queries.limit(1).collect()[0]
+    d2 = str(tmp_path / "re_stream3")
+    spark.createDataFrame(
+        [(int(target), qvec.embedding, int(qvec.label))], si.EMBEDDING_DDL
+    ).write.parquet(d2)
+    _drain(
+        si.ivf_append_sink(
+            si.read_embedding_stream(spark, d2),
+            centroids,
+            idx,
+            str(tmp_path / "ck2"),
+        )
+    )
+    spark.catalog.refreshByPath(idx)
+
+    def probe():
+        return {
+            (r.query_id, r.vec_id, r.cosine, r.rank)
+            for r in si.ivf_topk_streamed(
+                spark, idx, centroids, queries
+            ).collect()
+        }
+
+    def epoch_dirs():
+        import os
+
+        return sorted(
+            int(n.split("=", 1)[1])
+            for n in os.listdir(idx)
+            if n.startswith("epoch=")
+        )
+
+    before = probe()
+    pre_epochs = epoch_dirs()
+    assert len(pre_epochs) >= 2
+    n_latest = corpus.count()  # latest-per-key cardinality
+
+    fold = si.ivf_compact_index(spark, idx)
+    spark.catalog.refreshByPath(idx)
+    assert epoch_dirs() == [fold]
+    assert fold > max(pre_epochs)
+    assert spark.read.parquet(idx).count() == n_latest
+    assert probe() == before
+
+    # crash-replay shadow: a stale pre-fold epoch dir reappearing is
+    # storage, not semantics — the fold's higher epoch wins compaction
+    stale = spark.read.parquet(idx).limit(3).drop("epoch")
+    stale.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        f"{idx}/epoch={pre_epochs[0]}"
+    )
+    spark.catalog.refreshByPath(idx)
+    assert probe() == before
+
+    # a post-fold ingest run claims a stride ABOVE the fold: re-embed
+    # the target back to its ORIGINAL vector — probes must track it
+    orig = corpus.filter(F.col("vec_id") == target).collect()[0]
+    d3 = str(tmp_path / "re_stream3b")
+    spark.createDataFrame(
+        [(int(target), orig.embedding, int(orig.label))], si.EMBEDDING_DDL
+    ).write.parquet(d3)
+    _drain(
+        si.ivf_append_sink(
+            si.read_embedding_stream(spark, d3),
+            centroids,
+            idx,
+            str(tmp_path / "ck3"),
+        )
+    )
+    spark.catalog.refreshByPath(idx)
+    assert max(epoch_dirs()) > fold
+    hit = si.ivf_topk_streamed(spark, idx, centroids, queries).filter(
+        (F.col("query_id") == qvec.vec_id) & (F.col("vec_id") == target)
+    )
+    assert hit.count() == 0, "post-fold re-embedding must supersede the fold"

@@ -1919,8 +1919,13 @@ WITH per AS (
     FROM orders WHERE o_totalprice > 0
     GROUP BY 1
 ), e AS (
+    -- CAST: a bare CASE over 17-digit literals types DECIMAL(18,17),
+    -- and round(DECIMAL, 6) emits DECIMAL(18,6) — the one remaining
+    -- non-native output type in the registry after the ml6 HUGEINT
+    -- fix. Values agreed (shortest-roundtrip literals cast back to the
+    -- same double), but the oracle should emit the type Spark emits.
     SELECT digit, n,
-           CASE digit {' '.join(f'WHEN {d} THEN {_BENFORD[d]!r}' for d in range(1, 10))} END AS exp_frac,
+           CAST(CASE digit {' '.join(f'WHEN {d} THEN {_BENFORD[d]!r}' for d in range(1, 10))} END AS DOUBLE) AS exp_frac,
            CAST(SUM(n) OVER () AS DOUBLE) AS nd
     FROM per
 )

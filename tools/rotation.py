@@ -46,10 +46,17 @@ WINDOW_SIZE = 50
 # hash-verified both at sf0.001 and sf0.01, but their latest driver
 # rows (r6/r7) predate the new plans, so they re-front for driver
 # evidence, mirroring the round-4 d6/d7 precedent for plan changes.
+#
+# q11 (round 9): ORACLE-TEXT-ONLY change — the Benford CASE literals
+# now cast to DOUBLE so the oracle stops emitting DECIMAL(18,6)
+# (values identical; the r8 green row was honest), but the row should
+# be re-proven under the oracle text that ships. Same freshness rule
+# as plan reworks. Builder-verified at sf0.01 via driver_sim.
 FORCE_FRONT = {
     "ml6_ab_proportion_test",
     "q9_fk_audit",
     "v8_ivf_probe_sweep",
+    "q11_benford",
 }
 
 

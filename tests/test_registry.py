@@ -85,3 +85,30 @@ def test_oracle_outputs_only_native_types():
     assert offenders == {}, (
         f"oracles emitting non-native output types (cast them): {offenders}"
     )
+
+
+def test_spark_plans_emit_only_native_output_types(spark):
+    """Symmetric to the oracle-type pin: no registry plan may OUTPUT a
+    DecimalType (or byte/short) column. The engines' DECIMAL systems
+    differ (precision propagation, toPandas materializes Decimal
+    objects vs DuckDB's float64), so every money aggregate is summed
+    in DECIMAL internally and surfaced as DOUBLE — this pins that
+    convention at the schema level, plan-time only, registry-wide."""
+    from pyspark.sql.types import ByteType, DecimalType, ShortType
+
+    from .conftest import SF_DIR
+
+    offenders = {}
+    for name, q in REGISTRY.items():
+        schema = q.spark(spark, SF_DIR).schema
+        flagged = [
+            (f.name, f.dataType.simpleString())
+            for f in schema.fields
+            if isinstance(f.dataType, (DecimalType, ByteType, ShortType))
+        ]
+        if flagged:
+            offenders[name] = flagged
+    assert offenders == {}, (
+        f"plans emitting DECIMAL/byte/short outputs (surface as "
+        f"double/int/bigint instead): {offenders}"
+    )

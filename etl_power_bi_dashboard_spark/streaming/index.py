@@ -18,7 +18,10 @@ Layout: each micro-batch writes its assignments under its own
   epochs.
 - **Re-embedding wins**: a vector re-ingested in a later epoch (model
   refresh) supersedes its old assignment — probes compact to the latest
-  epoch per vec_id (u3's latest-per-key shape) before scoring.
+  row per vec_id (u3's latest-per-key shape) before scoring, ordered by
+  per-row RECENCY: the directory epoch for live rows, the preserved
+  ``src_epoch`` for rows a fold rewrote (so folding never changes what
+  any future batch supersedes).
 
 At scale the epoch partitions are periodically folded by
 :func:`ivf_compact_index` (latest-per-key fold into one fresh-stride
@@ -136,9 +139,33 @@ def ivf_append_sink(
     )
 
 
+def _recency(assigned: DataFrame):
+    """Per-row recency for latest-per-key compaction: folded rows carry
+    their ORIGINAL epoch in ``src_epoch`` (written by
+    :func:`ivf_compact_index`), live rows use their directory epoch.
+    Ordering by this — instead of the raw directory epoch — is what
+    makes a fold semantically TRANSPARENT: rows keep exactly the
+    recency they had before folding, so batches written later by a
+    still-resumable pre-fold checkpoint compare exactly as they would
+    have against the unfolded index."""
+    if "src_epoch" in assigned.columns:
+        return F.coalesce(F.col("src_epoch"), F.col("epoch"))
+    return F.col("epoch")
+
+
+def _latest_per_key(assigned: DataFrame) -> DataFrame:
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_rec"))
+    return (
+        assigned.withColumn("_rec", _recency(assigned))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+    )
+
+
 def ivf_compact_index(spark, index_path: str) -> int:
     """Fold every ``epoch=`` partition into one: the latest row per
-    vec_id, rewritten as a single new epoch, old epoch directories
+    vec_id, rewritten as a single new epoch whose rows RETAIN their
+    original recency in a ``src_epoch`` column, old epoch directories
     removed once the fold commits. Returns the fold's epoch id.
 
     This is the periodic maintenance the module docstring promises —
@@ -150,23 +177,33 @@ def ivf_compact_index(spark, index_path: str) -> int:
     plus whatever arrived since — bounded by the fold cadence instead
     of stream lifetime.
 
-    Epoch numbering: the fold claims a fresh ``RUN_STRIDE`` multiple
-    through the same create-exclusive sentinel protocol ingest runs use
-    (``_runbase_<base>`` in the index root), so (1) the folded rows sit
-    ABOVE every epoch they absorbed — latest-per-key still resolves to
-    them; (2) the next ingest run's discovery sees the sentinel/epoch
-    and claims a higher stride — new data supersedes the fold; (3) a
-    crash-replayed batch from a PRE-compaction checkpoint recreates its
-    old (lower) epoch directory, which the fold shadows — the same
-    storage-not-correctness trade the sink documents for lost markers.
+    Recency provenance (``src_epoch``) is what makes the fold safe
+    against EVERY checkpoint timeline, not just fresh ones: a pre-fold
+    checkpoint resumed AFTER the fold keeps writing its original
+    (lower) epoch ids, and because folded rows compare by their
+    original epochs too, those new batches supersede exactly the rows
+    they would have superseded in the unfolded index — no shadowing.
+    A crash-replayed pre-fold batch recreates its old epoch directory;
+    its rows TIE with their folded copies (same vec_id, same original
+    epoch) and are bit-identical (deterministic assignment of the same
+    input), so either side of the tie yields the same probe. A second
+    fold carries ``src_epoch`` through unchanged.
 
-    OFFLINE precondition: run between ingest runs, never under a live
-    sink — a live run keeps its already-claimed (lower) base, so its
-    post-fold batches would be wrongly shadowed. A table format
+    Epoch numbering: the fold directory claims a fresh ``RUN_STRIDE``
+    multiple through the same create-exclusive sentinel protocol ingest
+    runs use (``_runbase_<base>`` in the index root), so the fold can
+    never collide with — or be overwritten by — any run's epoch
+    directory, and the next fresh run claims above it.
+
+    Precondition: no ingest run may be MID-BATCH against this index
+    while the fold runs (the fold lists, reads, and deletes epoch
+    directories; deleting a directory whose write is still committing
+    would lose that batch). Between drains — including between drains
+    of one long-lived checkpoint — is safe. A table format
     (Delta/Iceberg) would own this swap transactionally in production;
     on plain parquet the fold is crash-safe because old epochs are
     deleted only after the fold's write commits, and a half-deleted
-    state is merely duplicated storage that the fold shadows.
+    state is merely duplicated storage that ties with the fold.
     """
     jvm = spark._jvm
 
@@ -191,12 +228,11 @@ def ivf_compact_index(spark, index_path: str) -> int:
     while not fs.createNewFile(_p(f"{index_path}/_runbase_{base}")):
         base += _RUN_STRIDE
 
-    assigned = spark.read.parquet(index_path)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("epoch"))
-    latest = (
-        assigned.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk", "epoch")
+    # mergeSchema: pre-fold epoch dirs have no src_epoch column; a
+    # prior fold's dir does — the union must see both
+    assigned = spark.read.option("mergeSchema", "true").parquet(index_path)
+    latest = _latest_per_key(assigned).select(
+        "vec_id", "cv", "cluster_id", F.col("_rec").alias("src_epoch")
     )
     latest.write.mode("overwrite").partitionBy("cluster_id").parquet(
         f"{index_path}/epoch={base}"
@@ -214,20 +250,21 @@ def ivf_topk_streamed(
     k: int = 3,
     n_probe: int = 2,
 ) -> DataFrame:
-    """Top-k against a streamed index: compact to the latest epoch per
-    vec_id (re-embedded vectors supersede), then the standard pruned
-    probe. The compaction MUST be global (it runs before cluster
-    pruning): a re-embedding can move a vector to a different cluster,
-    and probing only the new cluster with per-cluster dedup would leave
-    the stale row discoverable through its old cluster. The cost is one
-    pass over the epoch partitions, which is exactly what the periodic
-    ``compact_parquet`` fold amortizes — after a fold, the un-compacted
-    window is just the epochs since."""
-    assigned = spark.read.parquet(index_path)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("epoch"))
-    latest = (
-        assigned.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk", "epoch")
+    """Top-k against a streamed index: compact to the latest row per
+    vec_id by recency — directory epoch for live rows, preserved
+    ``src_epoch`` for folded rows (re-embedded vectors supersede) —
+    then the standard pruned probe. The compaction MUST be global (it
+    runs before cluster pruning): a re-embedding can move a vector to
+    a different cluster, and probing only the new cluster with
+    per-cluster dedup would leave the stale row discoverable through
+    its old cluster. The cost is one pass over the epoch partitions,
+    which is exactly what the periodic :func:`ivf_compact_index` fold
+    amortizes — after a fold, the un-compacted window is just the
+    epochs since."""
+    assigned = spark.read.option("mergeSchema", "true").parquet(index_path)
+    latest = _latest_per_key(assigned).drop(
+        "_rk", "_rec", "epoch", *(
+            ["src_epoch"] if "src_epoch" in assigned.columns else []
+        )
     )
     return similarity.ivf_probe_topk(latest, centroids, queries, k, n_probe)

@@ -43,8 +43,10 @@ def canonicalize(df: pd.DataFrame) -> list[tuple]:
     # `1985` from float64 `1985.0`. Series.tolist() preserves each
     # column's dtype (int64 -> int, float64 -> float), so this harness
     # is at least as strict as the driver gate.
-    cols = sorted(df.columns)
-    columns = [df[c].tolist() for c in cols]
+    # positional extraction (iloc), not label lookup: with duplicate
+    # column labels df[label] returns a sub-DataFrame and would crash
+    idx = sorted(range(df.shape[1]), key=lambda i: (df.columns[i], i))
+    columns = [df.iloc[:, i].tolist() for i in idx]
     out = [tuple(_canon_cell(v) for v in row) for row in zip(*columns)]
     if not columns:
         out = [()] * len(df)

@@ -127,21 +127,23 @@ def test_every_registry_query_has_a_law_or_an_allowlist_reason():
     texts = {p.name: p.read_text() for p in _LAW_FILES}
     law_text = "".join(texts.values())
 
+    # Validate EVERY mapping unconditionally, before the substring
+    # check can short-circuit: a mapped name that also happens to
+    # appear as a substring somewhere (e.g. d3_minhash_lsh inside
+    # q_d3_minhash_lsh in test_dedup.py) must still break loudly if
+    # the mapped law is renamed or deleted.
+    for name, (fname, symbol) in OPERATOR_LAWS.items():
+        assert fname in texts, (
+            f"OPERATOR_LAWS[{name}] points at {fname}, which is not a "
+            "recognized law file"
+        )
+        assert symbol in texts[fname], (
+            f"OPERATOR_LAWS[{name}]: symbol {symbol!r} not found in "
+            f"{fname} — the law moved or was deleted"
+        )
+
     def covered(name: str) -> bool:
-        if name in law_text:
-            return True
-        if name in OPERATOR_LAWS:
-            fname, symbol = OPERATOR_LAWS[name]
-            assert fname in texts, (
-                f"OPERATOR_LAWS[{name}] points at {fname}, which is not a "
-                "recognized law file"
-            )
-            assert symbol in texts[fname], (
-                f"OPERATOR_LAWS[{name}]: symbol {symbol!r} not found in "
-                f"{fname} — the law moved or was deleted"
-            )
-            return True
-        return False
+        return name in law_text or name in OPERATOR_LAWS
 
     missing = sorted(
         q for q in REGISTRY if q not in ALLOWLIST and not covered(q)

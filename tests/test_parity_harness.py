@@ -59,3 +59,13 @@ def test_bool_column_not_coerced_by_numeric_neighbor():
 def test_empty_frame_canonicalizes_empty():
     df = pd.DataFrame({"a": pd.Series([], dtype="int64")})
     assert canonicalize(df) == []
+
+
+def test_duplicate_column_labels_compare_not_crash():
+    # label lookup (df[c]) returns a sub-DataFrame for duplicate labels;
+    # the positional iloc path must still produce a row comparison
+    a = pd.DataFrame([[1, 2.5], [3, 4.5]], columns=["k", "k"])
+    b = pd.DataFrame([[3, 4.5], [1, 2.5]], columns=["k", "k"])
+    assert canonicalize(a) == canonicalize(b)
+    c = pd.DataFrame([[1, 9.9], [3, 4.5]], columns=["k", "k"])
+    assert canonicalize(a) != canonicalize(c)

@@ -47,34 +47,22 @@ def test_bench_last_line_fits_tail():
     assert len(detail["queries"]) == 500  # humans/judge keep the detail
 
 
-def test_oracle_outputs_only_native_types():
+def test_oracle_outputs_only_native_types(oracle):
     """No oracle may emit HUGEINT / DECIMAL / unsigned output columns:
     DuckDB's fetchdf materializes those as float64 (or objects), which
     the driver's TYPED value-hash distinguishes from Spark's int64 /
     double even when values agree — the sc4 (r5) and ml6 (r8) driver
     reds were exactly this class. Type-check is plan-time only (no
-    query executes), so this pins the whole registry cheaply."""
-    import os
-
-    import duckdb
-
-    from .conftest import SF_DIR
-
-    con = duckdb.connect()
-    for t in (
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ):
-        path = f"{SF_DIR}/{t}.parquet"
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    query executes), so this pins the whole registry cheaply. Uses the
+    shared conftest oracle fixture so the registered views can never
+    drift from the parity suite's."""
     banned = ("HUGEINT", "DECIMAL", "UTINYINT", "USMALLINT", "UINTEGER",
               "UBIGINT")
     offenders = {}
     for name, q in REGISTRY.items():
         if q.oracle is None:
             continue
-        rel = con.sql(q.oracle)
+        rel = oracle.sql(q.oracle)
         flagged = [
             (c, str(t))
             for c, t in zip(rel.columns, rel.types)

@@ -217,20 +217,24 @@ _vec_records = st.lists(
 )
 
 
-@given(records=_vec_records, cuts=_cuts)
+@given(records=_vec_records, cuts=_cuts, fold_after=st.integers(0, 3))
 @settings(
     max_examples=5,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_ivf_streamed_index_equals_batch_over_latest_vectors(
-    spark, tmp_path_factory, records, cuts
+    spark, tmp_path_factory, records, cuts, fold_after
 ):
     """Streaming-index law: arbitrary vector tranches ingested
     incrementally through one checkpoint — with vec_ids re-ingested in
     later tranches (model-refresh re-embeddings) — must probe exactly
     like the one-shot batch build over the LATEST embedding per vec_id;
-    a restart with no new files changes nothing. vec_id is deduped
+    a restart with no new files changes nothing. A fold
+    (ivf_compact_index) injected between two drains of the SAME
+    checkpoint (position fuzzed by ``fold_after``; 3 = no mid-ingest
+    fold) must be invisible to the final probe — the resumed-checkpoint
+    transparency the src_epoch provenance exists for. vec_id is deduped
     keep-last within each tranche (the sink's documented per-batch key
     contract)."""
     from etl_power_bi_dashboard_spark.operators import similarity
@@ -273,12 +277,15 @@ def test_ivf_streamed_index_equals_batch_over_latest_vectors(
         q.stop()
         spark.catalog.refreshByPath(idx)
 
-    for t in tranches:
+    for i, t in enumerate(tranches):
         rows = [(vid, [x, y], 0) for vid, x, y in t]
         spark.createDataFrame(rows, si.EMBEDDING_DDL).write.mode(
             "append"
         ).parquet(src)
         drain()
+        if i == fold_after:  # fold between drains of the same checkpoint
+            si.ivf_compact_index(spark, idx)
+            spark.catalog.refreshByPath(idx)
 
     def probe():
         return {

@@ -243,3 +243,67 @@ def test_ivf_compact_index_preserves_probes_and_bounds_epochs(
         (F.col("query_id") == qvec.vec_id) & (F.col("vec_id") == target)
     )
     assert hit.count() == 0, "post-fold re-embedding must supersede the fold"
+
+
+def test_fold_is_transparent_to_a_resumed_pre_fold_checkpoint(
+    spark, emb_parts, tmp_path
+):
+    """The data-loss hole the round-9 review caught in the first fold
+    design: ingest through checkpoint CK, terminate, fold, then resume
+    the SAME CK with new data. The resumed run keeps its original
+    (lower) run base, so under directory-epoch ordering the fold's
+    fresh-stride rows would shadow everything it writes from then on.
+    With src_epoch recency provenance the fold is transparent: the
+    post-fold batch's re-embedding must supersede the folded row, and
+    brand-new vectors must be probeable."""
+    stream_dir, corpus, centroids, queries = emb_parts
+    idx = str(tmp_path / "ivf_idx4")
+    ck = str(tmp_path / "ck_shared")
+    src = str(tmp_path / "src4")
+    # tranche 1 through CK
+    spark.read.parquet(stream_dir).write.mode("append").parquet(src)
+    _drain(
+        si.ivf_append_sink(
+            si.read_embedding_stream(spark, src), centroids, idx, ck
+        )
+    )
+    fold = si.ivf_compact_index(spark, idx)
+    spark.catalog.refreshByPath(idx)
+
+    # tranche 2 through the SAME checkpoint: re-embed one corpus vector
+    # as a query duplicate, plus one brand-new vector far from both
+    target = corpus.limit(1).collect()[0].vec_id
+    qvec = queries.limit(1).collect()[0]
+    new_id = 10_000_000
+    spark.createDataFrame(
+        [
+            (int(target), qvec.embedding, int(qvec.label)),
+            (new_id, qvec.embedding, int(qvec.label)),
+        ],
+        si.EMBEDDING_DDL,
+    ).write.mode("append").parquet(src)
+    _drain(
+        si.ivf_append_sink(
+            si.read_embedding_stream(spark, src), centroids, idx, ck
+        )
+    )
+    spark.catalog.refreshByPath(idx)
+
+    import os
+
+    post_epochs = [
+        int(n.split("=", 1)[1])
+        for n in os.listdir(idx)
+        if n.startswith("epoch=")
+    ]
+    # the resumed run wrote BELOW the fold directory — the exact layout
+    # that shadowed new data under directory-epoch ordering
+    assert min(post_epochs) < fold
+
+    got = si.ivf_topk_streamed(spark, idx, centroids, queries)
+    hits = {
+        r.vec_id
+        for r in got.filter(F.col("query_id") == qvec.vec_id).collect()
+    }
+    assert target in hits, "post-fold re-embedding was shadowed by the fold"
+    assert new_id in hits, "post-fold new vector was shadowed by the fold"

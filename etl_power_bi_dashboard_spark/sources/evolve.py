@@ -80,6 +80,12 @@ def conform_to_schema(df: DataFrame, schema: StructType | str) -> DataFrame:
             continue
         exact = [(i, n) for i, n in hits if n == field.name]
         if exact:
+            # multiple EXACT duplicates (legal post-join Spark output)
+            # deterministically resolve to the first occurrence —
+            # pinned by test_conform_exact_duplicate_names_picks_first_
+            # occurrence; erroring here was considered and rejected
+            # (round 9): the resolver's ambiguity error is exactly what
+            # this positional path exists to improve on
             idx = exact[0][0]
         elif len(hits) == 1:
             idx = hits[0][0]

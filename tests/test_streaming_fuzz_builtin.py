@@ -1,0 +1,261 @@
+"""Hypothesis fuzz for the BUILT-IN-operator streaming twins —
+dedup_stream, daily_active_users, click_purchase_join — under arbitrary
+corpora cut into event-time-ordered micro-batch tranches (round-10
+semantic-audit batch: the last streaming surfaces whose batch agreement
+was pinned only on the single-corpus fixture tests, which drain in ONE
+micro-batch and so never exercise cross-batch state: dedup keys
+surviving tranche boundaries, join state kept alive until the matching
+side arrives batches later, watermark advancement between tranches).
+
+Preconditions the laws encode (and the operators document):
+- tranches are contiguous segments of the global (ts, event_id) order —
+  same lambda precondition as attribution/funnel;
+- every law's time spread keeps needed state inside the watermark
+  horizon (dedup: duplicates within 2h of their first; join:
+  watermark 2h > the 1h match window), so the stream answer must equal
+  the batch answer EXACTLY, not merely approximately.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_power_bi_dashboard_spark.streaming import events as se
+
+_BASE = dt.datetime(2024, 1, 1)
+
+_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+# two cut points over the max record count → three contiguous tranches
+_cuts = st.tuples(st.integers(0, 14), st.integers(0, 14))
+
+_seq = iter(range(10**6))
+
+
+def _tranche_and_write(spark, rows, cuts, src):
+    """Order rows globally by (ts, event_id), cut into contiguous
+    tranches, write each as ONE file (maxFilesPerTrigger=1 ⇒ one
+    micro-batch per tranche), reversed within the tranche so intra-batch
+    order is never the global order."""
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    a, b = sorted((min(cuts[0], len(ordered)), min(cuts[1], len(ordered))))
+    segs = [s for s in (ordered[:a], ordered[a:b], ordered[b:]) if s]
+    for seg in segs:
+        spark.createDataFrame(
+            list(reversed(seg)), _SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+    return segs
+
+
+def _drain(spark, stream_df, qname, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+
+# dedup corpus: ids from a TIGHT domain (0-4) so duplicates are
+# guaranteed; minute-granular ts within 90 min keeps every duplicate
+# inside the 2h watermark horizon of its first occurrence. Duplicates
+# of an id are REDELIVERIES: payload is derived from the id, so the
+# first-occurrence-wins and any-occurrence-wins semantics coincide and
+# the law is exact.
+_dedup_records = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 90)),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(records=_dedup_records, cuts=_cuts)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dedup_stream_equals_batch_distinct_under_any_tranching(
+    spark, tmp_path_factory, records, cuts
+):
+    """dedup_stream law: for any duplicate pattern cut across tranches
+    (the fixture test doubles a corpus into ONE batch — here the same
+    id recurs in LATER micro-batches, exercising the cross-batch state
+    the operator exists for), the emitted rows are exactly one per
+    distinct event_id; a restart with no new files emits nothing."""
+    rows = [
+        (eid, _BASE + dt.timedelta(minutes=m), eid % 3, "click",
+         float(eid), "{}")
+        for eid, m in records
+    ]
+    base = tmp_path_factory.mktemp("dedupfuzz")
+    src = str(base / "src")
+    segs = _tranche_and_write(spark, rows, cuts, src)
+    assert segs
+    # foreachBatch parquet sink, NOT memory: the memory sink cannot
+    # recover from a checkpoint, and the restart-no-op law below needs
+    # a true checkpointed resume
+    ck, out_dir = str(base / "ck"), str(base / "out")
+
+    def drain():
+        q = (
+            se.dedup_stream(
+                spark.readStream.schema(_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        spark.catalog.refreshByPath(out_dir)
+
+    drain()
+    out = spark.read.parquet(out_dir).collect()
+    want_ids = {eid for eid, _ in records}
+    assert sorted(r.event_id for r in out) == sorted(want_ids)
+    # redelivery payloads are id-derived, so emitted rows are exact
+    assert all(r.value == float(r.event_id) for r in out)
+
+    # restart on the same checkpoint with no new files: nothing emitted
+    drain()
+    assert spark.read.parquet(out_dir).count() == len(want_ids)
+
+
+# DAU corpus: (user 0-2, day 0-3, hour 0-23) — few users over few days
+# forces the same user-day to recur across tranches (the dedup state
+# the DAU plan rests on) and distinct days to close at different
+# watermarks.
+_dau_records = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 3), st.integers(0, 23)),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(records=_dau_records, cuts=_cuts)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_daily_active_users_equals_batch_under_any_tranching(
+    spark, tmp_path_factory, records, cuts
+):
+    """daily_active_users law: the final counts (complete mode) equal
+    the batch distinct-users-per-day aggregation for ANY corpus and
+    tranching — a user's Nth event on a day, arriving batches after the
+    first, must never double-count them."""
+    rows = [
+        (i, _BASE + dt.timedelta(days=d, hours=h), u, "view", 0.0, "{}")
+        for i, (u, d, h) in enumerate(records)
+    ]
+    base = tmp_path_factory.mktemp("daufuzz")
+    src = str(base / "src")
+    _tranche_and_write(spark, rows, cuts, src)
+    name = f"dau_fuzz_{next(_seq)}"
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # complete mode: every window's CURRENT count, closed or not — the
+    # exact-agreement law (append mode would hold back open windows)
+    _drain(spark, se.daily_active_users(stream), name, "complete")
+    got = {
+        (r.day.date(), r.dau) for r in spark.table(name).collect()
+    }
+    want = {
+        (d, len({u for uu, dd, _ in records if dd == d for u in [uu]}))
+        for d in {dd for _, dd, _ in records}
+    }
+    want = {
+        ((_BASE + dt.timedelta(days=d)).date(), n) for d, n in want
+    }
+    assert got == want
+
+
+# join corpus: (user 0-1, is_purchase, minute 0-180, value) — 3h spread
+# against a 2h watermark exercises state eviction; the 1h match window
+# is strictly inside the watermark, so ordered arrival loses no matches
+# and the stream answer must equal the batch join exactly.
+_join_records = st.lists(
+    st.tuples(
+        st.integers(0, 1),
+        st.booleans(),
+        st.integers(0, 180),
+        st.integers(0, 5),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(records=_join_records, cuts=_cuts)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_click_purchase_join_equals_batch_under_any_tranching(
+    spark, tmp_path_factory, records, cuts
+):
+    """click_purchase_join law: the watermarked stream-stream inner
+    join emits exactly the batch join's (click_id, purchase_id) pairs
+    for ANY corpus and tranching — including clicks whose purchase
+    arrives micro-batches later (join state alive across tranches) and
+    clicks with no purchase inside the window (state evicted, nothing
+    emitted). Watermark (2h) > window (1h) + ordered tranches is the
+    documented exactness precondition."""
+    rows = [
+        (
+            i,
+            _BASE + dt.timedelta(minutes=m),
+            u,
+            "purchase" if p else "click",
+            float(v),
+            "{}",
+        )
+        for i, (u, p, m, v) in enumerate(records)
+    ]
+    base = tmp_path_factory.mktemp("ssjfuzz")
+    src = str(base / "src")
+    _tranche_and_write(spark, rows, cuts, src)
+    name = f"ssj_fuzz_{next(_seq)}"
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _drain(spark, se.click_purchase_join(stream), name, "append")
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (c_id, p_id)
+        for c_id, c_ts, c_u in [
+            (r[0], r[1], r[2]) for r in rows if r[3] == "click"
+        ]
+        for p_id, p_ts, p_u in [
+            (r[0], r[1], r[2]) for r in rows if r[3] == "purchase"
+        ]
+        if c_u == p_u and c_ts <= p_ts <= c_ts + dt.timedelta(hours=1)
+    }
+    assert got == want

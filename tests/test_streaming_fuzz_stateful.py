@@ -317,3 +317,98 @@ def test_ivf_streamed_index_equals_batch_over_latest_vectors(
     epochs = [n for n in os.listdir(idx) if n.startswith("epoch=")]
     assert len(epochs) == 1
     assert probe() == want
+
+
+_total_records = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(-5, 5)),
+    min_size=1,
+    max_size=12,
+)
+@given(records=_total_records, cuts=_cuts)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_running_user_totals_matches_bruteforce_under_any_tranching(
+    spark, tmp_path_factory, records, cuts
+):
+    """running_user_totals law (round-10: the last stateful operator
+    without the fuzz treatment): for ANY event corpus under ANY
+    tranching — count/sum are commutative, so unlike attribution/funnel
+    this operator needs NO event-time ordering precondition, and the
+    law deliberately doesn't impose one — every micro-batch emits one
+    row per user present, the per-user emissions are strictly
+    increasing lifetime prefixes (state really crossed batches), the
+    LAST equals a pure-Python count/sum over everything seen, and a
+    restart with no new files emits nothing."""
+    from etl_power_bi_dashboard_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    a, b = sorted((min(cuts[0], len(records)), min(cuts[1], len(records))))
+    tranches = [
+        s for s in (records[:a], records[a:b], records[b:]) if s
+    ]
+    base = tmp_path_factory.mktemp("rtfuzz")
+    src, ck, out_dir = str(base / "src"), str(base / "ck"), str(base / "out")
+
+    def drain():
+        # foreachBatch parquet sink, NOT memory: the memory sink cannot
+        # recover from a checkpoint, and the restart-no-op law below
+        # needs a true checkpointed resume
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        spark.catalog.refreshByPath(out_dir)
+
+    for t in tranches:
+        spark.createDataFrame(
+            [(u, float(v)) for u, v in t], "user_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    out = spark.read.parquet(out_dir).collect()
+    # brute force: lifetime (count, sum) per user; per-tranche presence
+    want = {}
+    appearances = {}
+    for t in tranches:
+        for u, v in t:
+            n, tot = want.get(u, (0, 0.0))
+            want[u] = (n + 1, tot + v)
+        for u in {u for u, _ in t}:
+            appearances[u] = appearances.get(u, 0) + 1
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(
+            (r.n_events, r.total_value)
+        )
+    assert set(by_user) == set(want)
+    for u, rows in by_user.items():
+        rows.sort()
+        # one emission per batch the user appeared in (maxFilesPerTrigger=1
+        # makes batches = tranche files), strictly increasing prefixes
+        assert len(rows) == appearances[u]
+        assert all(
+            rows[i][0] < rows[i + 1][0] for i in range(len(rows) - 1)
+        )
+        assert rows[-1] == want[u]
+
+    # restart on the same checkpoint with no new files: nothing emitted
+    n_before = spark.read.parquet(out_dir).count()
+    drain()
+    assert spark.read.parquet(out_dir).count() == n_before

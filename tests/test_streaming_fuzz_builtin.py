@@ -259,3 +259,80 @@ def test_click_purchase_join_equals_batch_under_any_tranching(
         if c_u == p_u and c_ts <= p_ts <= c_ts + dt.timedelta(hours=1)
     }
     assert got == want
+
+
+@given(records=_join_records, cuts=_cuts)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_click_purchase_left_join_equals_batch_once_horizon_passes(
+    spark, tmp_path_factory, records, cuts
+):
+    """click_purchase_left_join law: once a sentinel event pushes the
+    watermark past every click's match window, EVERY click has resolved
+    — converted ones carry exactly the batch inner join's purchases,
+    unconverted ones emitted exactly once with NULL purchase columns.
+    The outer rows are inherently watermark-delayed, so cross-tranche
+    arrival (the purchase micro-batches after its click, or never) is
+    the semantics under test, not an edge case."""
+    rows = [
+        (
+            i,
+            _BASE + dt.timedelta(minutes=m),
+            u,
+            "purchase" if p else "click",
+            float(v),
+            "{}",
+        )
+        for i, (u, p, m, v) in enumerate(records)
+    ]
+    base = tmp_path_factory.mktemp("lsjfuzz")
+    src = str(base / "src")
+    _tranche_and_write(spark, rows, cuts, src)
+    # sentinels far past the horizon close every click's outer bound.
+    # BOTH sides need one: the global watermark is the MIN across the
+    # two withWatermark nodes, so a click-only sentinel leaves the
+    # purchase-side watermark at epoch whenever the corpus has no (or
+    # only early) purchases and no outer row would ever emit. The
+    # sentinel click itself stays pending (nothing can close its bound)
+    # and is excluded below; the sentinel purchase uses a user outside
+    # the corpus domain so it matches no real click.
+    spark.createDataFrame(
+        [
+            (999998, _BASE + dt.timedelta(days=30), 0, "click", 0.0, "{}"),
+            (999999, _BASE + dt.timedelta(days=30), 999, "purchase",
+             0.0, "{}"),
+        ],
+        _SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    name = f"lsj_fuzz_{next(_seq)}"
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _drain(spark, se.click_purchase_left_join(stream), name, "append")
+    got = {
+        (r.click_id, r.purchase_id, r.converted)
+        for r in spark.table(name).collect()
+        if r.click_id != 999998
+    }
+    matches = {
+        (c_id, p_id)
+        for c_id, c_ts, c_u in [
+            (r[0], r[1], r[2]) for r in rows if r[3] == "click"
+        ]
+        for p_id, p_ts, p_u in [
+            (r[0], r[1], r[2]) for r in rows if r[3] == "purchase"
+        ]
+        if c_u == p_u and c_ts <= p_ts <= c_ts + dt.timedelta(hours=1)
+    }
+    converted_clicks = {c for c, _ in matches}
+    want = {(c, p, True) for c, p in matches} | {
+        (r[0], None, False)
+        for r in rows
+        if r[3] == "click" and r[0] not in converted_clicks
+    }
+    assert got == want

@@ -336,3 +336,106 @@ def test_click_purchase_left_join_equals_batch_once_horizon_passes(
         if r[3] == "click" and r[0] not in converted_clicks
     }
     assert got == want
+
+
+# session corpus: (user 0-1, minute 0-300) over a 1h gap — a 5h spread
+# forces multiple sessions per user, and same-user events landing in
+# different tranches force CROSS-BATCH session merging (a session
+# extended, or two provisional sessions bridged, by a later micro-batch)
+_session_records = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 300)),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(records=_session_records, cuts=_cuts)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_session_counts_equals_bruteforce_under_any_tranching(
+    spark, tmp_path_factory, records, cuts
+):
+    """session_counts law: the final per-user sessions (complete mode)
+    equal an independent pure-Python session builder — consecutive
+    same-user events merge while the inter-event gap is < 1h, session
+    end = last event + gap — for ANY corpus and tranching. The
+    fixture test only checks session COUNT on one corpus in one batch;
+    this pins boundaries, per-session aggregates, and the stateful
+    cross-batch merge."""
+    rows = [
+        (i, _BASE + dt.timedelta(minutes=m), u, "view", float(i % 5), "{}")
+        for i, (u, m) in enumerate(records)
+    ]
+    base = tmp_path_factory.mktemp("sessfuzz")
+    src = str(base / "src")
+    _tranche_and_write(spark, rows, cuts, src)
+    name = f"sess_fuzz_{next(_seq)}"
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _drain(spark, se.session_counts(stream), name, "complete")
+    got = {
+        (r.user_id, r.session_start, r.session_end,
+         r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+    }
+
+    gap = dt.timedelta(hours=1)
+    want = set()
+    for u in {r[2] for r in rows}:
+        ts = sorted((r[1], r[4]) for r in rows if r[2] == u)
+        start, last, n, tot = ts[0][0], ts[0][0], 1, ts[0][1]
+        for t, v in ts[1:]:
+            if t < last + gap:  # windows are [start, last+gap)
+                last, n, tot = t, n + 1, tot + v
+            else:
+                want.add((u, start, last + gap, n, tot))
+                start, last, n, tot = t, t, 1, v
+        want.add((u, start, last + gap, n, tot))
+    assert got == want
+
+
+@given(records=_session_records, cuts=_cuts)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_tumbling_counts_equals_bruteforce_under_any_tranching(
+    spark, tmp_path_factory, records, cuts
+):
+    """tumbling_counts law: final per-(hour, event_type) counts and
+    sums (complete mode) equal a pure-Python bucket fold for ANY corpus
+    and tranching — a window receiving rows from several micro-batches
+    must accumulate, not reset."""
+    rows = [
+        (i, _BASE + dt.timedelta(minutes=m), u, ("view", "click")[i % 2],
+         float(i % 5), "{}")
+        for i, (u, m) in enumerate(records)
+    ]
+    base = tmp_path_factory.mktemp("tumbfuzz")
+    src = str(base / "src")
+    _tranche_and_write(spark, rows, cuts, src)
+    name = f"tumb_fuzz_{next(_seq)}"
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _drain(spark, se.tumbling_counts(stream), name, "complete")
+    got = {
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+    }
+    buckets = {}
+    for _, ts, _, et, v, _ in rows:
+        key = (ts.replace(minute=0, second=0, microsecond=0), et)
+        n, tot = buckets.get(key, (0, 0.0))
+        buckets[key] = (n + 1, tot + v)
+    want = {(w, et, n, tot) for (w, et), (n, tot) in buckets.items()}
+    assert got == want

@@ -42,14 +42,15 @@ below. The driver's 177.5 s detail is committed as the round-9
 BENCH_DETAIL.json record; the record guard (next note) exists so
 future driver runs carry this evidence themselves.
 
-ROUND-10 HOST NOTE: two full builder runs at the same HEAD read 188.2 s
-and 202.5 s with median per-row ratios 1.18x and 1.32x vs the committed
-157.7 s record — broad uniform inflation on plans this round did not
-touch (zero plan-code commits), the same host-phase signature as the
-r3/r6/r9 adjudications. The 202.5 s run is the record guard's first
-live firing: 34 rows exceeded 1.5x their committed record and each
-carries its guard rep in that run's reps — the full detail is committed
-as BENCH_PROBES_r10.json for audit. The COMMITTED BENCH_DETAIL.json
+ROUND-10 HOST NOTE: four full builder runs at the same HEAD read
+188.2 / 202.5 / 166.9 / 176.0 s with median per-row ratios
+1.18/1.32/1.07/1.11x vs the committed 157.7 s record — broad uniform
+inflation on plans this round did not touch (zero plan-code commits),
+the same host-phase signature as the r3/r6/r9 adjudications, present
+in every window the day offered. The 202.5 s run is the record guard's
+first live firing: 34 rows exceeded 1.5x their committed record and
+each carries its guard rep in that run's reps — details committed as
+BENCH_PROBES_r10.json for audit. The COMMITTED BENCH_DETAIL.json
 remains the 157.7 s quiet-host record, which is the per-row baseline
 the guard should compare against — the plans are unchanged since it
 was taken.

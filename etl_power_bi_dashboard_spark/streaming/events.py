@@ -107,6 +107,17 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     bounded by (duplicate horizon × arrival rate) instead of growing with
     the whole stream — the only formulation that survives an unbounded
     100 TB/day feed.
+
+    Round-11 audit vs the DAU bug class ("dropDuplicatesWithinWatermark
+    re-emits a key whose duplicates arrive in a later micro-batch when
+    the event-time column is a window struct"): this site's event-time
+    is the plain ``ts`` timestamp — the documented, contract-covered
+    shape — and the cross-batch fuzz law
+    (tests/test_streaming_fuzz_builtin.py::
+    test_dedup_stream_equals_batch_distinct_under_any_tranching)
+    exercises exactly the later-micro-batch redelivery pattern with
+    DIFFERING timestamps inside the horizon; it is green. This is the
+    repo's only remaining dropDuplicatesWithinWatermark call site.
     """
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
@@ -120,12 +131,24 @@ def daily_active_users(
     distinct users per event-time day, as a two-stage streaming plan.
 
     COUNT(DISTINCT) is not directly expressible over a stream, so stage
-    one dedupes (user, day) pairs with ``dropDuplicatesWithinWatermark``
-    (state = one entry per active user-day, evicted at the watermark —
-    bounded by the active population, not stream length) and stage two
-    is a plain streaming count per day window. Late events inside the
-    watermark update their day's count; beyond it they drop — the
+    one dedupes (user, day) pairs with plain ``dropDuplicates`` — the
+    dedup key CONTAINS the watermarked event-time window, so Spark keys
+    state by (user_id, w) and evicts each entry once the watermark
+    passes the window's end (state = one entry per active user-day,
+    bounded by the active population, not stream length) — and stage
+    two is a plain streaming count per day window. Late events inside
+    the watermark update their day's count; beyond it they drop — the
     standard completeness/latency trade a batch e11 backfill closes.
+
+    ``dropDuplicatesWithinWatermark`` is deliberately NOT used here:
+    its contract ("no duplicates whose event times are within the
+    delay of each other") keys eviction off the FIRST-seen event time
+    per key, and with a window struct as the event-time column it
+    re-emitted a user-day whose duplicates arrived in a later
+    micro-batch (double-counted DAU; found by the round-10 cross-batch
+    fuzz, pinned in tests/test_streaming_fuzz_builtin.py). Plain
+    ``dropDuplicates`` on a key that includes the watermarked window
+    is the textbook exact formulation for this shape.
     """
     return (
         events.withWatermark("ts", watermark)
@@ -133,7 +156,7 @@ def daily_active_users(
         # keeping ts alongside would leave two event-time columns, which
         # streaming rejects
         .select("user_id", F.window("ts", "1 day").alias("w"))
-        .dropDuplicatesWithinWatermark(["user_id", "w"])
+        .dropDuplicates(["user_id", "w"])
         .groupBy("w")
         .agg(F.count("*").alias("dau"))
         .select(F.col("w.start").alias("day"), "dau")

@@ -48,6 +48,11 @@ def read_embedding_stream(spark, path: str) -> DataFrame:
 # Epoch-id stride between logical runs: epoch = run_base + batch_id.
 _RUN_STRIDE = runbase.RUN_STRIDE
 
+# Tests set this to surface violations of the bit-identical-replay
+# invariant on recency ties (see _latest_per_key); off in production —
+# the check is an eager extra aggregation per compaction.
+DEBUG_ASSERT_TIE_PAYLOADS = False
+
 
 def _run_base(spark, index_path: str, checkpoint_path: str) -> int:
     """Globally-unique, checkpoint-stable epoch base for one logical run.
@@ -162,10 +167,34 @@ def _latest_per_key(assigned: DataFrame) -> DataFrame:
     # instead of resting correctness on upstreams honoring the
     # invariants with no guard.
     w = Window.partitionBy("vec_id").orderBy(F.desc("_rec"), F.desc("epoch"))
-    return (
-        assigned.withColumn("_rec", _recency(assigned))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
+    rec = assigned.withColumn("_rec", _recency(assigned))
+    if DEBUG_ASSERT_TIE_PAYLOADS:
+        # Debug-only invariant check (tests set the flag): rows tying
+        # on recency must be bit-identical (a crash-replayed batch vs
+        # its folded copy). If an upstream ever violates bit-identical
+        # replay (non-deterministic re-embedding), the desc(epoch)
+        # tie-break would silently and CONSISTENTLY prefer the stale
+        # folded payload — this surfaces the violation instead. Eager
+        # (one extra aggregation), hence gated off in production.
+        viol = (
+            rec.groupBy("vec_id", "_rec")
+            .agg(
+                F.countDistinct(F.hash("cv", "cluster_id")).alias("_n")
+            )
+            .filter(F.col("_n") > 1)
+            .limit(5)
+            .collect()
+        )
+        if viol:
+            raise AssertionError(
+                "bit-identical-replay invariant violated: rows tying on "
+                "recency carry differing payloads for vec_ids "
+                f"{sorted(r.vec_id for r in viol)} — an upstream "
+                "re-embedded non-deterministically; the tie-break would "
+                "silently shadow the fresher write"
+            )
+    return rec.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") == 1
     )
 
 
@@ -282,6 +311,22 @@ def ivf_compact_index(spark, index_path: str) -> int | None:
     latest.write.mode("overwrite").partitionBy("cluster_id").parquet(
         f"{index_path}/epoch={base}"
     )
+    # Re-scan for _temporary immediately before deleting: the guard
+    # above is check-then-act, and an ingest batch that started AFTER
+    # that scan (during the fold's read+write, which can take minutes
+    # at scale) would otherwise have its epoch directory deleted
+    # mid-commit. Still best-effort — the docstring's fold-between-
+    # drains precondition remains the hard contract — but this narrows
+    # the window from the whole fold to the delete loop itself.
+    for e in old_epochs:
+        if fs.exists(_p(f"{index_path}/epoch={e}/_temporary")):
+            raise RuntimeError(
+                f"ivf_compact_index: epoch={e} gained an in-progress "
+                "write (_temporary) during the fold — an ingest run "
+                "started mid-fold; its batch is preserved (nothing "
+                "deleted), but the fold epoch now shadows-by-recency "
+                "only what it read. Re-run the fold between drains."
+            )
     for e in old_epochs:
         fs.delete(_p(f"{index_path}/epoch={e}"), True)
     return base

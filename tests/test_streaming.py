@@ -397,6 +397,79 @@ def test_streaming_dau_matches_batch(spark, event_dir):
     assert got <= want and len(got) >= len(want) - 2 and len(got) > 0
 
 
+def test_streaming_dau_pinned_cross_batch_duplicates(spark, tmp_path):
+    """Pinned (non-hypothesis) regression for the round-10 fuzz find:
+    a user-day whose FIRST event arrives in one micro-batch and whose
+    duplicates arrive in a LATER micro-batch must count once.
+
+    The falsifying tranching (hypothesis, round 10): user 2's first
+    day-2 event (day2 00:00) lands in micro-batch 2; duplicates (day2
+    02:00, day2 11:00) land in batch 3, 2-11 h later — well inside the
+    1-day watermark — yet dropDuplicatesWithinWatermark re-emitted the
+    user-day and DAU read 3 where the batch truth is 2. Fixed by plain
+    dropDuplicates on the watermarked (user_id, window) key."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    tranches = [
+        # batch 1: user 0 active on day 1
+        [(0, base, 0, "view", 0.0, "{}")],
+        # batch 2: user 2's FIRST day-2 event
+        [(1, base + dt.timedelta(days=1), 2, "view", 0.0, "{}")],
+        # batch 3: user 0 also day 2, plus user 2's day-2 DUPLICATES
+        [
+            (2, base + dt.timedelta(days=1, hours=2), 2, "view", 0.0, "{}"),
+            (3, base + dt.timedelta(days=1, hours=2), 0, "view", 0.0, "{}"),
+            (4, base + dt.timedelta(days=1, hours=11), 2, "view", 0.0, "{}"),
+        ],
+    ]
+    src = str(tmp_path / "src")
+    for seg in tranches:
+        spark.createDataFrame(seg, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = se.daily_active_users(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _drain(se.run_to_memory(stream, "t_dau_pinned", mode="complete"))
+    got = {
+        (r.day.date(), r.dau)
+        for r in spark.table("t_dau_pinned").collect()
+    }
+    assert got == {(base.date(), 1), ((base + dt.timedelta(days=1)).date(), 2)}
+
+
+def test_streaming_dau_equals_e11_dau_differential(spark, event_dir):
+    """Differential pin: the streaming DAU surface and its batch twin
+    (the dau column of e11_rolling_active_users) must agree on the SAME
+    corpus, so the two surfaces can't drift apart silently again
+    (round-10 fuzz found the streaming side double-counting while the
+    batch side stayed green). Complete mode emits every window's final
+    count; e11 reports a row per day in the observed span, with dau=0
+    on gap days the stream (correctly) never emits."""
+    from etl_power_bi_dashboard_spark.plans.events_plans import (
+        q_e11_rolling_active_users,
+    )
+
+    stream = se.daily_active_users(se.read_event_stream(spark, event_dir))
+    _drain(se.run_to_memory(stream, "t_dau_diff", mode="complete"))
+    got = {
+        (r.day.date(), r.dau) for r in spark.table("t_dau_diff").collect()
+    }
+    want = {
+        (r.day.date(), r.dau)
+        for r in q_e11_rolling_active_users(spark, SF_DIR).collect()
+        if r.dau > 0
+    }
+    assert got == want and len(got) > 0
+
+
 def test_trending_topk_matches_batch_and_replays_clean(
     spark, event_dir, tmp_path
 ):

@@ -390,3 +390,31 @@ def test_latest_per_key_tie_break_is_stable(spark):
     picked = si._latest_per_key(df).collect()
     assert len(picked) == 1
     assert picked[0].epoch == 1000  # the folded copy wins the tie
+
+
+def test_debug_tie_payload_assertion(spark):
+    """DEBUG_ASSERT_TIE_PAYLOADS (round-11, advisor): with the flag on,
+    a recency tie whose payloads DIFFER (an upstream violating
+    bit-identical replay) raises instead of silently shadowing the
+    fresher write; identical-payload ties (the invariant holding) pass
+    through unchanged."""
+    schema = (
+        "vec_id bigint, cv array<double>, cluster_id int, "
+        "epoch bigint, src_epoch bigint"
+    )
+    violating = spark.createDataFrame(
+        [(1, [0.1, 0.2], 7, 5, None), (1, [0.9, 0.9], 8, 1000, 5)], schema
+    )
+    honest = spark.createDataFrame(
+        [(1, [0.1, 0.2], 7, 5, None), (1, [0.1, 0.2], 7, 1000, 5)], schema
+    )
+    si.DEBUG_ASSERT_TIE_PAYLOADS = True
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(AssertionError, match="bit-identical-replay"):
+            si._latest_per_key(violating)
+        picked = si._latest_per_key(honest).collect()
+        assert len(picked) == 1 and picked[0].epoch == 1000
+    finally:
+        si.DEBUG_ASSERT_TIE_PAYLOADS = False

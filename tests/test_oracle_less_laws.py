@@ -16,8 +16,12 @@ not just against structural invariants.
   the registry top-20 must equal Python's top-20 under the same
   (rank DESC, node ASC) order.
 - p12: first-fit greedy packing — the per-bucket sequential bin state
-  (the non-SQL-expressible part) replicated in Python from the same
-  (h, doc_id)-ordered inputs; bin assignments must match EXACTLY.
+  replicated in Python from the same (h, doc_id)-ordered inputs; bin
+  assignments must match EXACTLY. (Since round 11 p12 is no longer
+  oracle-less — SQL_P12 replays the same recurrence as a DuckDB
+  recursive CTE — but this law stays: it checks the full per-document
+  bin ASSIGNMENT, which the driver's aggregated efficiency report
+  can't see.)
 """
 
 from __future__ import annotations

@@ -439,3 +439,51 @@ def test_tumbling_counts_equals_bruteforce_under_any_tranching(
         buckets[key] = (n + 1, tot + v)
     want = {(w, et, n, tot) for (w, et), (n, tot) in buckets.items()}
     assert got == want
+
+
+@given(records=_session_records, cuts=_cuts)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sliding_counts_equals_bruteforce_under_any_tranching(
+    spark, tmp_path_factory, records, cuts
+):
+    """sliding_counts law (round-11, closing the last unfuzzed
+    built-in streaming surface): final per-window counts and sums
+    (complete mode) equal a pure-Python fold for ANY corpus and
+    tranching. With window=1h, slide=30min every event belongs to
+    EXACTLY two overlapping windows (starts at floor30(ts) and
+    floor30(ts)-30min) — the overlap is what distinguishes this from
+    the tumbling law: one late-tranche event must update TWO window
+    states, both possibly opened by earlier micro-batches."""
+    rows = [
+        (i, _BASE + dt.timedelta(minutes=m), u, ("view", "click")[i % 2],
+         float(i % 5), "{}")
+        for i, (u, m) in enumerate(records)
+    ]
+    base = tmp_path_factory.mktemp("slidefuzz")
+    src = str(base / "src")
+    _tranche_and_write(spark, rows, cuts, src)
+    name = f"slide_fuzz_{next(_seq)}"
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _drain(spark, se.sliding_counts(stream), name, "complete")
+    got = {
+        (r.window_start, r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+    }
+    buckets = {}
+    for _, ts, _, _, v, _ in rows:
+        floor30 = ts.replace(
+            minute=(ts.minute // 30) * 30, second=0, microsecond=0
+        )
+        for start in (floor30 - dt.timedelta(minutes=30), floor30):
+            n, tot = buckets.get(start, (0, 0.0))
+            buckets[start] = (n + 1, tot + v)
+    want = {(w, n, tot) for w, (n, tot) in buckets.items()}
+    assert got == want

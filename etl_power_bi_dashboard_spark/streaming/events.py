@@ -278,10 +278,17 @@ def enrich_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
 
     The static side is joined per micro-batch with no streaming state at
     all (unlike stream-stream joins): Spark broadcasts/hash-joins the dim
-    against each batch, and the dim is re-resolved every batch, so a
-    slowly-changing dim picks up updates without restarting the query.
-    Left join keeps events whose user is missing from the dim (null
-    attributes), matching the batch twin's semantics.
+    against each batch. The join RE-EXECUTES per batch, but for a
+    file-backed dim the FILE LISTING is snapshotted when the DataFrame
+    is created — overwriting the dim's parquet mid-query fails the next
+    batch with FILE_NOT_EXIST rather than picking up the new rows
+    (probed empirically, round 11; transactional formats like Delta
+    re-resolve, plain parquet does not). For a dim that must be
+    swappable while the query runs, use
+    :func:`enrich_refreshing_parquet_sink`, which re-reads the dim path
+    inside every micro-batch. Left join keeps events whose user is
+    missing from the dim (null attributes), matching the batch twin's
+    semantics.
     """
     dim = user_dim.select(
         F.col("user_id").alias("dim_user_id"), "user_tier"
@@ -289,6 +296,57 @@ def enrich_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     return events.join(
         dim, events["user_id"] == dim["dim_user_id"], "left"
     ).select("event_id", "ts", "user_id", "event_type", "value", "user_tier")
+
+
+def enrich_refreshing_parquet_sink(
+    stream_df: DataFrame,
+    dim_path: str,
+    target_path: str,
+    checkpoint: str,
+):
+    """Stream-static enrichment whose dim side ACTUALLY refreshes: the
+    dim parquet is re-read inside every micro-batch (a fresh file-index
+    snapshot per batch), so a slowly-changing dim overwritten between
+    batches flows through without restarting the query — the semantics
+    :func:`enrich_stream`'s plain stream-static join cannot deliver for
+    file-backed dims (its file listing is pinned at DataFrame creation;
+    see its docstring).
+
+    Each event is enriched against the dim AS OF its micro-batch.
+    Output is per-epoch overwrite directories (the
+    :func:`idempotent_parquet_sink` pattern — foreachBatch is
+    at-least-once, so a crash-replayed batch REWRITES its epoch
+    directory instead of appending duplicates; the replay re-joins
+    against the CURRENT dim, so callers who need bit-identical replay
+    should version the dim instead of overwriting in place). Dim
+    overwrites should be atomic relative to batch boundaries
+    (stage-then-swap, as sinks.py does) — a swap racing a batch's read
+    can still fail that batch, which the checkpoint then retries
+    against the settled dim.
+    """
+
+    def _enrich(df: DataFrame, epoch_id: int) -> None:
+        dim = (
+            df.sparkSession.read.parquet(dim_path)
+            .select(F.col("user_id").alias("dim_user_id"), "user_tier")
+        )
+        (
+            df.join(dim, df["user_id"] == dim["dim_user_id"], "left")
+            .select(
+                "event_id", "ts", "user_id", "event_type", "value",
+                "user_tier",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{target_path}/epoch={epoch_id}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_enrich)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def idempotent_parquet_sink(

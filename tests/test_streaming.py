@@ -445,6 +445,130 @@ def test_streaming_dau_pinned_cross_batch_duplicates(spark, tmp_path):
     assert got == {(base.date(), 1), ((base + dt.timedelta(days=1)).date(), 2)}
 
 
+def test_enrich_refreshing_sink_picks_up_dim_overwrites(spark, tmp_path):
+    """Round-11 pin for the dim-refresh semantics: the plain
+    stream-static join CANNOT pick up a parquet dim overwritten
+    mid-query (its file listing is snapshotted at DataFrame creation —
+    probed empirically; the docstring now says so), so
+    enrich_refreshing_parquet_sink re-reads the dim path inside every
+    micro-batch. Law: an event arriving after the dim overwrite carries
+    the NEW tier, the earlier event keeps the tier its batch saw, and a
+    checkpoint restart doesn't re-emit."""
+    import datetime as dt
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def write_dim(tier):
+        spark.createDataFrame(
+            [(1, tier)], "user_id long, user_tier string"
+        ).write.mode("overwrite").parquet(dim)
+
+    def write_event(eid):
+        spark.createDataFrame(
+            [(eid, t0, 1, "view", 0.0, "{}")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = se.enrich_refreshing_parquet_sink(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            dim, out, ck,
+        )
+        _drain(q)
+        spark.catalog.refreshByPath(out)
+
+    write_dim("bronze")
+    write_event(10)
+    drain()
+    write_dim("gold")  # overwrite the dim BETWEEN drains
+    write_event(11)
+    drain()
+    got = {
+        (r.event_id, r.user_tier)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(10, "bronze"), (11, "gold")}
+    drain()  # restart with no new files: nothing re-emitted
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_streaming_dau_state_survives_checkpoint_restart(spark, tmp_path):
+    """The fixed DAU plan (plain dropDuplicates on the watermarked
+    (user_id, window) key + windowed count) must recover BOTH state
+    stores from a checkpoint: a resumed query seeing a duplicate of a
+    user-day first seen before the restart must not re-count it, and a
+    genuinely new user-day must still increment its window. The fuzz
+    law covers tranching within one run; this covers the
+    stop-the-query-and-resume timeline (memory sink can't recover a
+    checkpoint, so the sink is foreachBatch-overwrite parquet in
+    complete mode — each batch rewrites the full current answer)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def write_tranche(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        q = (
+            se.daily_active_users(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("overwrite").parquet(out)
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        spark.catalog.refreshByPath(out)
+
+    # run 1: user 7's first day-1 event, plus user 8 on day 1
+    write_tranche([
+        (0, base, 7, "view", 0.0, "{}"),
+        (1, base + dt.timedelta(hours=3), 8, "view", 0.0, "{}"),
+    ])
+    drain()
+    got1 = {
+        (r.day.date(), r.dau) for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {(base.date(), 2)}
+
+    # run 2 (restart from the checkpoint): a DUPLICATE of user 7's
+    # day-1 (must not re-count — dedup state recovered) and user 9's
+    # first day-1 event (must count — agg state recovered, not reset)
+    write_tranche([
+        (2, base + dt.timedelta(hours=5), 7, "view", 0.0, "{}"),
+        (3, base + dt.timedelta(hours=6), 9, "view", 0.0, "{}"),
+    ])
+    drain()
+    got2 = {
+        (r.day.date(), r.dau) for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == {(base.date(), 3)}
+
+
 def test_streaming_dau_equals_e11_dau_differential(spark, event_dir):
     """Differential pin: the streaming DAU surface and its batch twin
     (the dau column of e11_rolling_active_users) must agree on the SAME

@@ -200,6 +200,14 @@ TAIL = [
     "u5_incremental_rollup",
     "u6_apply_cdc",
     "p14_weighted_reservoir",
+    # round-11 addition: first-fit packing joined the oracle-backed set
+    # this round (recursive-CTE replay oracle) and is priced like its
+    # p11/p14 siblings; Python workers are warm by TAIL time (the m1
+    # headline row forked them), so the grouped-map pass measures the
+    # operator, not worker spin-up. No committed per-row record until
+    # the next quiet run establishes one (the record guard skips
+    # record-less rows).
+    "p12_greedy_pack",
     "x19_lang_confusion",
     "ml6_ab_proportion_test",
     # late round-5 additions

@@ -98,3 +98,108 @@ def conform_to_schema(df: DataFrame, schema: StructType | str) -> DataFrame:
             )
         cols.append(F.col(f"_c{idx}").cast(field.dataType).alias(field.name))
     return base.select(*cols)
+
+
+# Safe widening lattice for snapshot type drift: each chain is ordered
+# narrowest → widest, and a cast UP a chain is value-preserving (no
+# precision loss, no truncation). Cross-family promotions (int → double,
+# anything → string) are deliberately NOT here: they can change values
+# or comparison semantics silently, which an ingestion layer must never
+# do on its own — declare them explicitly via conform_to_schema.
+_WIDENING_CHAINS = [
+    ["byte", "short", "integer", "long"],
+    ["float", "double"],
+]
+
+
+def _widen_pair(a, b):
+    """The narrower-to-wider join of two Spark DataTypes, or None when
+    they are incomparable (no safe widening exists)."""
+    if a == b:
+        return a
+    na, nb = a.typeName(), b.typeName()
+    for chain in _WIDENING_CHAINS:
+        if na in chain and nb in chain:
+            return a if chain.index(na) > chain.index(nb) else b
+    if na == "decimal" and nb == "decimal":
+        # widen to a precision that fits BOTH integral parts and the
+        # larger scale — value-preserving for every operand
+        int_digits = max(a.precision - a.scale, b.precision - b.scale)
+        scale = max(a.scale, b.scale)
+        from pyspark.sql.types import DecimalType
+
+        if int_digits + scale > 38:
+            return None
+        return DecimalType(int_digits + scale, scale)
+    return None
+
+
+def widened_union_schema(*schemas: StructType) -> StructType:
+    """Union of the given schemas with per-column type widening: a
+    column appearing at different widths across snapshots lands at the
+    widest (int→long, float→double, decimal by joint precision/scale);
+    a column missing from some snapshots is simply included (readers
+    backfill NULL). Incomparable drift (e.g. string vs int) raises with
+    the column named — silent coercion of incompatible producers is a
+    data bug, not an ingestion feature.
+
+    Field order: first-seen order across the snapshot schemas, which
+    keeps the oldest snapshot's layout as the prefix (stable for
+    downstream positional consumers).
+    """
+    from pyspark.sql.types import StructField
+
+    out: dict[str, StructField] = {}
+    for schema in schemas:
+        for f in schema.fields:
+            prev = out.get(f.name)
+            if prev is None:
+                out[f.name] = f
+                continue
+            widened = _widen_pair(prev.dataType, f.dataType)
+            if widened is None:
+                raise ValueError(
+                    f"widened_union_schema: column {f.name!r} has "
+                    f"incompatible types across snapshots "
+                    f"({prev.dataType.simpleString()} vs "
+                    f"{f.dataType.simpleString()}); no safe widening — "
+                    "declare the target type explicitly with "
+                    "conform_to_schema"
+                )
+            out[f.name] = StructField(f.name, widened, True)
+    return StructType(list(out.values()))
+
+
+def read_with_type_widening(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet snapshot roots whose schemas drifted in TYPE, not
+    just in column set — the case ``mergeSchema`` refuses outright
+    (probed on Spark 4: int→bigint or float→double drift across files
+    fails the read with CANNOT_MERGE_SCHEMAS; only decimal precision
+    merges), yet it is the most common producer evolution in a lake
+    written over months: a counter outgrows int, a score moves to
+    double, and the old files are never rewritten.
+
+    Each ``path`` is one snapshot root and must be internally
+    consistent up to mergeSchema's rules (added/retired columns are
+    fine — each root is read with footer merging). The target schema
+    is :func:`widened_union_schema` over the snapshot schemas; every
+    snapshot is conformed to it (missing columns → typed NULLs, narrow
+    columns → value-preserving upcasts) and the conformed scans are
+    unioned by name.
+
+    Scale shape: per-snapshot scans keep predicate pushdown, column
+    pruning, and partition pruning (the cast is a projection on top of
+    each scan, and a filter on a widened column still prunes via the
+    scan's own narrower statistics); the union is a plan-level concat —
+    no shuffle, no data pass beyond the scans themselves.
+    """
+    if not paths:
+        raise ValueError("read_with_type_widening: at least one path")
+    snaps = [
+        spark.read.option("mergeSchema", "true").parquet(p) for p in paths
+    ]
+    target = widened_union_schema(*[s.schema for s in snaps])
+    out = conform_to_schema(snaps[0], target)
+    for snap in snaps[1:]:
+        out = out.unionByName(conform_to_schema(snap, target))
+    return out

@@ -105,3 +105,70 @@ def test_incomparable_drift_fails_loudly(spark, tmp_path):
     spark.createDataFrame([("one",)], "k string").write.parquet(p2)
     with pytest.raises(ValueError, match="'k'.*incompatible"):
         read_with_type_widening(spark, p1, p2)
+
+
+# --- lattice laws (pure schema algebra, no Spark jobs) ---------------
+# widened_union_schema must be a JOIN in the lattice sense: the result
+# cannot depend on snapshot order (a lake lists directories in
+# arbitrary order), which requires the pairwise join to be commutative
+# and associative and the whole fold idempotent.
+
+from hypothesis import given
+from hypothesis import strategies as st
+from pyspark.sql.types import (
+    ByteType,
+    FloatType,
+    IntegerType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_TYPES = [
+    ByteType(), ShortType(), IntegerType(), LongType(),
+    FloatType(), DoubleType(),
+    DecimalType(10, 2), DecimalType(12, 4), DecimalType(20, 0),
+    StringType(), TimestampType(),
+]
+
+_schemas = st.lists(
+    st.lists(
+        st.tuples(st.sampled_from("abcd"), st.sampled_from(_TYPES)),
+        min_size=1, max_size=4, unique_by=lambda t: t[0],
+    ).map(lambda fs: StructType([StructField(n, t, True) for n, t in fs])),
+    min_size=1, max_size=4,
+)
+
+
+def _types_of(schema):
+    return {f.name: f.dataType for f in schema.fields}
+
+
+@given(schemas=_schemas)
+def test_widened_union_is_order_insensitive_or_fails_consistently(schemas):
+    """For ANY snapshot ordering: either every ordering raises (the
+    incomparable pair is present regardless of order) or every ordering
+    yields the same name→type mapping."""
+    import itertools
+
+    outcomes = []
+    for perm in itertools.permutations(schemas):
+        try:
+            outcomes.append(_types_of(widened_union_schema(*perm)))
+        except ValueError:
+            outcomes.append("raises")
+    assert all(o == outcomes[0] for o in outcomes)
+
+
+@given(schemas=_schemas)
+def test_widened_union_is_idempotent_and_absorbing(schemas):
+    """Re-folding the result with every input is a no-op (the result is
+    an upper bound of all inputs), when the union is defined at all."""
+    try:
+        w = widened_union_schema(*schemas)
+    except ValueError:
+        return
+    again = widened_union_schema(w, *schemas, w)
+    assert _types_of(again) == _types_of(w)

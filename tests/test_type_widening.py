@@ -72,6 +72,17 @@ def test_widened_read_keeps_pushdown(spark, lake):
     assert df.count() == 1
 
 
+def test_same_schema_snapshots_share_one_scan(spark, lake):
+    """Snapshots with identical resolved schemas must group into ONE
+    multi-root scan (union width = distinct schema versions, not
+    directory count): the lake's v2 and v3 share a schema, so the plan
+    has exactly two parquet scans — not three."""
+    df = read_with_type_widening(spark, *lake)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 2
+    assert df.count() == 4  # grouping loses no rows
+
+
 def test_widening_lattice_and_decimal_join(spark):
     s1 = spark.createDataFrame([], "a byte, d decimal(10,2)").schema
     s2 = spark.createDataFrame([], "a long, d decimal(12,4)").schema

@@ -55,6 +55,18 @@ remains the 157.7 s quiet-host record, which is the per-row baseline
 the guard should compare against — the plans are unchanged since it
 was taken.
 
+ROUND-11 HOST NOTE: the four-probe series (186.2 / 179.3 / 168.5 /
+145.9 s, medians 1.20/1.14/1.06/0.90x vs the 157.7 s record) caught a
+co-tenant phase DECAYING end to end over ~3 h; the final probe landed
+in a genuinely quiet window and RATCHETED the committed record to
+145.9 s / 144 queries (p12_greedy_pack joined the tail this round at
+0.591 s). Series committed as BENCH_PROBES_r11.json. Round 11 also
+moved the record read to `git show HEAD:BENCH_DETAIL.json` (the
+on-disk file is overwritten by every run — a workspace benching
+repeatedly would otherwise silently ratchet the guard baseline to the
+latest, possibly inflated, run), made the retry-session Python-worker
+warmup unconditional, and excluded booleans from record values.
+
 ROUND-10 METHODOLOGY CHANGE (record guard): every row's best-of-n is
 checked against the COMMITTED BENCH_DETAIL.json per-row record for the
 same sf (read at bench start). A best-of-n > 1.5x the record (+0.5s

@@ -125,3 +125,58 @@ def test_packers_drop_null_text_rows(spark):
     c = pack_concat_chunk(docs, ctx_len=4, n_buckets=2).collect()
     assert {r.doc_id for r in c} == {1, 3}
     assert all(r.bucket is not None for r in c)
+
+
+# --- round 11: differential fuzz for the p12 replay oracle -----------
+# The driver compares q_p12 against SQL_P12 on the fixture corpus,
+# whose longest document is ~100 tokens — the OVERSIZE branch (a doc
+# longer than ctx_len gets a bin of its own, fill > ctx_len) never
+# fires there, and multi-open-bin densities are narrow. This law runs
+# the same differential on arbitrary corpora INCLUDING oversized docs,
+# so the recursive-CTE replay is proven equivalent on every branch of
+# the first-fit recurrence, not just the fixture's easy region.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_corpora = st.lists(st.integers(1, 700), min_size=1, max_size=24)
+
+
+@given(sizes=_corpora)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_p12_oracle_replays_first_fit_on_arbitrary_corpora(
+    spark, tmp_path_factory, sizes
+):
+    import duckdb
+
+    from etl_power_bi_dashboard_spark.plans.windows_more import (
+        SQL_P12,
+        q_p12_greedy_pack,
+    )
+
+    # doc i has EXACTLY sizes[i] whitespace tokens; the leading token
+    # varies per doc so md5 order and bucket assignment vary freely
+    rows = [
+        (i, " ".join([f"w{i}"] + ["t"] * (n - 1)), "en", "fuzz", n)
+        for i, n in enumerate(sizes)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("p12fuzz"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r.bucket, r.n_bins, r.n_docs, r.mean_utilization)
+        for r in q_p12_greedy_pack(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    want = {tuple(t) for t in con.execute(SQL_P12).fetchall()}
+    assert got == want

@@ -118,6 +118,33 @@ def test_incomparable_drift_fails_loudly(spark, tmp_path):
         read_with_type_widening(spark, p1, p2)
 
 
+def test_widened_read_over_hive_partitioned_roots_keeps_pruning(
+    spark, tmp_path
+):
+    """Snapshot roots are often hive-partitioned; partition columns
+    come from directory inference (a different schema path than data
+    columns), so pin that the widening read handles them and that
+    partition PRUNING survives the per-snapshot conform projection."""
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame(
+        [(1, "en", 1.0), (2, "pt", 2.0)], "n int, lang string, v float"
+    ).write.partitionBy("lang").parquet(p1)
+    spark.createDataFrame(
+        [(2**40, "en", 3.0)], "n bigint, lang string, v double"
+    ).write.partitionBy("lang").parquet(p2)
+    df = read_with_type_widening(spark, p1, p2)
+    assert isinstance(df.schema["n"].dataType, LongType)
+    assert {(r.n, r.lang, r.v) for r in df.collect()} == {
+        (1, "en", 1.0), (2, "pt", 2.0), (2**40, "en", 3.0)
+    }
+    plan = (
+        df.filter(F.col("lang") == "en")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(lang" in plan  # the filter reached partition pruning
+
+
 # --- lattice laws (pure schema algebra, no Spark jobs) ---------------
 # widened_union_schema must be a JOIN in the lattice sense: the result
 # cannot depend on snapshot order (a lake lists directories in

@@ -447,6 +447,10 @@ def _committed_record(sf, path: str | None = None) -> dict:
                 rec = json.load(f)
         except (OSError, ValueError):
             return {}
+    # a record that parses to a non-dict (e.g. a JSON list) is
+    # unparseable for our purposes — same empty-dict contract
+    if not isinstance(rec, dict):
+        return {}
     if rec.get("sf") != sf or not isinstance(rec.get("queries"), dict):
         return {}
     # bool is an int subclass — a corrupted true/false record value

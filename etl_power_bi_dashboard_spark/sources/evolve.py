@@ -134,7 +134,9 @@ def _widen_pair(a, b):
     return None
 
 
-def widened_union_schema(*schemas: StructType) -> StructType:
+def widened_union_schema(
+    *schemas: StructType, case_sensitive: bool = False
+) -> StructType:
     """Union of the given schemas with per-column type widening: a
     column appearing at different widths across snapshots lands at the
     widest (int→long, float→double, decimal by joint precision/scale);
@@ -143,18 +145,30 @@ def widened_union_schema(*schemas: StructType) -> StructType:
     the column named — silent coercion of incompatible producers is a
     data bug, not an ingestion feature.
 
+    Name matching mirrors :func:`conform_to_schema`'s resolution rules
+    (``case_sensitive`` defaults to Spark's default, false): a snapshot
+    drifting ``lang`` → ``LANG`` widens into ONE column under the
+    first-seen spelling rather than two same-named-modulo-case columns,
+    which would make every downstream ``select("lang")`` an
+    AMBIGUOUS_REFERENCE. Callers holding a session should pass its
+    ``spark.sql.caseSensitive`` value (``read_with_type_widening``
+    does).
+
     Field order: first-seen order across the snapshot schemas, which
     keeps the oldest snapshot's layout as the prefix (stable for
     downstream positional consumers).
     """
     from pyspark.sql.types import StructField
 
+    def _key(name: str) -> str:
+        return name if case_sensitive else name.lower()
+
     out: dict[str, StructField] = {}
     for schema in schemas:
         for f in schema.fields:
-            prev = out.get(f.name)
+            prev = out.get(_key(f.name))
             if prev is None:
-                out[f.name] = f
+                out[_key(f.name)] = f
                 continue
             widened = _widen_pair(prev.dataType, f.dataType)
             if widened is None:
@@ -166,7 +180,9 @@ def widened_union_schema(*schemas: StructType) -> StructType:
                     "declare the target type explicitly with "
                     "conform_to_schema"
                 )
-            out[f.name] = StructField(f.name, widened, True)
+            # keep the first-seen spelling: downstream code written
+            # against the oldest snapshot keeps resolving
+            out[_key(f.name)] = StructField(prev.name, widened, True)
     return StructType(list(out.values()))
 
 
@@ -205,13 +221,26 @@ def read_with_type_widening(spark: SparkSession, *paths: str) -> DataFrame:
     snaps = [
         spark.read.option("mergeSchema", "true").parquet(p) for p in paths
     ]
-    target = widened_union_schema(*[s.schema for s in snaps])
-    groups: dict[str, list[str]] = {}
-    for p, s in zip(paths, snaps):
-        groups.setdefault(s.schema.json(), []).append(p)
+    case_sensitive = (
+        spark.conf.get("spark.sql.caseSensitive", "false").lower() == "true"
+    )
+    target = widened_union_schema(
+        *[s.schema for s in snaps], case_sensitive=case_sensitive
+    )
+    # group roots by resolved schema version; singleton groups reuse the
+    # probe DataFrame (no second listing), only multi-root groups pay a
+    # fresh multi-path read to get one shared FileIndex
+    groups: dict[str, list[int]] = {}
+    for i, s in enumerate(snaps):
+        groups.setdefault(s.schema.json(), []).append(i)
     arms = [
         conform_to_schema(
-            spark.read.option("mergeSchema", "true").parquet(*grp), target
+            snaps[grp[0]]
+            if len(grp) == 1
+            else spark.read.option("mergeSchema", "true").parquet(
+                *[paths[i] for i in grp]
+            ),
+            target,
         )
         for grp in groups.values()
     ]

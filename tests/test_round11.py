@@ -6,6 +6,7 @@ test_streaming.py / test_streaming_fuzz_builtin.py."""
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 
 import bench
@@ -29,7 +30,7 @@ def test_committed_record_prefers_git_over_working_tree():
     host-inflated) run, not the committed quiet-host record."""
     blob = subprocess.run(
         ["git", "show", "HEAD:BENCH_DETAIL.json"],
-        cwd="/root/repo",
+        cwd=os.path.dirname(os.path.abspath(bench.__file__)),
         capture_output=True,
         text=True,
         timeout=10,

@@ -210,3 +210,51 @@ def test_widened_union_is_idempotent_and_absorbing(schemas):
         return
     again = widened_union_schema(w, *schemas, w)
     assert _types_of(again) == _types_of(w)
+
+
+def test_case_colliding_drift_widens_into_one_column(spark, tmp_path):
+    """r11 ADVICE: a producer drifting ``lang`` → ``LANG`` must yield
+    ONE widened column under the first-seen spelling (matching
+    conform_to_schema's case-insensitive resolution), not two
+    same-named-modulo-case columns that make every downstream
+    select("lang") an AMBIGUOUS_REFERENCE."""
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame([(1, "en")], "n int, lang string").write.parquet(p1)
+    spark.createDataFrame(
+        [(2**40, "pt")], "n bigint, LANG string"
+    ).write.parquet(p2)
+    df = read_with_type_widening(spark, p1, p2)
+    assert df.columns == ["n", "lang"]  # first-seen spelling wins
+    got = {(r.n, r.lang) for r in df.select("n", "lang").collect()}
+    assert got == {(1, "en"), (2**40, "pt")}
+
+
+def test_widened_union_schema_case_sensitive_mode_keeps_both(spark):
+    """Under case_sensitive=True the same drift is two distinct
+    columns — exactly what a case-sensitive session would resolve."""
+    s1 = spark.createDataFrame([], "lang string").schema
+    s2 = spark.createDataFrame([], "LANG string").schema
+    w = widened_union_schema(s1, s2, case_sensitive=True)
+    assert [f.name for f in w.fields] == ["lang", "LANG"]
+    w2 = widened_union_schema(s1, s2)
+    assert [f.name for f in w2.fields] == ["lang"]
+
+
+def test_singleton_snapshot_roots_probed_once(spark, lake, monkeypatch):
+    """r11 ADVICE: the per-path schema probe DataFrame is reused for
+    singleton schema-version groups, so N drifted roots cost N reads,
+    not 2N. The lake has 2 singleton groups (v1; —) and one pair
+    (v2+v3): 3 probes + 1 group re-read = 4 parquet reads total."""
+    import pyspark.sql.readwriter as rw
+
+    calls = []
+    orig = rw.DataFrameReader.parquet
+
+    def counting(self, *paths):
+        calls.append(paths)
+        return orig(self, *paths)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", counting)
+    df = read_with_type_widening(spark, *lake)
+    assert len(calls) == 4
+    assert df.count() == 4

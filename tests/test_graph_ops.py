@@ -158,3 +158,81 @@ def test_triangle_two_sharing_an_edge(spark):
     # triangles {0,1,2} and {0,1,3} share edge (0,1)
     g = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)]
     assert _tri(spark, g) == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+def test_star_and_minlabel_components_agree(spark):
+    """r12: the star rewrite (new default) and min-label propagation
+    (kept baseline) are independent formulations of the same unique
+    min-of-component fixpoint — they must agree on a graph with a
+    chain (diameter > log rounds), a cycle, a dense clique, isolates,
+    and a self-loop."""
+    from etl_power_bi_dashboard_spark.operators.graph import (
+        connected_components,
+        connected_components_minlabel,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(10, 16)]          # chain 10..16
+        + [(1, 2), (2, 3), (3, 1)]                   # cycle
+        + [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]  # clique
+        + [(30, 30)]                                  # self-loop
+    )
+    nodes = sorted({n for e in edges for n in e} | {40, 41})
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    star = {
+        (r.node, r.label)
+        for r in connected_components(ndf, edf, node_col="id").collect()
+    }
+    prop = {
+        (r.node, r.label)
+        for r in connected_components_minlabel(
+            ndf, edf, node_col="id"
+        ).collect()
+    }
+    assert star == prop
+    assert (40, 40) in star and (30, 30) in star
+
+
+def test_star_components_empty_edges(spark):
+    from etl_power_bi_dashboard_spark.operators.graph import (
+        connected_components,
+    )
+
+    ndf = spark.createDataFrame([(1,), (2,)], "id bigint")
+    edf = spark.createDataFrame([], "src bigint, dst bigint")
+    got = {
+        (r.node, r.label)
+        for r in connected_components(ndf, edf, node_col="id").collect()
+    }
+    assert got == {(1, 1), (2, 2)}
+
+
+def test_star_components_string_ids(spark):
+    """d6 labels doc ids — the rewrite must work on any orderable id
+    type, not just integers."""
+    from etl_power_bi_dashboard_spark.operators.graph import (
+        connected_components,
+    )
+
+    ndf = spark.createDataFrame([("a",), ("b",), ("c",), ("z",)], "id string")
+    edf = spark.createDataFrame([("b", "c"), ("c", "a")], "src string, dst string")
+    got = {
+        (r.node, r.label)
+        for r in connected_components(ndf, edf, node_col="id").collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("z", "z")}
+
+
+def test_star_components_nonconvergence_raises(spark):
+    from etl_power_bi_dashboard_spark.operators.graph import (
+        connected_components,
+    )
+    import pytest
+
+    ndf = spark.createDataFrame([(i,) for i in range(6)], "id bigint")
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ndf, edf, node_col="id", max_iter=1)

@@ -17,6 +17,9 @@ extension. Design notes for scale:
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -318,7 +321,8 @@ def enrich_refreshing_parquet_sink(
     at-least-once, so a crash-replayed batch REWRITES its epoch
     directory instead of appending duplicates; the replay re-joins
     against the CURRENT dim, so callers who need bit-identical replay
-    should version the dim instead of overwriting in place). Dim
+    should use :func:`enrich_versioned_parquet_sink`, which pins each
+    epoch to the dim version its first attempt resolved). Dim
     overwrites should be atomic relative to batch boundaries
     (stage-then-swap, as sinks.py does) — a swap racing a batch's read
     can still fail that batch, which the checkpoint then retries
@@ -328,6 +332,104 @@ def enrich_refreshing_parquet_sink(
     def _enrich(df: DataFrame, epoch_id: int) -> None:
         dim = (
             df.sparkSession.read.parquet(dim_path)
+            .select(F.col("user_id").alias("dim_user_id"), "user_tier")
+        )
+        (
+            df.join(dim, df["user_id"] == dim["dim_user_id"], "left")
+            .select(
+                "event_id", "ts", "user_id", "event_type", "value",
+                "user_tier",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{target_path}/epoch={epoch_id}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_enrich)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def latest_dim_version(dim_root: str) -> int:
+    """Largest ``v<digits>`` snapshot version under ``dim_root`` — the
+    append-only publish convention (a producer adds ``v<N+1>``, never
+    overwrites): the same ``v1/ v2/ ...`` layout the batch catalog's
+    multi-version lake reader uses (``sources/catalog.py``)."""
+    import re
+
+    vers = [
+        int(c[1:])
+        for c in os.listdir(dim_root)
+        if re.fullmatch(r"v\d+", c) and os.path.isdir(os.path.join(dim_root, c))
+    ]
+    if not vers:
+        raise ValueError(
+            f"latest_dim_version: no v<N> snapshot directories under "
+            f"{dim_root!r} — publish the dim as append-only versioned "
+            "snapshots (v1/, v2/, ...)"
+        )
+    return max(vers)
+
+
+def enrich_versioned_parquet_sink(
+    stream_df: DataFrame,
+    dim_root: str,
+    target_path: str,
+    checkpoint: str,
+):
+    """Stream-static enrichment against a VERSIONED dim — the
+    replay-deterministic formulation
+    :func:`enrich_refreshing_parquet_sink`'s docstring promises but
+    cannot deliver for an overwritten-in-place dim: foreachBatch is
+    at-least-once, and that sink's crash-replayed batch re-joins
+    against the CURRENT dim, so a dim overwrite landing mid-crash makes
+    the replay differ from what the epoch would have written.
+
+    Here the dim is published append-only as ``v1/ v2/ ...`` snapshot
+    directories under ``dim_root`` (never overwritten — the batch
+    catalog's lake convention). Each micro-batch, on its FIRST attempt,
+    resolves the latest version and durably records ``epoch → version``
+    (one JSON file under ``<checkpoint>/dim_versions``, written
+    tmp+rename BEFORE the output write); a replayed attempt finds the
+    map file and joins against the PINNED snapshot, so every epoch's
+    output is bit-identical under any crash/retry interleaving — the
+    fuzz law in tests/test_streaming_fuzz_builtin.py forces a
+    mid-stream failure, publishes a newer version during the outage,
+    and proves the replay still carries the pinned one.
+
+    Fresh (first-attempt) batches DO see newly published versions — the
+    refresh semantics are kept; only replays are pinned.
+
+    Operational notes: the version map lives beside the streaming
+    checkpoint (same durability domain as the offsets that drive
+    replay; Spark only reads its own subdirectories, extra ones are
+    inert) and is written with local-filesystem atomics — on a real
+    cluster the checkpoint lives on HDFS/S3 and this sidecar write
+    should go through the same ``FileSystem`` API (single-node
+    concession, documented in SCALE.md §4). Dim snapshot retention must
+    outlive the replay horizon: a pinned version deleted before its
+    epoch commits fails the replay loudly (never silently re-resolves).
+    """
+
+    map_dir = os.path.join(checkpoint, "dim_versions")
+
+    def _enrich(df: DataFrame, epoch_id: int) -> None:
+        os.makedirs(map_dir, exist_ok=True)
+        map_file = os.path.join(map_dir, f"epoch-{epoch_id}.json")
+        if os.path.exists(map_file):
+            with open(map_file) as f:
+                version = json.load(f)["version"]
+        else:
+            version = latest_dim_version(dim_root)
+            tmp = f"{map_file}.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"version": version}, f)
+            os.replace(tmp, map_file)
+        dim = (
+            df.sparkSession.read.parquet(os.path.join(dim_root, f"v{version}"))
             .select(F.col("user_id").alias("dim_user_id"), "user_tier")
         )
         (

@@ -1374,3 +1374,91 @@ def _seam_total(spark, state_path):
         .first()[0]
     )
     return int(rows or 0)
+
+
+def test_enrich_versioned_sink_pins_dim_version_across_replay(
+    spark, tmp_path
+):
+    """Round-12 verdict item 5: the versioned sink's crash-replayed
+    batch re-joins against the version PINNED at its first attempt —
+    not the version published during the outage — so replays are
+    bit-identical; fresh batches still pick up new versions."""
+    import datetime as dt
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def publish_dim(version, tier):
+        spark.createDataFrame(
+            [(1, tier)], "user_id long, user_tier string"
+        ).write.parquet(f"{dim}/v{version}")
+
+    def write_event(eid):
+        spark.createDataFrame(
+            [(eid, t0, 1, "view", 0.0, "{}")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain(expect_fail=False):
+        q = se.enrich_versioned_parquet_sink(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            dim, out, ck,
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            assert expect_fail, "query failed without injected fault"
+        finally:
+            q.stop()
+        spark.catalog.refreshByPath(out)
+
+    publish_dim(1, "bronze")
+    write_event(10)
+    drain()
+
+    # inject a crash on epoch 1's OUTPUT write (after version pinning)
+    write_event(11)
+    orig = DataFrameWriter.parquet
+
+    def failing(self, *paths, **kw):
+        if paths and str(paths[0]).startswith(out) and str(paths[0]).endswith(
+            "epoch=1"
+        ):
+            raise RuntimeError("injected crash before epoch output")
+        return orig(self, *paths, **kw)
+
+    DataFrameWriter.parquet = failing
+    try:
+        drain(expect_fail=True)
+    finally:
+        DataFrameWriter.parquet = orig
+
+    # the outage pinned epoch 1 to v1 before crashing
+    pin = _json.load(open(_os.path.join(ck, "dim_versions", "epoch-1.json")))
+    assert pin == {"version": 1}
+    # a newer version lands DURING the outage
+    publish_dim(2, "gold")
+    drain()  # replay of epoch 1 must use pinned v1
+    got = {
+        (r.event_id, r.user_tier) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(10, "bronze"), (11, "bronze")}
+
+    # a fresh batch AFTER the publish picks up v2
+    write_event(12)
+    drain()
+    got = {
+        (r.event_id, r.user_tier) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(10, "bronze"), (11, "bronze"), (12, "gold")}

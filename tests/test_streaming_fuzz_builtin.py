@@ -487,3 +487,91 @@ def test_sliding_counts_equals_bruteforce_under_any_tranching(
             buckets[start] = (n + 1, tot + v)
     want = {(w, n, tot) for w, (n, tot) in buckets.items()}
     assert got == want
+
+
+# versioned-enrich replay law: arbitrary corpus, arbitrary tranching, a
+# forced output-write failure on an arbitrary epoch, and a new dim
+# version published during the outage. Law: every event is enriched
+# with the version its epoch resolved at FIRST attempt — tranches at or
+# before the crashed epoch carry v1 (the crashed epoch pinned v1 before
+# failing; its replay must NOT see v2), tranches first attempted after
+# the outage carry v2.
+_enrich_records = st.lists(
+    st.tuples(st.integers(0, 99), st.integers(0, 90)),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(records=_enrich_records, cuts=_cuts, fault=st.integers(0, 2))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_versioned_enrich_replay_pins_first_attempt_version(
+    spark, tmp_path_factory, records, cuts, fault
+):
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    base = tmp_path_factory.mktemp(f"venrich{next(_seq)}")
+    src, dim = str(base / "src"), str(base / "dim")
+    ck, out = str(base / "ck"), str(base / "out")
+
+    rows = [
+        (eid, _BASE + dt.timedelta(minutes=m), eid % 7, "view", 0.0, "{}")
+        for eid, m in records
+    ]
+    segs = _tranche_and_write(spark, rows, cuts, src)
+    f = fault % len(segs)
+
+    def publish(version, tier):
+        spark.createDataFrame(
+            [(u, f"{tier}{u}") for u in range(7)],
+            "user_id long, user_tier string",
+        ).write.parquet(f"{dim}/v{version}")
+
+    def drain(expect_fail):
+        q = se.enrich_versioned_parquet_sink(
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            dim, out, ck,
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            assert expect_fail, "query failed without injected fault"
+        finally:
+            q.stop()
+
+    publish(1, "b")
+    orig = DataFrameWriter.parquet
+
+    def failing(self, *paths, **kw):
+        if paths and str(paths[0]).startswith(out) and str(paths[0]).endswith(
+            f"epoch={f}"
+        ):
+            raise RuntimeError("injected crash before epoch output")
+        return orig(self, *paths, **kw)
+
+    DataFrameWriter.parquet = failing
+    try:
+        drain(expect_fail=True)
+    finally:
+        DataFrameWriter.parquet = orig
+    publish(2, "g")  # new version lands during the outage
+    drain(expect_fail=False)
+
+    spark.catalog.refreshByPath(out)
+    got = {
+        (r.event_id, r.user_tier)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = set()
+    for k, seg in enumerate(segs):
+        tier = "b" if k <= f else "g"
+        for r in seg:
+            want.add((r[0], f"{tier}{r[2]}"))
+    assert got == want

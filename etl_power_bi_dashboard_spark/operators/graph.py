@@ -158,10 +158,26 @@ def pagerank(
 
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Undirected edge list → both directions (the propagation joins are
-    directional)."""
-    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    return fwd.unionByName(rev)
+    directional). One PASS over the input via explode — a two-arm union
+    would re-execute the upstream plan per arm (Catalyst does not share
+    subplans across union branches; the ml3 lesson), which matters when
+    the edge list is itself a join result rather than a checkpointed
+    scan."""
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("src"), F.col(dst).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("src"), F.col(src).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
 
 
 def connected_components(
@@ -231,7 +247,7 @@ def connected_components(
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
         e1 = (
-            ls.union(ls.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            symmetrize(ls)
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
@@ -248,11 +264,7 @@ def connected_components(
             ss.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         )
-        e2 = (
-            e2.union(e2.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        e2 = symmetrize(e2).distinct().localCheckpoint(eager=True)
         e2_count = e2.count()
         if e2_count == e_count and e2.exceptAll(e).count() == 0:
             converged = True

@@ -34,6 +34,72 @@ def read_with_schema_evolution(spark: SparkSession, *paths: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
+def _conform_expr(col, src_type, dst_type, case_sensitive: bool):
+    """Column expression conforming a value of ``src_type`` to
+    ``dst_type`` — the recursive companion of :func:`conform_to_schema`
+    for NESTED drift, where a plain ``cast`` is not enough: Spark
+    refuses struct→struct casts of different arity, so a struct that
+    gained a field across snapshots (``props: struct<n:int>`` →
+    ``struct<n:bigint, lang:string>``) must be REBUILT field-by-field
+    (missing fields → typed NULLs, common fields conformed
+    recursively). Arrays conform per element via ``transform``, maps
+    rebuild entries so keys and values both conform — all pure
+    expressions over the scan, no shuffle, no UDF. A NULL struct stays
+    NULL (guarded by ``when``; a bare ``F.struct`` over a null row
+    would fabricate a struct of NULLs)."""
+    if src_type == dst_type:
+        return col
+    ns, nd = src_type.typeName(), dst_type.typeName()
+    if ns == "struct" and nd == "struct":
+        def _key(name: str) -> str:
+            return name if case_sensitive else name.lower()
+
+        have = {}
+        for f in src_type.fields:
+            have.setdefault(_key(f.name), f)
+        parts = []
+        for f in dst_type.fields:
+            sf = have.get(_key(f.name))
+            if sf is None:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                parts.append(
+                    _conform_expr(
+                        col.getField(sf.name),
+                        sf.dataType,
+                        f.dataType,
+                        case_sensitive,
+                    ).alias(f.name)
+                )
+        return F.when(col.isNotNull(), F.struct(*parts)).otherwise(
+            F.lit(None).cast(dst_type)
+        )
+    if ns == "array" and nd == "array":
+        return F.transform(
+            col,
+            lambda x: _conform_expr(
+                x, src_type.elementType, dst_type.elementType, case_sensitive
+            ),
+        )
+    if ns == "map" and nd == "map":
+        return F.map_from_entries(
+            F.transform(
+                F.map_entries(col),
+                lambda e: F.struct(
+                    _conform_expr(
+                        e["key"], src_type.keyType, dst_type.keyType,
+                        case_sensitive,
+                    ).alias("key"),
+                    _conform_expr(
+                        e["value"], src_type.valueType, dst_type.valueType,
+                        case_sensitive,
+                    ).alias("value"),
+                ),
+            )
+        )
+    return col.cast(dst_type)
+
+
 def conform_to_schema(df: DataFrame, schema: StructType | str) -> DataFrame:
     """Project ``df`` onto the declared target schema: missing columns
     materialize as typed NULLs (the F13 backfill, generalized), present
@@ -96,7 +162,14 @@ def conform_to_schema(df: DataFrame, schema: StructType | str) -> DataFrame:
                 f"({[n for _, n in hits]}) and none exactly; rename the "
                 "source columns or enable spark.sql.caseSensitive"
             )
-        cols.append(F.col(f"_c{idx}").cast(field.dataType).alias(field.name))
+        cols.append(
+            _conform_expr(
+                F.col(f"_c{idx}"),
+                df.schema.fields[idx].dataType,
+                field.dataType,
+                case_sensitive,
+            ).alias(field.name)
+        )
     return base.select(*cols)
 
 
@@ -112,12 +185,58 @@ _WIDENING_CHAINS = [
 ]
 
 
-def _widen_pair(a, b):
+def _widen_pair(a, b, case_sensitive: bool = False):
     """The narrower-to-wider join of two Spark DataTypes, or None when
-    they are incomparable (no safe widening exists)."""
+    they are incomparable (no safe widening exists).
+
+    Recurses into nested types (round 12): structs join field-wise
+    (fields present on one side only are kept — the nested analogue of
+    the column union; common fields widen recursively, resolved per
+    ``case_sensitive``), arrays widen their element type, maps their
+    key and value types; nullability/containsNull joins by OR. A lake's
+    nested ``props`` column evolving ``struct<n:int>`` →
+    ``struct<n:bigint, lang:string>`` is the same producer drift as a
+    top-level column — refusing it would force callers to flatten."""
     if a == b:
         return a
     na, nb = a.typeName(), b.typeName()
+    if na == "struct" and nb == "struct":
+        from pyspark.sql.types import StructField, StructType
+
+        def _key(name: str) -> str:
+            return name if case_sensitive else name.lower()
+
+        out: dict[str, StructField] = {}
+        for f in list(a.fields) + list(b.fields):
+            prev = out.get(_key(f.name))
+            if prev is None:
+                # fields on one side only are nullable in the union
+                out[_key(f.name)] = StructField(f.name, f.dataType, True)
+                continue
+            w = _widen_pair(prev.dataType, f.dataType, case_sensitive)
+            if w is None:
+                return None
+            out[_key(f.name)] = StructField(prev.name, w, True)
+        return StructType(list(out.values()))
+    if na == "array" and nb == "array":
+        from pyspark.sql.types import ArrayType
+
+        w = _widen_pair(a.elementType, b.elementType, case_sensitive)
+        return (
+            None
+            if w is None
+            else ArrayType(w, a.containsNull or b.containsNull)
+        )
+    if na == "map" and nb == "map":
+        from pyspark.sql.types import MapType
+
+        wk = _widen_pair(a.keyType, b.keyType, case_sensitive)
+        wv = _widen_pair(a.valueType, b.valueType, case_sensitive)
+        return (
+            None
+            if wk is None or wv is None
+            else MapType(wk, wv, a.valueContainsNull or b.valueContainsNull)
+        )
     for chain in _WIDENING_CHAINS:
         if na in chain and nb in chain:
             return a if chain.index(na) > chain.index(nb) else b
@@ -170,7 +289,7 @@ def widened_union_schema(
             if prev is None:
                 out[_key(f.name)] = f
                 continue
-            widened = _widen_pair(prev.dataType, f.dataType)
+            widened = _widen_pair(prev.dataType, f.dataType, case_sensitive)
             if widened is None:
                 raise ValueError(
                     f"widened_union_schema: column {f.name!r} has "

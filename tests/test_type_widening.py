@@ -164,12 +164,31 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-_TYPES = [
+from pyspark.sql.types import ArrayType, MapType
+
+_SCALARS = [
     ByteType(), ShortType(), IntegerType(), LongType(),
     FloatType(), DoubleType(),
     DecimalType(10, 2), DecimalType(12, 4), DecimalType(20, 0),
     StringType(), TimestampType(),
 ]
+# one nesting level of each container so the recursive widening joins
+# participate in the order-insensitivity / idempotence laws (round 12)
+_TYPES = (
+    _SCALARS
+    + [ArrayType(t, True) for t in (IntegerType(), LongType(), StringType())]
+    + [MapType(StringType(), t, True) for t in (FloatType(), DoubleType())]
+    + [
+        StructType([StructField("n", IntegerType(), True)]),
+        StructType([StructField("n", LongType(), True)]),
+        StructType(
+            [
+                StructField("n", LongType(), True),
+                StructField("lang", StringType(), True),
+            ]
+        ),
+    ]
+)
 
 _schemas = st.lists(
     st.lists(
@@ -258,3 +277,77 @@ def test_singleton_snapshot_roots_probed_once(spark, lake, monkeypatch):
     df = read_with_type_widening(spark, *lake)
     assert len(calls) == 4
     assert df.count() == 4
+
+
+def test_nested_struct_drift_widens_and_backfills(spark, tmp_path):
+    """Round 12: nested producer drift — props gains a field and
+    widens an inner counter (struct<n:int> -> struct<n:bigint,
+    lang:string>). Spark refuses struct casts of different arity, so
+    conformance rebuilds the struct field-by-field; v1 rows surface
+    with upcast n and NULL lang, and a NULL struct stays NULL."""
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame(
+        [(1, (7,)), (2, None)], "id int, props struct<n: int>"
+    ).write.parquet(p1)
+    spark.createDataFrame(
+        [(3, (2**40, "en"))],
+        "id bigint, props struct<n: bigint, lang: string>",
+    ).write.parquet(p2)
+    df = read_with_type_widening(spark, p1, p2)
+    assert df.schema["props"].dataType.simpleString() == (
+        "struct<n:bigint,lang:string>"
+    )
+    got = {
+        (r.id, None if r.props is None else (r.props.n, r.props.lang))
+        for r in df.collect()
+    }
+    assert got == {(1, (7, None)), (2, None), (3, (2**40, "en"))}
+
+
+def test_nested_array_and_map_widening(spark, tmp_path):
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame(
+        [(1, [1, 2], {"a": 1.5})],
+        "id int, xs array<int>, m map<string, float>",
+    ).write.parquet(p1)
+    spark.createDataFrame(
+        [(2, [2**40], {"b": 0.25})],
+        "id int, xs array<bigint>, m map<string, double>",
+    ).write.parquet(p2)
+    df = read_with_type_widening(spark, p1, p2)
+    assert df.schema["xs"].dataType.simpleString() == "array<bigint>"
+    assert df.schema["m"].dataType.simpleString() == "map<string,double>"
+    got = {
+        (r.id, tuple(r.xs), tuple(sorted(r.m.items())))
+        for r in df.collect()
+    }
+    assert got == {
+        (1, (1, 2), (("a", 1.5),)),
+        (2, (2**40,), (("b", 0.25),)),
+    }
+
+
+def test_nested_incomparable_drift_still_fails_loudly(spark):
+    s1 = spark.createDataFrame([], "p struct<n: int>").schema
+    s2 = spark.createDataFrame([], "p struct<n: string>").schema
+    with pytest.raises(ValueError, match="incompatible types"):
+        widened_union_schema(s1, s2)
+
+
+def test_nested_conform_declared_schema(spark):
+    """conform_to_schema with a declared nested target: extra inner
+    fields drop, missing ones backfill, inner ints upcast — all pure
+    expressions (no shuffle, no UDF)."""
+    from etl_power_bi_dashboard_spark.sources.evolve import (
+        conform_to_schema,
+    )
+
+    df = spark.createDataFrame(
+        [(1, (5, "x"))], "id int, props struct<n: int, junk: string>"
+    )
+    out = conform_to_schema(
+        df, "id bigint, props struct<n: bigint, lang: string>"
+    )
+    r = out.collect()[0]
+    assert (r.id, r.props.n, r.props.lang) == (1, 5, None)
+    assert "junk" not in out.schema["props"].dataType.fieldNames()

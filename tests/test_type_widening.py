@@ -351,3 +351,26 @@ def test_nested_conform_declared_schema(spark):
     r = out.collect()[0]
     assert (r.id, r.props.n, r.props.lang) == (1, 5, None)
     assert "junk" not in out.schema["props"].dataType.fieldNames()
+
+
+def test_nested_conform_keeps_nested_schema_pruning(spark, tmp_path):
+    """The struct rebuild is a pure projection, and Spark's schema
+    pruning sees through it: conforming struct<n,junk> to a declared
+    struct<n> must NOT read junk from parquet (ReadSchema prunes the
+    inner field) — the property that makes nested conformance free at
+    100 TB instead of a full-struct scan."""
+    from etl_power_bi_dashboard_spark.sources.evolve import (
+        conform_to_schema,
+    )
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, (5, "x" * 100))], "id int, props struct<n: int, junk: string>"
+    ).write.parquet(p)
+    out = conform_to_schema(
+        spark.read.parquet(p), "id bigint, props struct<n: bigint>"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "junk" not in plan
+    assert "props:struct<n:int>" in plan.replace(" ", "")
+    assert out.collect()[0].props.n == 5

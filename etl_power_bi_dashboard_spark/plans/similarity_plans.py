@@ -204,15 +204,25 @@ def q_d13_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bucket equi-join (never all-pairs) → exact verify on
     candidates → min-label CC with lineage truncation (one shuffle per
-    round, rounds ≤ component diameter).
+    round, rounds ≤ component diameter). CC algorithm choice (round 12,
+    measured): this graph's components are LSH-bucket near-dup
+    clusters — near-cliques whose diameter is structurally tiny (a
+    cluster's members collide in a shared bucket and cosine-verify
+    pairwise), so min-label propagation converges in 2-3 one-shuffle
+    rounds and beats the large-star/small-star rewrite's ~6 shuffles
+    per alternation (A/B at sf0.1, 2k nodes / 286 edges, warm best:
+    2.3 s vs 3.9 s). d6 keeps the star default because token-Jaccard
+    edges chain transitively (diameter unbounded); the two algorithms
+    are pinned equal on every graph by the differential tests in
+    test_graph_ops.py.
     """
-    from ..operators.graph import connected_components
+    from ..operators.graph import connected_components_minlabel
 
     emb = load(spark, sf_dir, "embeddings")
     edges = similarity.lsh_neardup_pairs(emb, threshold=0.3).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
-    labels = connected_components(
+    labels = connected_components_minlabel(
         emb.select("vec_id"), edges, node_col="vec_id"
     )
     return labels.select(

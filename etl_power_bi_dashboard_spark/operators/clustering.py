@@ -130,8 +130,19 @@ def kmeans(
     assigned = None
     for _ in range(iters):
         # pure-map assignment: SSE against the CURRENT centroids is the
-        # sum of the chosen d2 — no re-join needed
-        assigned = assign_clusters_literal(corpus, cent_rows, id_col, vec_col)
+        # sum of the chosen d2 — no re-join needed.
+        # Round-12: materialize the assignment ONCE per iteration — it
+        # feeds the SSE aggregate, the centroid recompute AND (for the
+        # last round) the caller's final consumption, and each of those
+        # re-ran the full distance map on the lazy plan (2 corpus
+        # passes per iteration + 1 at the end, measured). The
+        # checkpoint holds (vec_id, cv, cluster_id, d2) — the same
+        # corpus-sized working set MLlib's KMeans caches; storage is
+        # memory-and-disk, and dropped references are freed by the
+        # context cleaner between iterations.
+        assigned = assign_clusters_literal(
+            corpus, cent_rows, id_col, vec_col
+        ).localCheckpoint(eager=True)
         sse_history.append(assigned.agg(F.sum("d2")).first()[0])
         # collect K·dim doubles to the driver: truncates lineage so the
         # plan depth is constant in the iteration count

@@ -39,6 +39,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 10,
     checkpoint_every: int = 2,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list — the classic
     link-graph quality signal (the web-scale ancestor of per-document
@@ -95,14 +96,33 @@ def pagerank(
     the ranks side is the thing to co-partition, and the right tool is
     a storage-partitioned/bucketed edge table, not in-plan repartition.
     """
-    n = nodes.count()
+    # checkpoint FIRST, count the checkpointed RDD: the count would
+    # otherwise execute the (possibly join-built) nodes plan once more
+    # just to learn n (round-12 measurement: q_ml2's node plan is a
+    # union over a fact-join edge list — one full extra execution).
+    base_nodes = nodes.select(F.col(node_col).alias("node")).localCheckpoint(
+        eager=True
+    )
+    n = base_nodes.count()
     if n == 0:
         return nodes.select(
             F.col(node_col).alias("node"), F.lit(0.0).alias("rank")
         )
-    base_nodes = nodes.select(F.col(node_col).alias("node")).localCheckpoint(
-        eager=True
-    )
+    # Rank-side broadcast (round-12, guide §3.1/§2.4): the per-iteration
+    # join ``ed ⨝ ranks`` otherwise SHUFFLES the static edge table every
+    # round to rendezvous with a node-sized ranks table. When the node
+    # count fits a broadcast relation comfortably, ship ranks instead:
+    # the edge table is then never exchanged after its one checkpoint,
+    # and the only per-iteration shuffle is the map-side-combined
+    # contribution aggregate (≤ n rows). Decided from n — the already-
+    # computed input statistic — not a local-mode constant: ~24 B/row
+    # keeps the default cap ≈ 48 MB of build side, far under the 8 GB
+    # broadcast limit; larger graphs keep the keyed-shuffle plan.
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= 2_000_000
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_ranks else df
     # Mass conservation requires every edge endpoint to be a known node:
     # an edge toward an id absent from ``nodes`` would send rank into the
     # void (the final left join drops it) and Σrank would silently decay.
@@ -128,7 +148,7 @@ def pagerank(
     )
     for i in range(max_iter):
         contribs = (
-            ed.join(ranks, ed["src"] == ranks["node"])
+            ed.join(_b(ranks), ed["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("deg")).alias("c"),
@@ -136,11 +156,11 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        dang = dang_nodes.join(ranks, "node").agg(
+        dang = dang_nodes.join(_b(ranks), "node").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         ranks = (
-            base_nodes.join(contribs, "node", "left")
+            base_nodes.join(_b(contribs), "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",

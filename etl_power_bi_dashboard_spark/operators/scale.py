@@ -218,6 +218,13 @@ def distributed_row_number(
 
     pc = list(partition_cols)
     keyed = df.withColumn("_drn_b", bucket)
+    # Round-12 measured NON-change: checkpointing this counts table (it
+    # feeds both the offsets and totals broadcasts, so the lazy form
+    # executes the input 3×) LOST on the bench — at local[32] the
+    # duplicate subplans run concurrently inside one job and the eager
+    # materialization serializes them (a27 1.09→1.80 s, sc5 0.22→0.27).
+    # At cluster scale with busy executors the 3rd pass is real cost;
+    # revisit only with a measured win there.
     counts = keyed.groupBy(*pc, "_drn_b").agg(F.count("*").alias("_drn_n"))
     w_off = (
         (Window.partitionBy(*pc) if pc else Window)

@@ -330,12 +330,19 @@ def q_ml2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .base import fact_sales
 
     fact = fact_sales(spark, sf_dir)
+    # Round-12: materialize the edge list ONCE — ``edges`` is a
+    # lineitem⨝orders join + distinct, and it feeds nodes (2 union
+    # arms), the node count, and pagerank's own edge/degree tables;
+    # Catalyst shares no subplans, so the lazy form re-ran that join
+    # ~5× before the first iteration. The distinct edge list is small
+    # (customer×supplier pairs), so the checkpoint is cheap.
     edges = (
         fact.select(
             F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("src").alias("id"))

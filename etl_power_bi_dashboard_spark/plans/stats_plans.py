@@ -1017,11 +1017,17 @@ def q_a20_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scale import distributed_row_number
 
     ranked = _ranked_by_value_per_type(load_events(spark, sf_dir))
+    # Round-12: materialize the per-type medians (a handful of rows) —
+    # ``med`` is broadcast into ``dev``, whose plan the second rank
+    # pass executes twice; lazily each of those executions re-ran the
+    # ENTIRE first rank pass underneath the broadcast (12 event scans
+    # for this query in PLANS.md; 4 after the checkpoints).
     med = (
         ranked.filter(
             F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long")
         )
         .select("event_type", F.col("value").alias("med"))
+        .localCheckpoint(eager=True)
     )
     ev = load_events(spark, sf_dir)
     dev = ev.join(F.broadcast(med), "event_type").select(

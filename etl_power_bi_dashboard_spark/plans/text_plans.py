@@ -796,6 +796,13 @@ def q_x14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries distinct bigrams (vocabulary-sized, Zipf-light). The two
     unigram joins rendezvous on single-token keys — broadcastable when
     the unigram table is small; AQE decides.
+
+    Round-12 measured NON-change: materializing uni/bg_counts once
+    (they are re-tokenized per consumer — 5 corpus passes) LOST on the
+    bench (2.62 → 2.80 s): at local[32] the duplicate subplans run
+    concurrently inside one job, and two eager checkpoints serialize
+    them. Kept lazy; the sibling x21 (whose uni feeds three BROADCAST
+    builds, already separate jobs) did win from the same change.
     """
     docs = load(spark, sf_dir, "documents")
     # hoist the token array into a column BEFORE the lambda: transform's
@@ -1236,11 +1243,16 @@ def q_x21_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train = docs.filter(F.col("doc_id") % 5 != 0)
     slots = bigram_slots(docs.filter(F.col("doc_id") % 5 == 0))
+    # Round-12: materialize the vocabulary once (localCheckpoint,
+    # priced inside the query) — ``uni`` feeds cx, cy AND u_tot, and
+    # Catalyst shares no subplans, so the lazy form re-tokenized the
+    # train corpus three times (PLANS.md: 5 scans for this query).
     uni = (
         train.select(F.explode(F.split("text", " ")).alias("t"))
         .filter(F.length("t") > 0)
         .groupBy("t")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     u_tot = uni.agg(F.sum("c").cast("bigint").alias("U"))
     bg_counts = bigram_slots(train).groupBy("x", "y").agg(

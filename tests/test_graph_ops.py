@@ -105,6 +105,33 @@ def test_pagerank_checkpoint_cadence_invariant(spark):
         assert abs(sum(b.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_broadcast_and_shuffle_paths_agree(spark):
+    """The round-12 rank-side broadcast (elides the per-iteration edge
+    shuffle when the node count fits) is a physical knob only: forcing
+    the broadcast plan and forcing the keyed-shuffle plan must yield
+    the same fixpoint to float tolerance, and the small-graph default
+    must pick the broadcast path."""
+    edges = [(i, (i * 5) % 17) for i in range(17)] + [(0, 1), (3, 9)]
+    edf = spark.createDataFrame(edges, ["src", "dst"]).filter("src != dst")
+    nodes = spark.createDataFrame([(i,) for i in range(17)], ["id"])
+    from etl_power_bi_dashboard_spark.operators.graph import pagerank
+
+    bc = _rank_map(
+        pagerank(nodes, edf, node_col="id", max_iter=6, broadcast_ranks=True)
+    )
+    sh = _rank_map(
+        pagerank(nodes, edf, node_col="id", max_iter=6, broadcast_ranks=False)
+    )
+    default = _rank_map(pagerank(nodes, edf, node_col="id", max_iter=6))
+    assert set(bc) == set(sh) == set(default)
+    for k in bc:
+        assert bc[k] == pytest.approx(sh[k], abs=1e-12)
+        # n = 17 ≤ the auto threshold ⇒ the default takes the broadcast
+        # path too (approx: double sums carry run-to-run last-bit wiggle)
+        assert default[k] == pytest.approx(bc[k], abs=1e-12)
+    assert abs(sum(bc.values()) - 1.0) < 1e-9
+
+
 def test_pagerank_edges_to_unknown_nodes_conserve_mass(spark):
     """Edges pointing at ids absent from the node set must not leak rank
     mass: they are excluded up front, and their source's remaining mass

@@ -130,6 +130,13 @@ def jaccard_pairs(
             .select("shingle")
         )
         shingled = shingled.join(allowed, "shingle", "semi")
+    # Round-12 (guide §2.4): the (possibly df-capped) posting table
+    # feeds BOTH sides of the pair self-join AND the size aggregate —
+    # lazily the shingle explode (plus the df-cap semi-join) re-ran
+    # once per consumer (~4×). One eager truncation, priced inside the
+    # query; the posting table is (doc_id, shingle) rows, tiny next to
+    # the candidate pairs downstream.
+    shingled = shingled.localCheckpoint(eager=True)
     a = shingled.alias("a")
     b = shingled.alias("b")
     common = (
@@ -420,17 +427,27 @@ def minhash_lsh_dedup_pairs(
     equivalence of the two paths is pinned by
     tests/test_dedup.py::test_d3_shared_shingles_equivalence.
     """
+    # Round-12 (guide §2.4/§1.2): two lineage truncations, both priced
+    # inside the query (localCheckpoint, no cross-run state):
+    # - the shingle-set table feeds the signature build AND both sides
+    #   of the verification join — lazily the corpus re-shingles 3×;
+    # - the banded signature table feeds BOTH sides of the LSH
+    #   candidate self-join, and the k·|sh| hash evaluations per doc
+    #   (the pipeline's dominant per-row cost) re-ran once per side.
+    #   Banding first makes the checkpointed working set tiny
+    #   (n_docs × n_bands short rows).
     sets_ = (
         shingles
         if shingles is not None
-        else ensure_parallelism(df, "doc_id").transform(
-            lambda d: shingle_sets(d, text_col, n=n)
-        )
+        else ensure_parallelism(df, "doc_id")
+        .transform(lambda d: shingle_sets(d, text_col, n=n))
+        .localCheckpoint(eager=True)
     )
     sigs = sets_.select(
         "doc_id", _minhash_sig_expr(F.col("sh"), k, hasher).alias("sig")
     )
-    candidates = lsh_candidate_pairs(lsh_bands(sigs, rows_per_band))
+    bands = lsh_bands(sigs, rows_per_band).localCheckpoint(eager=True)
+    candidates = lsh_candidate_pairs(bands)
     return verify_candidate_jaccard_sets(candidates, sets_, threshold)
 
 

@@ -413,6 +413,11 @@ def triangle_counts(
         deg.select(F.col("node").alias("hi"), F.col("deg").alias("deg_hi"))
     )
     # orient u→v iff (deg(u), u) < (deg(v), v)
+    # Round-12 (guide §2.4): the oriented edge list feeds the wedge
+    # stream side AND the broadcast wedge side below — two separate
+    # executions (the broadcast build is its own job), each re-running
+    # the two degree joins over the full edge list. One eager
+    # truncation (edge-sized, same working set as `und`) halves that.
     oriented = (
         und.join(d_lo, "lo").join(d_hi, "hi")
         .select(
@@ -426,6 +431,7 @@ def triangle_counts(
             ).alias("e")
         )
         .select("e.u", "e.v")
+        .localCheckpoint(eager=True)
     )
     e1 = oriented.select(F.col("u"), F.col("v").alias("a"))
     # broadcasting one wedge side removes the plan's LAST shuffle: with

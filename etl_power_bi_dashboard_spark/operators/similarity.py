@@ -165,22 +165,45 @@ def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, tag: str = "") -> 
     Sizing contract (SCALE.md): pick ``n_planes ≈ log2(corpus_size)`` so
     expected bucket occupancy stays O(1); ``tag`` derives independent
     hash tables for the multi-table recall boost.
+
+    Round-12 (guide §1.2 per-task work): the plane sign matrix is
+    DATA-INDEPENDENT — md5 of the constant string f"{tag}{p}|{j}" —
+    but Catalyst cannot constant-fold it through the transform lambda,
+    so the old expression recomputed n_planes·dim = 512 md5 digests
+    PER ROW (the dominant bucket cost, measured ~3× on v3/d13). The
+    signs are now derived once driver-side with hashlib.md5 (bit-equal
+    to Spark's md5 over the same UTF-8 bytes; pinned against the
+    brute-force law test's independent derivation) and embedded as a
+    literal array the row-side expression merely indexes. Summation
+    stays the same left fold over j = 1..dim, so every float — and
+    therefore every bucket id and the driver hash — is unchanged, and
+    ``element_at(vec, j)`` still provides the wrong-dim guard (ANSI on:
+    throws; ANSI off: NULL ⇒ bucket 0) the docstring above promises.
     """
+    import hashlib
+
     def _signed_term(plane_tag: str):
+        bits = F.array(
+            *[
+                F.lit(
+                    int(
+                        hashlib.md5(
+                            f"{plane_tag}{j}".encode()
+                        ).hexdigest()[:2],
+                        16,
+                    )
+                    % 2
+                )
+                for j in range(1, dim + 1)
+            ]
+        )
+
         # MUST be a single-parameter lambda: pyspark treats a 2-arg lambda
         # as (element, index) and would silently rebind a default arg
         def term(j):
-            bit = (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(plane_tag), j.cast("string"))), 1, 2),
-                    16,
-                    10,
-                ).cast("int")
-                % 2
-            )
-            return F.when(bit == 1, F.element_at(vec, j)).otherwise(
-                -F.element_at(vec, j)
-            )
+            return F.when(
+                F.element_at(bits, j.cast("int")) == 1, F.element_at(vec, j)
+            ).otherwise(-F.element_at(vec, j))
 
         return term
 

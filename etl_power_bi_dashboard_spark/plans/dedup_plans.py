@@ -475,9 +475,17 @@ def q_d6_dup_clusters(
     from ..operators.graph import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    sets_ = dedup.shingle_sets(dedup.ensure_parallelism(docs, "doc_id"), n=1)
+    # Round-12 (guide §2.4): two lineage truncations, priced inside the
+    # timed query. The shingle-set table feeds the posting builder AND
+    # both verification sides (3 corpus re-shingles → 1); the prefix
+    # postings (a df-join + per-doc window pipeline, ~2 rows/doc out)
+    # feed BOTH sides of the candidate self-join, which lazily re-ran
+    # the whole df/window pipeline once per side.
+    sets_ = dedup.shingle_sets(
+        dedup.ensure_parallelism(docs, "doc_id"), n=1
+    ).localCheckpoint(eager=True)
     if prefix_filter:
-        tok = dedup.prefix_postings(sets_, 0.95)
+        tok = dedup.prefix_postings(sets_, 0.95).localCheckpoint(eager=True)
     else:
         tok = sets_.select(
             "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("term")

@@ -1498,6 +1498,13 @@ def q_a23_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             "mon",
         )
+        # Round-12 (guide §2.4): the customer aggregate feeds the three
+        # quintile rank passes (each consuming it 3× through
+        # distributed_row_number's counts/offsets/rank paths) plus the
+        # final join — ~10 executions of the orders scan + groupBy
+        # lazily (PLANS.md: 36 exchanges / 20 scans for this query).
+        # One eager truncation of the customer-sized table.
+        .localCheckpoint(eager=True)
     )
 
     def quintile(df: DataFrame, metric: str, bucket, alias: str) -> DataFrame:

@@ -132,7 +132,17 @@ def assign_clusters(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF assignment: nearest centroid per vector (rounded L2², centroid-id
-    tie-break → deterministic)."""
+    tie-break → deterministic).
+
+    Round-12 (guide §2.3 "aggregate before you shuffle"): the argmin is
+    a ``min(struct(d2, centroid_id, cv))`` aggregation, not a
+    ``row_number() == 1`` window — struct field-order comparison gives
+    the identical (distance, centroid-id) tie-break, but the aggregate
+    partial-combines MAP-SIDE, so only one row per vector reaches the
+    exchange and nothing is sorted; the window form shuffled and sorted
+    all |corpus|·K scored rows. (d2, centroid_id) is unique per vector,
+    so the trailing cv field never participates in the comparison.
+    """
     c = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("cv")
     )
@@ -145,11 +155,14 @@ def assign_clusters(
         "centroid_id",
         F.round(sq_dist(F.col("cv"), F.col("zv")), 6).alias("d2"),
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
     return (
-        scored.select("vec_id", "cv", "centroid_id", F.row_number().over(w).alias("r"))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "cv", F.col("centroid_id").alias("cluster_id"))
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "centroid_id", "cv")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cv").alias("cv"),
+            F.col("m.centroid_id").alias("cluster_id"),
+        )
     )
 
 

@@ -349,7 +349,10 @@ def q_ml2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    ranks = pagerank(nodes, edges, node_col="id", damping=0.85, max_iter=8)
+    ranks = pagerank(
+        nodes, edges, node_col="id", damping=0.85, max_iter=8,
+        checkpoint_every=1,
+    )
     return (
         ranks.select("node", F.round("rank", 12).alias("rank"))
         .orderBy(F.desc("rank"), "node")
@@ -676,6 +679,17 @@ def q_v7_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     dcol = F.round(
         similarity.sq_dist(F.col("sv"), F.col("cv")), 6
     ).cast("decimal(12,6)")
+    # Round-12 measured NON-change: rewriting this argmin as
+    # groupBy(vec_id, s).agg(min(struct(_d, code_id))) LOST on the
+    # bench (1.60 → 1.79 s A/B'd in one host phase): a struct is not a
+    # hash-aggregation buffer type, so the aggregate falls back to
+    # SortAggregate — a map-side sort of the full scored join output
+    # PLUS a final sort, versus the window's single post-shuffle sort.
+    # The aggregate form does shuffle K× fewer rows (its partial
+    # sort-agg combines map-side), which is why the same rewrite is
+    # KEPT in operators/similarity.assign_clusters (v2 neutral, v8
+    # −12%); here the scored table is ~8× larger per row of output and
+    # the extra sort dominates the saved (local) shuffle.
     w_assign = Window.partitionBy("vec_id", "s").orderBy("_d", "code_id")
     codes = (
         sub.join(F.broadcast(cb), "s")

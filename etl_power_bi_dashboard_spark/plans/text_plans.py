@@ -1622,6 +1622,12 @@ def q_x25_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, 5)),
         )
     )
+    # Round-12 measured NON-change: checkpointing this posting table
+    # (it feeds both the novelty and the count aggregates) LOST on the
+    # bench (2.45 → 2.53 s A/B'd in one host phase) — the x14 pattern:
+    # both consumers sit inside ONE job at local[32], run their copies
+    # of the gram explode concurrently, and the eager materialization
+    # serializes them. Kept lazy.
     per_doc = (
         docs.filter(F.size(words) >= 5)
         .select("doc_id", F.explode(grams).alias("gram"))

@@ -247,20 +247,32 @@ def verify_candidate_jaccard_sets(
 ) -> DataFrame:
     """Exact-Jaccard verification against per-doc shingle ARRAYS
     (doc_id, sh) — the zero-extra-shuffle form when the set
-    representation already exists (see :func:`shingle_sets`)."""
+    representation already exists (see :func:`shingle_sets`).
+
+    The jaccard projection is wrapped in a non-deterministic always-true
+    conditional (round-12, guide §4.4 applied to a JVM expression): the
+    optimizer otherwise pushes ``filter(jaccard >= t)`` INTO the join
+    condition and ALSO re-computes the expression in the output
+    projection, so ``array_intersect`` — the dominant per-pair cost —
+    ran ~2.5× per candidate (codegen CSE does not span the join/filter/
+    project operator boundary). ``monotonically_increasing_id() >= 0``
+    is true for every row by construction (non-negative 31-bit partition
+    id ‖ 33-bit counter), but its non-determinism stops the optimizer
+    from duplicating or pushing the guarded expression, so the intersect
+    runs exactly once per candidate and the filter reads the projected
+    column. Measured at sf0.1 on d3's 7.9M-candidate verify: 4.43 s →
+    3.20 s (−28%); output proven identical (row counts + exceptAll in
+    both directions empty).
+    """
     sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    jac_once = F.when(F.monotonically_increasing_id() >= 0, jac)
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                inter / (F.size("sh_a") + F.size("sh_b") - inter)
-            ).alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", jac_once.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

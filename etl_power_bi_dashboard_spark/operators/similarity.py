@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import ensure_parallelism
+
 
 def as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
@@ -107,8 +109,11 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("cv")
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("cv")
+        ),
+        "vec_id",
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -143,8 +148,11 @@ def assign_clusters(
     all |corpus|·K scored rows. (d2, centroid_id) is unique per vector,
     so the trailing cv field never participates in the comparison.
     """
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("cv")
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("cv")
+        ),
+        "vec_id",
     )
     cen = centroids.select(
         F.col("centroid_id"), as_double(F.col(vec_col)).alias("zv")
@@ -267,8 +275,13 @@ def lsh_neardup_pairs(
     """
     if n_tables < 1:
         raise ValueError(f"n_tables must be >= 1, got {n_tables}")
-    vecs = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    # compute-bound per-row stages (bucket folds, norms) must not run in
+    # the single task a small one-file scan yields — see ensure_parallelism
+    vecs = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+        ),
+        "vec_id",
     )
     cands: DataFrame | None = None
     for t in range(n_tables):
@@ -289,16 +302,34 @@ def lsh_neardup_pairs(
         cands = pairs_t if cands is None else cands.unionByName(pairs_t)
     if n_tables > 1:
         cands = cands.distinct()
-    va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    # Round-12 (guide §1.2, §2.3): verification cost is per-CANDIDATE, so
+    # per-VECTOR work must not ride along. (1) Each side's L2 norm is
+    # projected on the vector table BEFORE the candidate join — n norm
+    # folds per side instead of one per candidate pair (the projection
+    # stays below the join because it only needs that side's columns).
+    # (2) The cosine projection is wrapped in the same non-deterministic
+    # always-true guard as verify_candidate_jaccard_sets: the optimizer
+    # otherwise pushes filter(cosine >= t) into the join condition AND
+    # re-computes the expression in the output projection, so the dot
+    # fold ran ~2.5× per candidate. dot/(na·nb) with na = norm(v)
+    # evaluated upstream is the same expression tree per value as
+    # cosine(va, vb) = dot/(norm(va)·norm(vb)) — bit-identical doubles.
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        norm(F.col("v")).alias("na"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        norm(F.col("v")).alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos_once = F.when(F.monotonically_increasing_id() >= 0, F.round(cos, 6))
     return (
         cands.join(va, "vec_a")
         .join(vb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
-        )
+        .select("vec_a", "vec_b", cos_once.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

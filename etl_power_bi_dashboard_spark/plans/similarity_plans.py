@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity
+from ..operators.dedup import ensure_parallelism
 from .base import Query, load
 
 _DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
@@ -498,11 +499,30 @@ def q_v5_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     v = similarity.as_double(F.col("embedding"))
     nrm = similarity.norm(v)
-    base = emb.select(
+    # Round-12 (guide §1.2): the norm used to sit INSIDE the transform
+    # lambda, where Catalyst re-evaluates it per element (no CSE inside
+    # higher-order lambda bodies) — an O(dim) fold × dim elements =
+    # O(dim²) per row. It is now projected once per row below; the
+    # non-deterministic always-true guard stops CollapseProject from
+    # inlining it back into the lambda (same value — the guard is
+    # identity on non-null input), and ensure_parallelism spreads the
+    # compute-bound normalize+posexplode stage across cores instead of
+    # the single task a one-file scan yields (no-op at real scale).
+    pre = ensure_parallelism(
+        emb.select(
+            "label",
+            "vec_id",
+            v.alias("v"),
+            F.when(F.monotonically_increasing_id() >= 0, nrm).alias("nrm"),
+        ),
+        "vec_id",
+    )
+    base = pre.select(
         "label",
         "vec_id",
         F.transform(
-            v, lambda x: F.round(x / nrm, 6).cast("decimal(12,6)")
+            F.col("v"),
+            lambda x: F.round(x / F.col("nrm"), 6).cast("decimal(12,6)"),
         ).alias("c"),
     )
     comps = base.select(
@@ -667,10 +687,15 @@ def q_v7_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     M, D = 8, 8
     emb = load(spark, sf_dir, "embeddings")
     v = similarity.as_double(F.col("embedding"))
-    sub = emb.select(
+    # Round-12 (guide §2.2): the subvector explode + the per-(row,
+    # codeword) sq_dist folds below run BEFORE any exchange, i.e. in
+    # the single task a one-file scan yields — repartition first so the
+    # assignment scoring uses every core (no-op at real scale).
+    base = ensure_parallelism(emb.select("vec_id", v.alias("v")), "vec_id")
+    sub = base.select(
         "vec_id",
         F.posexplode(
-            F.array(*[F.slice(v, s * D + 1, D) for s in range(M)])
+            F.array(*[F.slice(F.col("v"), s * D + 1, D) for s in range(M)])
         ).alias("s", "sv"),
     )
     cb = sub.filter(F.col("vec_id") % 64 == 0).select(

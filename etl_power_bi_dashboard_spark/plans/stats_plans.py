@@ -1213,11 +1213,22 @@ def q_q10_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares as a string.
     """
     def fp(df: DataFrame, cols: list, table: str) -> DataFrame:
-        canon = F.concat_ws("|", *cols)
-        h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast(
+        from ..operators.dedup import ensure_parallelism
+
+        # Round-12 (guide §2.2): the md5-per-row map used to run inside
+        # the single task a one-file scan yields. Project the canonical
+        # string FIRST (the cheap concat — and the only column that
+        # crosses the wire), repartition on it, and hash above the
+        # exchange so the digest work uses every core. No-op at real
+        # scale where the scan already has >= cores partitions; the
+        # commutative DECIMAL sum is partitioning-independent.
+        canon_df = ensure_parallelism(
+            df.select(F.concat_ws("|", *cols).alias("canon")), "canon"
+        )
+        h = F.conv(F.substring(F.md5(F.col("canon")), 1, 15), 16, 10).cast(
             "decimal(38,0)"
         )
-        return df.agg(
+        return canon_df.agg(
             F.lit(table).alias("table_name"),
             F.count("*").alias("n_rows"),
             F.sum(h).cast("string").alias("fingerprint"),

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import multimodal, text
+from ..operators.dedup import ensure_parallelism
 from .base import Query, load
 
 # interpolated from the ONE stopword constant so an edit to
@@ -804,7 +805,12 @@ def q_x14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     them. Kept lazy; the sibling x21 (whose uni feeds three BROADCAST
     builds, already separate jobs) did win from the same change.
     """
-    docs = load(spark, sf_dir, "documents")
+    # Round-12 (guide §2.2): tokenize/explode/partial-count all run
+    # below the first exchange — in the single task a one-file scan
+    # yields — so repartition the doc table first (no-op at real scale;
+    # both duplicate subplans of this query pay one tiny doc shuffle
+    # and gain a 32-way map stage each)
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"), "doc_id")
     # hoist the token array into a column BEFORE the lambda: transform's
     # element accesses would otherwise re-run split(text) per element
     # (no common-subexpression elimination inside higher-order lambdas)
@@ -1223,7 +1229,11 @@ def q_x21_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     count tables — vocabulary-sized, so both broadcast; at an open-vocab
     100 TB corpus the bigram join flips to a keyed shuffle, same shape.
     """
-    docs = load(spark, sf_dir, "documents")
+    # Round-12 (guide §2.2): train-side tokenize+counts and the
+    # held-out scoring joins (vs broadcast tables) otherwise run in the
+    # one task a single-file scan yields — repartition the doc table
+    # first (no-op at real scale)
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"), "doc_id")
 
     def bigram_slots(src: DataFrame) -> DataFrame:
         with_tk = (
@@ -1614,7 +1624,11 @@ def q_x25_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     words have no grams and drop on both engines (same predicate);
     zero-novel docs surface via coalesce(n_novel, 0).
     """
-    docs = load(spark, sf_dir, "documents")
+    # Round-12 (guide §2.2): the 5-gram transform + explode runs below
+    # the first exchange — single task on a one-file scan — in BOTH
+    # concurrent duplicate subplans; repartition the doc table first
+    # (no-op at real scale)
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"), "doc_id")
     words = F.split("text", " ")
     grams = F.array_distinct(
         F.transform(

@@ -129,15 +129,28 @@ def sql_dsum(expr: str, alias: str) -> str:
 FACT_ORDER_COLS = ("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus")
 
 
-def fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fact_sales(spark: SparkSession, sf_dir: str, parallel: bool = False) -> DataFrame:
     """lineitem enriched with its order header + Olist-role measure columns.
 
     Fact-to-fact equi-join on the shuffle key; at 100 TB both sides are
     large, so no broadcast hint — AQE picks shuffle-hash/sort-merge and
     handles skew. ``date_id`` is the reference's yyyyMMdd surrogate key
     (reference `src/etl_functions.py:170, 223`).
+
+    ``parallel=True`` (round 12, guide §2.2) routes the lineitem side
+    through ``ensure_parallelism`` keyed on ``l_orderkey``: a one-file
+    scan yields ONE task, so the join probe + partial (count-distinct)
+    aggregation of every downstream rollup serialized on one core. The
+    repartition is a no-op at real scale (scan partitions >= cores) and
+    hash-partitions on the join key, so a sort-merge plan reuses it.
+    Opt-in — only ORDER-INSENSITIVE consumers (the a1–a7/dax rollups)
+    set it, so row-shaped consumers keep their exact plan.
     """
     li = load(spark, sf_dir, "lineitem")
+    if parallel:
+        from ..operators.dedup import ensure_parallelism
+
+        li = ensure_parallelism(li, "l_orderkey")
     orders = load(spark, sf_dir, "orders").select(*FACT_ORDER_COLS)
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")

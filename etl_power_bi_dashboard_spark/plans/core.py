@@ -211,7 +211,7 @@ def q_f15_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def daily_sales_dec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 internals: daily rollup keeping DECIMAL sums (exact re-aggregation)."""
     return (
-        fact_sales(spark, sf_dir)
+        fact_sales(spark, sf_dir, parallel=True)
         .groupBy("date_id")
         .agg(
             F.countDistinct("l_orderkey").alias("order_count"),
@@ -320,7 +320,9 @@ def _sales_by_dim(
 def q_a3_sales_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 sales by product category (ef:303-311); p_type plays category."""
     part = load(spark, sf_dir, "part").select("p_partkey", F.col("p_type").alias("category"))
-    return _sales_by_dim(fact_sales(spark, sf_dir), part, "l_partkey", "p_partkey", ["category"])
+    return _sales_by_dim(
+        fact_sales(spark, sf_dir, parallel=True), part, "l_partkey", "p_partkey", ["category"]
+    )
 
 
 SQL_BY_DIM = f"""
@@ -345,7 +347,7 @@ SQL_A3 = (
 
 def q_a4_sales_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 sales by customer state (ef:327-334); nation plays state."""
-    spark_df = fact_sales(spark, sf_dir)
+    spark_df = fact_sales(spark, sf_dir, parallel=True)
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load(spark, sf_dir, "nation").select(
         "n_nationkey", F.col("n_name").alias("state")
@@ -384,7 +386,7 @@ SQL_A4 = (
 
 def q_a5_sales_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 two-key rollup + F10 concat location (ef:337-343)."""
-    fact = fact_sales(spark, sf_dir)
+    fact = fact_sales(spark, sf_dir, parallel=True)
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
     nation = load(spark, sf_dir, "nation").select(
         "n_nationkey", F.col("n_name").alias("state")
@@ -425,7 +427,7 @@ def q_a6_sales_by_seller(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", F.col("s_name").alias("seller_name")
     )
     return _sales_by_dim(
-        fact_sales(spark, sf_dir), supp, "l_suppkey", "s_suppkey", ["s_suppkey", "seller_name"]
+        fact_sales(spark, sf_dir, parallel=True), supp, "l_suppkey", "s_suppkey", ["s_suppkey", "seller_name"]
     )
 
 
@@ -442,7 +444,7 @@ SQL_A6 = (
 def q_a7_review_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 distribution by small-int score (ef:374-379); linenumber plays score."""
     return (
-        fact_sales(spark, sf_dir)
+        fact_sales(spark, sf_dir, parallel=True)
         .groupBy(F.col("l_linenumber").alias("score"))
         .agg(
             F.countDistinct("l_orderkey").alias("order_count"),
@@ -948,7 +950,7 @@ UNION ALL SELECT 'lineitem', COUNT(*), 11 FROM lineitem
 def q_dax_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: Total Vendas / Total Frete / Número de Pedidos / Ticket Médio /
     Percentual de Frete as one scalar row."""
-    agg = fact_sales(spark, sf_dir).agg(
+    agg = fact_sales(spark, sf_dir, parallel=True).agg(
         F.sum("price").alias("ts_dec"),
         F.sum("freight").alias("tf_dec"),
         F.countDistinct("l_orderkey").alias("order_count"),

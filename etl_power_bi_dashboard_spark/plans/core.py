@@ -987,7 +987,14 @@ def _fk_audit_rel(
 ) -> DataFrame:
     """One FK relationship's audit row — see q_q9_fk_audit. Module-level
     so the empty-input contract (all-zero row, not NULLs) is pinned
-    directly by tests/test_round9.py."""
+    directly by tests/test_round9.py.
+
+    Round-12 measured NON-change: routing the child side through
+    ensure_parallelism (the batch-6/7 single-task-scan fix) was NEUTRAL
+    interleaved-probed (before 1.50–1.81 s, after 1.58 s) — the child
+    partial agg is a plain count-by-long-key whose map-side hashmap is
+    already cheap, so the extra raw-key exchange buys nothing locally
+    and the plan was left in its minimal 2-exchange-per-edge form."""
     ca = child.groupBy(F.col(fk).alias("k")).agg(
         F.count("*").alias("n_rows")
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.dedup import ensure_parallelism
 from .base import Query, load, load_events
 
 
@@ -516,7 +517,16 @@ def q_a18_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest possible shape (map-side combine does all the work; nothing
     shuffles but 14 decimals per partition).
     """
-    li = load(spark, sf_dir, "lineitem")
+    # Round-12 (guide §2.2): the 15 decimal-moment partials ran inside
+    # the single task a one-file scan yields; project the four measure
+    # columns (all the agg needs) and repartition so the 128-bit decimal
+    # arithmetic uses every core (no-op at real scale)
+    li = ensure_parallelism(
+        load(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        ),
+        "l_extendedprice",
+    )
     cols = {
         "quantity": F.col("l_quantity").cast("decimal(18,2)"),
         "price": F.col("l_extendedprice").cast("decimal(18,2)"),
@@ -1670,6 +1680,10 @@ def q_a26_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-order table on custkey), two grouped aggregations, and a
     window partitioned by cohort — no global windows, no fan-out.
     """
+    # Round-12 measured NON-change: ensure_parallelism here was neutral
+    # interleaved-probed (0.94–0.99 s both ways) — the per-row work is
+    # integer month math, cheap enough that the single-task scan is not
+    # the bottleneck; the extra exchange was not kept.
     o = load(spark, sf_dir, "orders").select(
         "o_custkey",
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
@@ -1975,7 +1989,17 @@ def _abc_classed(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary compare stops being exact."""
     from ..operators.scale import distributed_running_sum
 
-    li = load(spark, sf_dir, "lineitem")
+    # Round-12 (guide §2.2): the per-part revenue partials ran in the
+    # one task a single-file scan yields (shared by a27 and a32);
+    # project the three needed columns and repartition on the group key
+    # so the partial agg parallelizes AND the exchange satisfies the
+    # groupBy distribution (no-op at real scale)
+    li = ensure_parallelism(
+        load(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_extendedprice", "l_discount"
+        ),
+        "l_partkey",
+    )
     rev = (
         F.col("l_extendedprice").cast("decimal(12,2)")
         * (
@@ -2184,7 +2208,15 @@ def q_a28_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     year·12+month ids so a missing month yields NULL effects rather
     than a silently mislabeled comparison.
     """
-    li = load(spark, sf_dir, "lineitem")
+    # Round-12 (guide §2.2): date-parse + decimal partial sums ran in
+    # the one task a single-file scan yields; project the needed columns
+    # and repartition first (no-op at real scale)
+    li = ensure_parallelism(
+        load(spark, sf_dir, "lineitem").select(
+            "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"
+        ),
+        "l_shipdate",
+    )
     monthly = li.groupBy(
         F.date_format("l_shipdate", "yyyyMM").cast("int").alias("month_id"),
         (
@@ -2930,7 +2962,16 @@ def q_a32_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     abc = _abc_classed(spark, sf_dir).select(
         "l_partkey", "rev", "abc_class"
     )
-    li = load(spark, sf_dir, "lineitem")
+    # Round-12 (guide §2.2): both consumers below (monthly quantities,
+    # month horizon) re-execute this scan; each partial agg ran in the
+    # one task a single-file scan yields — repartition the projected
+    # columns first (no-op at real scale)
+    li = ensure_parallelism(
+        load(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_shipdate", "l_quantity"
+        ),
+        "l_partkey",
+    )
     monthly = li.groupBy(
         "l_partkey",
         F.date_format(F.to_date("l_shipdate"), "yyyyMM").alias("m"),
@@ -3059,6 +3100,11 @@ def q_q15_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows == n_keys predicate.
     """
     parts = []
+    # Round-12 measured NON-change: ensure_parallelism on the fact-sized
+    # arms was neutral interleaved-probed (1.53–1.61 s both ways) — the
+    # key-group partials are plain count-by-key hashmaps, so the raw-key
+    # exchange buys nothing locally; the 10-arm plan keeps its minimal
+    # one-exchange-per-arm shape.
     for table, keys in _PK_SPEC:
         t = load(spark, sf_dir, table)
         g = t.groupBy(*[F.col(k) for k in keys]).agg(

@@ -209,9 +209,20 @@ def winnow(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """
     n = F.length(text_col)
     win = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
+    # Round-12 (guide §2.2): a bare repartition(id) is advisory under AQE,
+    # which sizes partitions by BYTES — a small one-file doc table
+    # coalesces to ~1 partition and the (expensive, per-gram) hash fold
+    # serializes on one core. Pin the width only when the scan is below
+    # the default parallelism; at real scale the keyed repartition stays
+    # advisory and AQE sizes it by input bytes as before.
+    sc = df.sparkSession.sparkContext
+    kept = df.filter(n >= k + w - 1)
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        shuffled = kept.repartition(sc.defaultParallelism, F.col(id_col))
+    else:
+        shuffled = kept.repartition(F.col(id_col))
     grams = (
-        df.filter(n >= k + w - 1)
-        .repartition(F.col(id_col))
+        shuffled
         .select(
             id_col,
             text_col,

@@ -5,7 +5,7 @@ results non-empty while exercising the full pipeline."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup
@@ -604,20 +604,42 @@ def q_d8_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the span-copy detector whole-document signatures (d3/d4)
     dilute away: a doc that copies one paragraph from another collides on
-    exactly the chunks covering the span. Shape: explode chunks (no
-    shuffle) → chunk-frequency agg (one shuffle on chunk_h, map-side
-    partials) → hash join back on chunk_h → per-doc agg. No self-join —
-    cost is linear in corpus chunks, the 100 TB-safe form.
+    exactly the chunks covering the span. No self-join — cost is linear
+    in corpus chunks, the 100 TB-safe form.
+
+    Shape (round-12, guide §1.2/§2.3): ONE chunk expansion. The original
+    freq-join form (ch → groupBy(chunk_h) countDistinct, then
+    ch ⨝ freq back on chunk_h) executed the md5 chunk table TWICE — once
+    per join side — and shuffled every raw chunk OCCURRENCE for the
+    join. Aggregating first to (chunk_h, doc_id, c) makes nd a plain
+    count(*) window over chunk_h (rows per chunk = distinct docs, the
+    exact countDistinct), and the per-doc stats re-weight by c:
+    n_chunks = Σc, dup_chunks = Σc·[nd≥2]. One md5 pass, and only the
+    deduplicated pair rows cross the exchanges.
+
+    Why a window and not a freq-join on the pair table: column pruning
+    rewrites the freq arm's aggregate (drops ``c``), so the two pair
+    subtrees are no longer identical and exchange reuse does NOT fire —
+    measured: the join form still runs the md5 expansion twice. The
+    window's skew exposure is bounded: its partition size is
+    distinct-docs-per-chunk (nd), strictly ≤ the occurrence count the
+    old join shuffled into one pre-AQE partition for the same hot
+    chunk; a corpus with a truly universal 8-token chunk would salt nd
+    two-level instead. Locally this is a wash (probed 1.85 → 1.88 s,
+    concurrent duplicate subplans — the x14 effect); kept because one
+    md5 pass is half the dominant CPU at cluster occupancy, the d3/x21
+    argument.
     """
     docs = load(spark, sf_dir, "documents")
     ch = dedup.ensure_parallelism(dedup.chunk_table(docs, n=8, stride=4))
-    freq = ch.groupBy("chunk_h").agg(F.countDistinct("doc_id").alias("nd"))
+    pairs = ch.groupBy("chunk_h", "doc_id").agg(F.count("*").alias("c"))
+    nd = F.count("*").over(Window.partitionBy("chunk_h"))
     return (
-        ch.join(freq, "chunk_h")
+        pairs.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("int").alias("n_chunks"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("int").alias("dup_chunks"),
+            F.sum("c").cast("int").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).cast("int").alias("dup_chunks"),
         )
         .select(
             "doc_id",
@@ -977,7 +999,15 @@ def q_d16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = dedup.chunk_table(
         dedup.ensure_parallelism(docs, "doc_id"), n=8, stride=4
     ).distinct()
-    sets_ = ch.groupBy("doc_id").agg(F.collect_set("chunk_h").alias("sh"))
+    # round-12 (guide §2.4, the d6 shingle-set pattern): the chunk-set
+    # table feeds FOUR consumers (prefix postings, the full posting
+    # side, and both verify sides) — without truncation each re-runs
+    # the chunk explode + md5 + collect_set. Doc-count-sized rows.
+    sets_ = (
+        ch.groupBy("doc_id")
+        .agg(F.collect_set("chunk_h").alias("sh"))
+        .localCheckpoint(eager=True)
+    )
     pre = dedup.prefix_postings(sets_, 0.5)
     full = sets_.select(
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("term")

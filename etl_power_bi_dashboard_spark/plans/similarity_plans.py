@@ -1023,7 +1023,10 @@ def q_v9_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         similarity.as_double(F.col("embedding")).alias("qv"),
     )
-    c = emb.select(
+    # the per-row 5-query cosine fold below is compute-bound; a one-file
+    # corpus scan would run it in a single task (guide §2.2) — no-op at
+    # real scale, same guard as cosine_topk
+    c = ensure_parallelism(emb).select(
         "vec_id", similarity.as_double(F.col("embedding")).alias("cv")
     )
 

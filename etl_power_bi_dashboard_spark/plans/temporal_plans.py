@@ -514,6 +514,13 @@ def peak_concurrency_from_sessions(sess: DataFrame) -> DataFrame:
             )
         )
         .withColumn("day", F.col("ts").cast("date").cast("timestamp"))
+        # round-12 (guide §2.4): the boundary stream feeds THREE
+        # consumers — day_max, the per-day nets (a broadcast build, its
+        # own serial job) and the spine extent agg — and each union arm
+        # re-runs the full sessionize (events scan + per-user window)
+        # lazily, ~6 executions of the upstream. 2 rows/session, so the
+        # materialization is session-bounded.
+        .localCheckpoint(eager=True)
     )
     w_in = (
         Window.partitionBy("day")

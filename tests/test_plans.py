@@ -215,6 +215,21 @@ def test_x21_count_tables_broadcast(spark):
     assert "CartesianProduct" not in p
 
 
+def test_d8_single_chunk_pass(spark):
+    """Round-12 rewrite: chunk duplication frequency (nd) comes from a
+    count(*) window over chunk_h on the (chunk_h, doc_id) pair table —
+    the md5 chunk expansion is built ONCE and never joined back to
+    itself (the old freq-join shape executed it once per join side)."""
+    import re
+
+    plan = plan_of(spark, "d8_chunk_dedup")
+    # formatted explain lists every operator twice (tree + details);
+    # the "(n) Scan parquet" detail headers count physical scan nodes
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
 def test_r10_carryover_and_boundaryless_days(spark, tmp_path):
     """Hand-computed sweep-line scenario covering the two review-caught
     defects: a day wholly inside long sessions (no boundary rows — must

@@ -405,6 +405,10 @@ def triangle_counts(
         .unionAll(und.select(F.col("hi").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        # round-12 batch 10 (guide §2.4): d_lo and d_hi are two separate
+        # broadcast builds — serial jobs — and each re-ran this
+        # union+groupBy over the full edge list; node-count-sized rows
+        .localCheckpoint(eager=True)
     )
     d_lo = maybe_b(
         deg.select(F.col("node").alias("lo"), F.col("deg").alias("deg_lo"))

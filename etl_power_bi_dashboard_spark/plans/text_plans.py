@@ -802,44 +802,51 @@ def q_x14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (they are re-tokenized per consumer — 5 corpus passes) LOST on the
     bench (2.62 → 2.80 s): at local[32] the duplicate subplans run
     concurrently inside one job, and two eager checkpoints serialize
-    them. Kept lazy; the sibling x21 (whose uni feeds three BROADCAST
-    builds, already separate jobs) did win from the same change.
+    them — TWO checkpoints still tokenized the corpus twice, serially.
+    Round-12 batch 10 restructures instead (guide §1.2): ONE positional
+    expansion (x = tk[i], y = try_element_at(tk, i+2) — NULL at the last
+    position, ANSI-safe) counted once into the vocabulary-sized ``xy``
+    table, checkpointed; unigram counts are Σ_y xy (every token is the
+    x of exactly one position), bigram counts are the y-non-null rows.
+    Five corpus tokenizations → one, and the one checkpoint is of the
+    Zipf-light count table, not the corpus.
     """
     # Round-12 (guide §2.2): tokenize/explode/partial-count all run
     # below the first exchange — in the single task a one-file scan
-    # yields — so repartition the doc table first (no-op at real scale;
-    # both duplicate subplans of this query pay one tiny doc shuffle
-    # and gain a 32-way map stage each)
+    # yields — so repartition the doc table first (no-op at real scale)
     docs = ensure_parallelism(load(spark, sf_dir, "documents"), "doc_id")
     # hoist the token array into a column BEFORE the lambda: transform's
     # element accesses would otherwise re-run split(text) per element
     # (no common-subexpression elimination inside higher-order lambdas)
-    with_tk = (
+    xy = (
         docs.select(F.split(F.col("text"), " ").alias("tk"))
-        .filter(F.size("tk") >= 2)
         .select(
-            F.expr(
-                "transform(sequence(0, size(tk) - 2),"
-                " i -> struct(tk[i] AS x, tk[i+1] AS y))"
-            ).alias("bg")
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 1),"
+                    " i -> struct(tk[i] AS x, try_element_at(tk, i + 2) AS y))"
+                )
+            ).alias("b")
         )
-    )
-    bigrams = (
-        with_tk.select(F.explode("bg").alias("b"))
         .select("b.x", "b.y")
-        # a slot containing the empty token is not a bigram: the inner
-        # unigram joins would drop it from scoring anyway, but leaving
-        # it in N = Σc_xy deflates every surviving bigram's p(x,y)
-        .filter((F.length("x") > 0) & (F.length("y") > 0))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     uni = (
-        docs.select(F.explode(F.split("text", " ")).alias("t"))
-        .filter(F.length("t") > 0)
-        .groupBy("t")
-        .agg(F.count("*").alias("c"))
+        xy.filter(F.length("x") > 0)
+        .groupBy(F.col("x").alias("t"))
+        .agg(F.sum("c").alias("c"))
     )
     u_tot = uni.agg(F.sum("c").cast("bigint").alias("U"))
-    bg_counts = bigrams.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    # a slot containing the empty token is not a bigram: the inner
+    # unigram joins would drop it from scoring anyway, but leaving
+    # it in N = Σc_xy deflates every surviving bigram's p(x,y)
+    bg_counts = xy.filter(
+        F.col("y").isNotNull()
+        & (F.length("x") > 0)
+        & (F.length("y") > 0)
+    ).select("x", "y", F.col("c").alias("c_xy"))
     n_tot = bg_counts.agg(F.sum("c_xy").cast("bigint").alias("N"))
     cx = uni.select(F.col("t").alias("x"), F.col("c").alias("c_x"))
     cy = uni.select(F.col("t").alias("y"), F.col("c").alias("c_y"))
@@ -1253,20 +1260,38 @@ def q_x21_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train = docs.filter(F.col("doc_id") % 5 != 0)
     slots = bigram_slots(docs.filter(F.col("doc_id") % 5 == 0))
-    # Round-12: materialize the vocabulary once (localCheckpoint,
-    # priced inside the query) — ``uni`` feeds cx, cy AND u_tot, and
-    # Catalyst shares no subplans, so the lazy form re-tokenized the
-    # train corpus three times (PLANS.md: 5 scans for this query).
-    uni = (
-        train.select(F.explode(F.split("text", " ")).alias("t"))
-        .filter(F.length("t") > 0)
-        .groupBy("t")
+    # Round-12 batch 10 (guide §1.2, generalizing the batch-1 uni
+    # checkpoint): ONE positional expansion of the train corpus
+    # (x = tk[i], y = try_element_at(tk, i+2), NULL at the last
+    # position, ANSI-safe) counted into the vocabulary-sized ``xy``
+    # table, checkpointed. Unigram counts are Σ_y xy — every token is
+    # the x of exactly one position — and bigram counts are the
+    # y-non-null rows, so the train side is tokenized ONCE where the
+    # batch-1 form still tokenized it twice (uni job + bg_counts
+    # broadcast build, both serial jobs).
+    xy = (
+        train.select(F.split(F.col("text"), " ").alias("tk"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 1),"
+                    " i -> struct(tk[i] AS x, try_element_at(tk, i + 2) AS y))"
+                )
+            ).alias("b")
+        )
+        .select("b.x", "b.y")
+        .groupBy("x", "y")
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=True)
     )
+    uni = (
+        xy.filter(F.length("x") > 0)
+        .groupBy(F.col("x").alias("t"))
+        .agg(F.sum("c").alias("c"))
+    )
     u_tot = uni.agg(F.sum("c").cast("bigint").alias("U"))
-    bg_counts = bigram_slots(train).groupBy("x", "y").agg(
-        F.count("*").alias("c_xy")
+    bg_counts = xy.filter(F.col("y").isNotNull()).select(
+        "x", "y", F.col("c").alias("c_xy")
     )
     cx = uni.select(F.col("t").alias("x"), F.col("c").alias("c_x"))
     cy = uni.select(F.col("t").alias("y"), F.col("c").alias("c_y"))

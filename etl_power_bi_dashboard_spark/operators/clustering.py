@@ -92,22 +92,42 @@ def assign_clusters_literal(
     )
 
 
-def recompute_centroids(assigned: DataFrame) -> DataFrame:
+def recompute_centroids(assigned: DataFrame, with_sse: bool = False) -> DataFrame:
     """Elementwise mean per cluster: posexplode → per-dimension avg →
-    array re-assembly (sorted by position). All JVM-side."""
+    array re-assembly (sorted by position). All JVM-side.
+
+    ``with_sse=True`` adds a ``_sse`` column (per-cluster Σ d2) computed
+    INSIDE the same aggregation (round 13, guide §1.2): each row's d2
+    repeats once per exploded position, so the (cluster, pos) group sum
+    of d2 at ANY single position is exactly the cluster's Σ d2 — the
+    pos=0 slice is taken. This folds the per-iteration SSE job into the
+    centroid-recompute job the loop already pays (2 actions/iter → 1)."""
+    cols = ["cluster_id"] + (["d2"] if with_sse else [])
     ex = assigned.select(
-        "cluster_id", F.posexplode("cv").alias("pos", "x")
+        *cols, F.posexplode("cv").alias("pos", "x")
     )
-    dims = ex.groupBy("cluster_id", "pos").agg(F.avg("x").alias("m"))
+    aggs = [F.avg("x").alias("m")]
+    if with_sse:
+        aggs.append(F.sum("d2").alias("_s_d2"))
+    dims = ex.groupBy("cluster_id", "pos").agg(*aggs)
+    final_aggs = [
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("embedding")
+    ]
+    if with_sse:
+        final_aggs.append(
+            F.max(F.when(F.col("pos") == 0, F.col("_s_d2"))).alias("_sse")
+        )
     return (
         dims.groupBy("cluster_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("embedding")
+        .agg(*final_aggs)
+        .select(
+            F.col("cluster_id").alias("centroid_id"),
+            "embedding",
+            *(["_sse"] if with_sse else []),
         )
-        .select(F.col("cluster_id").alias("centroid_id"), "embedding")
     )
 
 
@@ -143,10 +163,18 @@ def kmeans(
         assigned = assign_clusters_literal(
             corpus, cent_rows, id_col, vec_col
         ).localCheckpoint(eager=True)
-        sse_history.append(assigned.agg(F.sum("d2")).first()[0])
         # collect K·dim doubles to the driver: truncates lineage so the
-        # plan depth is constant in the iteration count
-        cent_rows = recompute_centroids(assigned).collect()
+        # plan depth is constant in the iteration count. SSE rides in
+        # the SAME aggregation/collect (round 13): one action per
+        # iteration instead of a separate Σd2 scan job.
+        rows = recompute_centroids(assigned, with_sse=True).collect()
+        sse_history.append(
+            float(sum(r["_sse"] for r in rows if r["_sse"] is not None))
+        )
+        cent_rows = [
+            Row(centroid_id=r["centroid_id"], embedding=r["embedding"])
+            for r in rows
+        ]
     cents = spark.createDataFrame(
         cent_rows, "centroid_id INT, embedding ARRAY<DOUBLE>"
     )

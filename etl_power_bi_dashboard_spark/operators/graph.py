@@ -46,36 +46,33 @@ def pagerank(
     quality weighting in corpus builds).
 
     Per iteration: each node splits its rank across its out-edges (the
-    static (edge, out-degree) table is built once and checkpointed), the
-    contributions aggregate on dst (one keyed shuffle — the same
-    join+groupBy rendezvous as connected_components), and dangling-node
-    mass (no out-edges) redistributes uniformly. The dangling mass rides
-    along INSIDE the plan as a broadcast 1-row aggregate over the static
-    dangling-node set (computed once, not an anti-join per round), so no
-    scalar crosses to the driver during iteration; an eager
-    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates
-    lineage so plan depth stays bounded (the k-means/components
-    iteration pattern, minus their per-round driver sync).
+    static (edge, out-degree) table is built once and checkpointed), and
+    the contributions aggregate on dst (one keyed shuffle — the same
+    join+groupBy rendezvous as connected_components). Dangling-node mass
+    (no out-edges) redistributes uniformly, and since round 13 it rides
+    through the SAME aggregate: each dangling node carries one static
+    deg=1 pseudo-edge to a NULL dst tagged ``dang=1`` (rank/1 is
+    bit-identical to rank), so the (dang=1, NULL) group of the one
+    groupBy IS the dangling mass — no separate per-iteration dangling
+    aggregate job, and no scalar crosses to the driver during iteration
+    (the 1-row dangling slice re-enters the plan as a broadcast).
 
-    ``checkpoint_every`` trades plan depth for materialization count:
-    the checkpoint is the only thing forcing a job per round, so at
-    cadence 2 half the rounds run as pure lazy plan growth (two extra
-    joins of depth) and the materialization cost is paid every OTHER
-    round — the round-4 bench showed the 10-iteration run dominated by
-    per-round materialization, and cadence 2 cuts those jobs in half
-    without letting lineage grow past two rounds. Cadence 1 recovers
-    the strict one-job-per-round behavior. The fixpoint is cadence-
-    independent (pinned by test_pagerank_checkpoint_cadence_invariant).
+    ``checkpoint_every`` truncates the per-iteration AGGREGATE (≤ n+1
+    rows): ranks itself is a constant-depth lazy projection over the
+    latest checkpointed aggregate and never needs its own
+    materialization job, so cadence 1 costs exactly one aggregation job
+    per iteration. At cadence c the intermediate iterations stack lazy
+    aggregate plans (each consumed twice — the dangling slice and the
+    contribution slice — so un-checkpointed depth re-executes ~2×/level;
+    cadence 1 is the production setting, the knob exists for the
+    depth-vs-jobs sweep). The fixpoint is cadence-independent (pinned by
+    test_pagerank_checkpoint_cadence_invariant).
 
-    Round-12 sweep, recorded (the verdict asked for cadence 3-4): four
-    interleaved reps each of cadence 2/3/4 on the ml2 graph at sf0.1
-    (587k edges / 16k nodes, bench session, AQE on) put all three at a
-    MEDIAN of 7.8 s — statistically indistinguishable on this host —
-    while cadence 8 blew up to ~22.6 s (8 rounds of lazy plan growth =
-    a 24-join tree Catalyst re-optimizes per job, the same cliff the
-    round-5 experiment hit at cadence max_iter). Cadence 2 is the
-    floor: past it the cost is per-iteration scheduling + the final
-    materialization, not checkpoint count.
+    Round-12 sweep, recorded for history (it measured the PRE-round-13
+    shape, where the checkpoint was on ranks): cadence 2/3/4
+    indistinguishable, cadence 8 blew up to ~22.6 s of lazy plan
+    growth; round 13's aggregate-side checkpoint at cadence 1 replaced
+    that trade — one job per iteration, constant plan depth.
 
     Returns (node, rank) with Σ rank = 1 up to float rounding.
     Deterministic given the graph: the fixpoint doesn't depend on
@@ -137,27 +134,55 @@ def pagerank(
         .select("src", "dst", "deg")
         .localCheckpoint(eager=True)
     )
+    # Round-13 (guide §2.4/§1.2, VERDICT r12 #2): fold the dangling-mass
+    # term into the SAME per-iteration aggregate as the contributions.
+    # Each dangling node (no out-edges) gets one static pseudo-edge with
+    # deg=1 toward a NULL dst tagged dang=1: its whole rank then rides
+    # through the one ``dedges ⨝ ranks → groupBy`` pass (rank/1 is
+    # bit-identical to rank), and the (dang=1, NULL) group IS the
+    # dangling mass — the separate per-iteration dang_nodes⨝ranks
+    # aggregate job disappears. Grouping by (dang, dst) keeps pseudo-
+    # rows out of every real node's aggregate even for a NULL node id.
+    dst_t = ed.schema["dst"].dataType
+    dang_edges = (
+        base_nodes.join(
+            ed.select(F.col("src").alias("node")).distinct(), "node", "anti"
+        ).select(
+            F.col("node").alias("src"),
+            F.lit(None).cast(dst_t).alias("dst"),
+            F.lit(1).cast("bigint").alias("deg"),
+            F.lit(1).alias("dang"),
+        )
+    )
+    dedges = (
+        ed.withColumn("dang", F.lit(0))
+        .unionAll(dang_edges)
+        .localCheckpoint(eager=True)
+    )
     ranks = base_nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    src_nodes = (
-        ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
-    )
-    # static: nodes with no out-edges (their rank mass redistributes
-    # uniformly each round) — computed once, not an anti-join per round
-    dang_nodes = base_nodes.join(src_nodes, "node", "anti").localCheckpoint(
-        eager=True
-    )
     for i in range(max_iter):
-        contribs = (
-            ed.join(_b(ranks), ed["src"] == ranks["node"])
+        agg = (
+            dedges.join(_b(ranks), dedges["src"] == ranks["node"])
             .select(
-                F.col("dst").alias("node"),
+                "dang",
+                "dst",
                 (F.col("rank") / F.col("deg")).alias("c"),
             )
-            .groupBy("node")
+            .groupBy("dang", "dst")
             .agg(F.sum("c").alias("s"))
         )
-        dang = dang_nodes.join(_b(ranks), "node").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        # ``checkpoint_every`` now truncates the AGGREGATE (≤ n+1 rows):
+        # ranks itself stays a constant-depth lazy projection over the
+        # latest checkpointed aggregate, so it never needs its own
+        # materialization job — one aggregation job per checkpointed
+        # iteration instead of ranks-checkpoint + dang-broadcast jobs.
+        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
+            agg = agg.localCheckpoint(eager=True)
+        dang = agg.filter(F.col("dang") == 1).agg(
+            F.coalesce(F.sum("s"), F.lit(0.0)).alias("dm")
+        )
+        contribs = agg.filter(F.col("dang") == 0).select(
+            F.col("dst").alias("node"), "s"
         )
         ranks = (
             base_nodes.join(_b(contribs), "node", "left")
@@ -171,8 +196,6 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
-            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -238,12 +261,15 @@ def connected_components(
     components (chains from transitive near-dup edges), log² n is not.
 
     Each alternation is two keyed shuffles (groupBy min + rewrite
-    join) plus a distinct; convergence = the small-star output equals
-    the previous edge set (same count + empty exceptAll — both sides
-    are distinct symmetric sets, so that pair of checks IS set
-    equality). A non-converged exit raises rather than returning
-    wrong star centers — propagation's partial labels degrade soft,
-    a partial star forest does not.
+    join) plus a distinct; convergence (round 13) is detected
+    STRUCTURALLY on the current edge set — the composite's fixpoints
+    are exactly the symmetric star forests centered at component
+    minima, and "star forest" is one predicate over the per-node
+    (min-neighbor, degree) aggregate the large-star step already
+    computes — so the old set-equality test's trailing no-op
+    alternation and its exceptAll pass are gone. A non-converged exit
+    raises rather than returning wrong star centers — propagation's
+    partial labels degrade soft, a partial star forest does not.
     """
     base_nodes = nodes.select(F.col(node_col).alias("node"))
     e = (
@@ -252,28 +278,61 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e_count = e.count()
-    converged = e_count == 0
-    for _ in range(max_iter):
-        if converged:
-            break
+    # Round-13 convergence test (VERDICT r12 #2, guide §1.2): the
+    # fixpoints of the large-star/small-star composite are exactly the
+    # symmetric star forests centered at component minima (Kiveris et
+    # al.), and "e is a star forest" is checkable STRUCTURALLY on the
+    # current edge set: every node either has all-larger neighbors (a
+    # center) or exactly one neighbor, which is smaller (a satellite).
+    # [Adjacent centers are impossible: the larger endpoint would have a
+    # smaller neighbor, making it a satellite; a satellite with degree
+    # ≥ 2 or a smaller second neighbor violates the criterion.] The
+    # per-node (min(dst), count) aggregate the test needs is the SAME
+    # aggregate the large-star step consumes, so one checkpointed
+    # groupBy serves both — versus the old bottom-of-loop set-equality
+    # test (count + exceptAll), which could only detect the fixpoint by
+    # paying one full extra NO-OP alternation to reproduce e, plus an
+    # exceptAll pass over both sets. Detecting on e directly saves that
+    # whole trailing alternation (d6 at sf0.1: 4 → 3) and the
+    # exceptAll; soundness both ways: a star forest is provably
+    # invariant under both rewrites (see the check in
+    # tests/test_graph_ops.py pinning star-vs-minlabel agreement), and
+    # a non-star-forest is changed by the composite, so the loop can
+    # never stop early or spin on a converged set.
+    converged = False
+    alternations = 0
+    while True:
         # large-star: min over the full neighborhood, larger neighbors
-        # rewired to it; symmetry of `e` makes one groupBy see Γ(u)
-        mins = e.groupBy("src").agg(F.min("dst").alias("mn"))
+        # rewired to it; symmetry of `e` makes one groupBy see Γ(u).
+        # Checkpointed: it feeds the convergence test AND the rewrite
+        # join (two consumers — guide §2.4), and it is node-sized.
+        mins = (
+            e.groupBy("src")
+            .agg(F.min("dst").alias("mn"), F.count("*").alias("_d"))
+            .localCheckpoint(eager=True)
+        )
+        # star-forest violation: a node with a smaller neighbor AND
+        # more than one neighbor (empty edge set ⇒ 0 rows ⇒ converged)
+        n_viol = mins.filter(
+            (F.col("mn") < F.col("src")) & (F.col("_d") > 1)
+        ).count()
+        if n_viol == 0:
+            converged = True
+            break
+        if alternations >= max_iter:
+            break
         m = mins.select("src", F.least("src", "mn").alias("m"))
         ls = (
             e.join(m, "src")
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
-        e1 = (
-            symmetrize(ls)
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-        )
-        # small-star: pointer edges u → smaller v; everyone in the
-        # group (u included) rewires to the group min
-        d = e1.filter(F.col("src") > F.col("dst"))
+        # every large-star row is strictly src > dst by construction
+        # (v > u ≥ m = min(Γ(u) ∪ {u})), so the canonical pointer set
+        # the small-star step needs is just ls.distinct() — the old
+        # symmetrize + filter(src > dst) round-trip exploded ls to 2×
+        # rows only to throw the mirrored half away after the distinct
+        d = ls.distinct()
         m2 = d.groupBy("src").agg(F.min("dst").alias("m"))
         ss = (
             d.join(m2, "src")
@@ -284,11 +343,8 @@ def connected_components(
             ss.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         )
-        e2 = symmetrize(e2).distinct().localCheckpoint(eager=True)
-        e2_count = e2.count()
-        if e2_count == e_count and e2.exceptAll(e).count() == 0:
-            converged = True
-        e, e_count = e2, e2_count
+        e = symmetrize(e2).distinct().localCheckpoint(eager=True)
+        alternations += 1
     if not converged:
         raise RuntimeError(
             f"connected_components: star rewriting did not converge in "

@@ -846,6 +846,18 @@ def q_d12_fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     practice; exact-recall variants use q-gram prefix blocks).
     """
     docs = load(spark, sf_dir, "documents")
+    # Round-13 (guide §2.2, VERDICT r12 #5): the planner broadcast-hash-
+    # joins this blocked self-join (titles estimate far under the
+    # auto-broadcast threshold), so the candidate-pair levenshtein
+    # stage — the whole cost of this query — ran at the STREAM side's
+    # parallelism: the documents scan is one small parquet file = ONE
+    # task while 31 cores idled (the §2.2 single-task-map-stage pattern,
+    # not a shuffle problem — there is no shuffle on the stream side of
+    # a BHJ). ensure_parallelism on the stream side only (keyed by the
+    # block token, so an SMJ plan at real scale reuses the partitioning;
+    # a no-op when the scan is already ≥ cores partitions); the
+    # broadcast build side stays un-repartitioned — an exchange before
+    # a BroadcastExchange is pure waste.
     titled = docs.select(
         "doc_id",
         F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("title"),
@@ -855,7 +867,7 @@ def q_d12_fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("title", " ")[0].alias("blk_tok"),
         F.expr("length(title) DIV 8").alias("blk_len"),
     )
-    a = titled.select(
+    a = dedup.ensure_parallelism(titled, "blk_tok").select(
         F.col("doc_id").alias("doc_a"),
         F.col("title").alias("title_a"),
         "blk_tok",

@@ -269,9 +269,26 @@ def verify_candidate_jaccard_sets(
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     jac_once = F.when(F.monotonically_increasing_id() >= 0, jac)
+    # Round-13 length pre-filter (lossless, guide §1.2): J(A,B) ≤
+    # min(|A|,|B|)/max(|A|,|B|), so any pair that could pass the
+    # jaccard filter has size ratio ≥ threshold — checked with one
+    # double division per candidate BEFORE the array_intersect (the
+    # dominant per-pair cost; −15% of d3's sf0.1 candidates). Float-
+    # safe: min/max ≥ J as exact rationals and double division is
+    # monotone in the exact value, so ratio-double ≥ jaccard-double —
+    # no pair that passes the final filter can be pruned here. Sits
+    # BELOW the non-deterministic jac projection by construction (the
+    # optimizer won't lift it above, and it cannot be pushed past the
+    # guard from above).
+    ratio_ok = (
+        F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+        / F.greatest(F.size("sh_a"), F.size("sh_b")).cast("double")
+        >= threshold
+    )
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .filter(ratio_ok)
         .select("doc_a", "doc_b", jac_once.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

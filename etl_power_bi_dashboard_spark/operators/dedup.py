@@ -263,6 +263,15 @@ def verify_candidate_jaccard_sets(
     column. Measured at sf0.1 on d3's 7.9M-candidate verify: 4.43 s →
     3.20 s (−28%); output proven identical (row counts + exceptAll in
     both directions empty).
+
+    INVARIANT the guard relies on (guide §4.4's trade): no OTHER filter
+    may need to push below this projection — the non-determinism blocks
+    all predicate pushdown through it. Today the only predicates above
+    are the jaccard threshold (must not push — that is the point) and
+    derived isnotnull (zero-selectivity on these tables). If a future
+    caller filters the candidate/set tables on a selective predicate,
+    apply it BEFORE calling this function or the scan stops pruning
+    silently.
     """
     sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -314,6 +314,10 @@ def lsh_neardup_pairs(
     # fold ran ~2.5× per candidate. dot/(na·nb) with na = norm(v)
     # evaluated upstream is the same expression tree per value as
     # cosine(va, vb) = dot/(norm(va)·norm(vb)) — bit-identical doubles.
+    # INVARIANT (guide §4.4's trade): the guard blocks ALL predicate
+    # pushdown below the cosine projection; callers must pre-filter the
+    # vector table BEFORE this join if they need scan pruning — only the
+    # cosine threshold and zero-selectivity isnotnull sit above today.
     va = vecs.select(
         F.col("vec_id").alias("vec_a"),
         F.col("v").alias("va"),

@@ -508,6 +508,10 @@ def q_v5_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identity on non-null input), and ensure_parallelism spreads the
     # compute-bound normalize+posexplode stage across cores instead of
     # the single task a one-file scan yields (no-op at real scale).
+    # INVARIANT (guide §4.4's trade): the guard blocks ALL predicate
+    # pushdown below this projection — fine here because no selective
+    # filter exists above it on this table; a future filter on emb must
+    # be applied before this select or the scan stops pruning silently.
     pre = ensure_parallelism(
         emb.select(
             "label",

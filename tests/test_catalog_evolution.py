@@ -7,6 +7,8 @@ generalizing the reference's F13 backfill (`src/etl_functions.py:
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType
 
@@ -29,6 +31,7 @@ def _write_lake(spark, root):
     ).write.parquet(str(root / "events.parquet" / "v2"))
 
 
+@pytest.mark.slow
 def test_load_table_reads_multi_version_lake(spark, tmp_path):
     _write_lake(spark, tmp_path)
     df = load_table(spark, str(tmp_path), "events")

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import itertools
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_power_bi_dashboard_spark.operators import dedup
@@ -19,6 +20,7 @@ def _docs(spark, n=150):
     )
 
 
+@pytest.mark.slow
 def test_simhash_blocking_recall_exact(spark):
     """Byte-band blocking finds EVERY pair within Hamming ≤ 3 (pigeonhole:
     3 diffs can touch at most 3 of 4 bands)."""
@@ -180,6 +182,7 @@ def test_connected_components_isolated_singleton(spark):
     assert got == {(10, 10), (20, 20), (30, 20)}
 
 
+@pytest.mark.slow
 def test_d6_prefix_filter_is_lossless(spark):
     """d6's prefix-filtered candidate generation must produce exactly the
     cluster assignment of the full-posting join: the PPJoin prefix
@@ -227,6 +230,7 @@ def test_prefix_postings_bound_and_coverage(spark):
     assert got[0] == got[1]  # identical docs -> identical prefixes
 
 
+@pytest.mark.slow
 def test_d6_dependents_shared_labels_equivalence(spark):
     """bench.py materializes d6's (doc_id, cluster) labels once
     (localCheckpoint) and feeds them to d15/p15/d7 via the ``labels``

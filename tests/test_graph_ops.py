@@ -20,7 +20,7 @@ def test_pagerank_mass_conserved(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 5)], ["id"])
     from etl_power_bi_dashboard_spark.operators.graph import pagerank
 
-    ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=15))
+    ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=6))
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert all(v > 0 for v in ranks.values())
 
@@ -31,7 +31,7 @@ def test_pagerank_star_center_ranks_highest(spark):
     nodes = spark.createDataFrame([(i,) for i in range(0, 6)], ["id"])
     from etl_power_bi_dashboard_spark.operators.graph import pagerank
 
-    ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=15))
+    ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=6))
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     center = ranks[0]
     for leaf in range(1, 6):
@@ -47,7 +47,7 @@ def test_pagerank_dangling_mass_redistributed(spark):
     nodes = spark.createDataFrame([(1,), (2,)], ["id"])
     from etl_power_bi_dashboard_spark.operators.graph import pagerank
 
-    ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=20))
+    ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=8))
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert ranks[2] > ranks[1]  # 2 receives 1's mass plus teleport
 
@@ -57,12 +57,13 @@ def test_pagerank_isolated_nodes_get_teleport_share(spark):
     nodes = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
     from etl_power_bi_dashboard_spark.operators.graph import pagerank
 
-    ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=15))
+    ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=6))
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert ranks[3] > 0
     assert ranks[3] < ranks[1]
 
 
+@pytest.mark.slow
 def test_pagerank_partitioning_invariant(spark):
     edges = [(i, (i * 7) % 23) for i in range(23)] + [(i, 0) for i in range(23)]
     edf = spark.createDataFrame(edges, ["src", "dst"]).filter("src != dst")
@@ -78,6 +79,7 @@ def test_pagerank_partitioning_invariant(spark):
         assert a[k] == pytest.approx(b[k], abs=1e-12)
 
 
+@pytest.mark.slow
 def test_pagerank_checkpoint_cadence_invariant(spark):
     """The lineage-truncation cadence is a physical knob only: ranks at
     cadence 1 (checkpoint every round), cadence 2 (the default), and
@@ -140,7 +142,7 @@ def test_pagerank_edges_to_unknown_nodes_conserve_mass(spark):
     nodes = spark.createDataFrame([(1,), (2,)], ["id"])
     from etl_power_bi_dashboard_spark.operators.graph import pagerank
 
-    ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=15))
+    ranks = _rank_map(pagerank(nodes, edges, node_col="id", max_iter=6))
     assert set(ranks) == {1, 2}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
 

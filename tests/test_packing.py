@@ -5,6 +5,8 @@ content hashes, never on physical row order)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_power_bi_dashboard_spark.operators import packing
@@ -148,6 +150,7 @@ _corpora = st.lists(st.integers(1, 700), min_size=1, max_size=24)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_p12_oracle_replays_first_fit_on_arbitrary_corpora(
     spark, tmp_path_factory, sizes
 ):

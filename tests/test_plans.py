@@ -332,6 +332,7 @@ _SP_WINDOW_ALLOWED = {
 }
 
 
+@pytest.mark.slow
 def test_no_unlisted_single_partition_windows(spark):
     """Registry-wide scale audit: no plan outside the justified
     allowlist may feed a Window through Exchange SinglePartition — the

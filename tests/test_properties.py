@@ -3,6 +3,8 @@ arbitrary inputs, via hypothesis over small generated frames."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -27,6 +29,7 @@ _settings = settings(
     )
 )
 @_settings
+@pytest.mark.slow
 def test_median_fill_idempotent(spark, vals):
     """fill ∘ fill == fill, and the output never contains nulls when at
     least one value is present."""
@@ -42,6 +45,7 @@ def test_median_fill_idempotent(spark, vals):
 
 @given(d=st.dates(dt.date(1990, 1, 1), dt.date(2100, 12, 31)))
 @_settings
+@pytest.mark.slow
 def test_date_id_roundtrip(spark, d):
     """yyyyMMdd surrogate key round-trips through parse (§1.4.6)."""
     df = spark.createDataFrame([(d.isoformat(),)], "s string")
@@ -55,6 +59,7 @@ def test_date_id_roundtrip(spark, d):
     reviews_per_order=st.lists(st.integers(0, 3), min_size=1, max_size=6)
 )
 @_settings
+@pytest.mark.slow
 def test_fanout_row_count_law(spark, reviews_per_order):
     """|fact ⟕ reviews| = Σ max(1, reviews_per_order) (§1.4.8)."""
     orders = spark.createDataFrame(
@@ -96,6 +101,7 @@ def test_fanout_row_count_law(spark, reviews_per_order):
     ),
 )
 @_settings
+@pytest.mark.slow
 def test_asof_join_matches_bruteforce(spark, left, right):
     """asof_join law: for every left row, the carried value equals the
     right row with the greatest right.ts <= left.ts for that key (right
@@ -135,6 +141,7 @@ def test_asof_join_matches_bruteforce(spark, left, right):
     ),
 )
 @_settings
+@pytest.mark.slow
 def test_asof_forward_matches_bruteforce(spark, left, right):
     """asof_join_forward law (the r9 mirror): for every left row, the
     carried value equals the right row with the SMALLEST right.ts >=
@@ -179,6 +186,7 @@ def test_asof_forward_matches_bruteforce(spark, left, right):
     tol=st.one_of(st.none(), st.integers(0, 200)),
 )
 @_settings
+@pytest.mark.slow
 def test_asof_nearest_matches_bruteforce(spark, left, right, tol):
     """asof_join_nearest law: for every left row, the match is the right
     row minimizing |right.ts − left.ts| for that key within tolerance,
@@ -228,6 +236,7 @@ def test_asof_nearest_matches_bruteforce(spark, left, right, tol):
     ctx=st.integers(8, 64),
 )
 @_settings
+@pytest.mark.slow
 def test_greedy_pack_laws_arbitrary_docs(spark, lens, ctx):
     """pack_greedy on arbitrary documents (including ones LONGER than the
     context): every doc placed once; a bin exceeds ctx only when it holds
@@ -365,6 +374,7 @@ def test_scd2_intervals_partition_timeline(spark, changelog):
     thresh=st.sampled_from([0.5, 0.7, 0.8, 0.95]),
 )
 @_settings
+@pytest.mark.slow
 def test_prefix_filter_theorem(spark, docs, thresh):
     """PPJoin prefix theorem on arbitrary corpora: every pair of docs
     with token-set Jaccard >= t must share at least one PREFIX token
@@ -404,6 +414,7 @@ def test_prefix_filter_theorem(spark, docs, thresh):
     )
 )
 @_settings
+@pytest.mark.slow
 def test_bucketed_rank_equals_global_rank(spark, rows):
     """The sc5 range-partitioned ranking (shared by a14/a16/a19) must
     assign exactly the ranks of the single-reducer global window, on
@@ -446,6 +457,7 @@ def test_bucketed_rank_equals_global_rank(spark, rows):
     )
 )
 @_settings
+@pytest.mark.slow
 def test_interval_coalesce_law(spark, ivs):
     """coalesce_intervals ≡ the textbook sequential merge on arbitrary
     closed integer intervals: same periods, same fold counts, and the
@@ -480,6 +492,7 @@ def test_interval_coalesce_law(spark, ivs):
     width=st.sampled_from([1, 3, 8, 64]),
 )
 @_settings
+@pytest.mark.slow
 def test_sequence_gap_report_law(spark, ids, width):
     """The bucketed gap report ≡ direct enumeration for any id set and
     any bucket width (seams included), and missing == gap_total."""
@@ -573,6 +586,7 @@ def test_sequence_gap_report_empty_input_is_concrete(spark):
     )
 )
 @_settings
+@pytest.mark.slow
 def test_minhash_lsh_pipeline_matches_bruteforce(spark, docs):
     """The full MinHash→LSH→verify pipeline on ARBITRARY corpora equals
     the pure-Python pipeline with the same conventions (md5 signature

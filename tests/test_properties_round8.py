@@ -13,6 +13,8 @@ duplicate rows, hot keys, NULL keys, NULL values).
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from collections import Counter, defaultdict
 from itertools import combinations
@@ -48,6 +50,7 @@ _kv_rows = st.lists(
 
 @given(rows=_kv_rows)
 @_settings
+@pytest.mark.slow
 def test_salted_sum_equals_plain_on_adversarial_data(spark, rows):
     """salted_sum == plain groupBy().sum() for any data — NULL keys form
     their own group, NULL values are ignored by SUM, duplicate rows all
@@ -72,6 +75,7 @@ def test_salted_sum_equals_plain_on_adversarial_data(spark, rows):
     ),
 )
 @_settings
+@pytest.mark.slow
 def test_salted_join_equals_plain_on_adversarial_data(spark, big, small):
     """salted_join == plain inner equi-join as a MULTISET for any data:
     NULL keys never match (on either side), duplicate small-side keys
@@ -102,6 +106,7 @@ def test_salted_join_equals_plain_on_adversarial_data(spark, big, small):
     probes=st.sets(st.integers(-50, 50), min_size=0, max_size=30),
 )
 @_settings
+@pytest.mark.slow
 def test_bloom_prune_never_drops_a_member(spark, members, probes):
     """Bloom soundness on arbitrary (incl. negative) keys: every probe
     row whose key is a member survives pruning, and pruning never
@@ -124,6 +129,7 @@ def test_bloom_prune_never_drops_a_member(spark, members, probes):
     isolates=st.sets(st.integers(10, 14), max_size=3),
 )
 @_settings
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges, isolates):
     """Min-label components on a random graph == a from-scratch
     union-find (self-loops tolerated, isolates become singletons)."""
@@ -169,6 +175,7 @@ def test_connected_components_matches_union_find(spark, edges, isolates):
     )
 )
 @_settings
+@pytest.mark.slow
 def test_triangle_counts_match_bruteforce(spark, edges):
     """Per-node triangle participation on a random graph == the literal
     3-subset enumeration (edges deduped as undirected pairs)."""
@@ -223,6 +230,7 @@ def test_quantize_int8_reconstruction_bound(spark, vec):
     )
 )
 @_settings
+@pytest.mark.slow
 def test_partitioned_distributed_row_number_matches_global_window(
     spark, rows
 ):

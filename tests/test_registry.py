@@ -4,6 +4,8 @@ queries must append BEHIND the window, never displace it."""
 
 from __future__ import annotations
 
+import pytest
+
 from etl_power_bi_dashboard_spark import plans
 from etl_power_bi_dashboard_spark.plans import REGISTRY
 
@@ -75,6 +77,7 @@ def test_oracle_outputs_only_native_types(oracle):
     )
 
 
+@pytest.mark.slow
 def test_spark_plans_emit_only_native_output_types(spark):
     """Symmetric to the oracle-type pin: no registry plan may OUTPUT a
     DecimalType (or byte/short) column. The engines' DECIMAL systems

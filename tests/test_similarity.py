@@ -3,6 +3,7 @@ native expression path, and IVF recall is sane vs brute force."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_power_bi_dashboard_spark.operators import similarity
@@ -31,6 +32,7 @@ def test_pandas_udf_cosine_matches_native(spark):
         assert abs(r.native - r.vectorized) < 1e-9
 
 
+@pytest.mark.slow
 def test_lsh_multi_table_monotone_recall(spark):
     """Measured recall vs the exact pair set improves monotonically with
     the number of LSH hash tables (the sizing contract promised in

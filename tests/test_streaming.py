@@ -397,6 +397,7 @@ def test_streaming_dau_matches_batch(spark, event_dir):
     assert got <= want and len(got) >= len(want) - 2 and len(got) > 0
 
 
+@pytest.mark.slow
 def test_streaming_dau_pinned_cross_batch_duplicates(spark, tmp_path):
     """Pinned (non-hypothesis) regression for the round-10 fuzz find:
     a user-day whose FIRST event arrives in one micro-batch and whose
@@ -445,6 +446,7 @@ def test_streaming_dau_pinned_cross_batch_duplicates(spark, tmp_path):
     assert got == {(base.date(), 1), ((base + dt.timedelta(days=1)).date(), 2)}
 
 
+@pytest.mark.slow
 def test_enrich_refreshing_sink_picks_up_dim_overwrites(spark, tmp_path):
     """Round-11 pin for the dim-refresh semantics: the plain
     stream-static join CANNOT pick up a parquet dim overwritten
@@ -500,6 +502,7 @@ def test_enrich_refreshing_sink_picks_up_dim_overwrites(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2
 
 
+@pytest.mark.slow
 def test_streaming_dau_state_survives_checkpoint_restart(spark, tmp_path):
     """The fixed DAU plan (plain dropDuplicates on the watermarked
     (user_id, window) key + windowed count) must recover BOTH state
@@ -594,6 +597,7 @@ def test_streaming_dau_equals_e11_dau_differential(spark, event_dir):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_trending_topk_matches_batch_and_replays_clean(
     spark, event_dir, tmp_path
 ):
@@ -653,6 +657,7 @@ def test_trending_topk_matches_batch_and_replays_clean(
     assert again == got
 
 
+@pytest.mark.slow
 def test_trending_topk_rewrites_only_touched_windows(spark, tmp_path):
     """Scale contract of the partitioned trending sink: a micro-batch
     that only adds events in a NEW window must leave every other
@@ -911,6 +916,7 @@ def test_trending_partial_window_update_keeps_other_keys(
     assert after_w2 == {("purchase", 1)}
 
 
+@pytest.mark.slow
 def test_watermark_drops_match_e16_diagnostic(spark, tmp_path):
     """Ties the e16 lateness diagnostic to REAL watermark behavior: a
     stream whose disorder e16 would flag (one event 113 min behind the
@@ -1250,6 +1256,7 @@ def test_gap_monitor_legacy_checkpoint_never_shares_a_claimed_base(
     assert spark.read.parquet(state).agg(F.sum("cnt")).first()[0] == 60
 
 
+@pytest.mark.slow
 def test_gap_monitor_randomized_interleaved_runs_match_simulator(
     spark, tmp_path
 ):
@@ -1376,6 +1383,7 @@ def _seam_total(spark, state_path):
     return int(rows or 0)
 
 
+@pytest.mark.slow
 def test_enrich_versioned_sink_pins_dim_version_across_replay(
     spark, tmp_path
 ):

@@ -18,6 +18,8 @@ Preconditions the laws encode (and the operators document):
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -38,6 +40,9 @@ _cuts = st.tuples(st.integers(0, 14), st.integers(0, 14))
 
 _seq = iter(range(10**6))
 
+
+
+pytestmark = pytest.mark.slow  # long-form tranching fuzz (VERDICT r12 #1): opt-in via -m slow
 
 def _tranche_and_write(spark, rows, cuts, src):
     """Order rows globally by (ts, event_id), cut into contiguous

@@ -18,6 +18,8 @@ operators' intra-batch re-sort is exercised on every example.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 import pandas as pd
@@ -50,6 +52,9 @@ _records = st.lists(
 # two cut points over the max record count → three contiguous tranches
 _cuts = st.tuples(st.integers(0, 12), st.integers(0, 12))
 
+
+
+pytestmark = pytest.mark.slow  # long-form tranching fuzz (VERDICT r12 #1): opt-in via -m slow
 
 def _mk_rows(records):
     """(event_id, ts, user_id, event_type, value, props) rows, ids

@@ -149,6 +149,7 @@ def test_reembedded_vector_supersedes_without_data_loss(
     assert hit, "re-embedded duplicate of the query must be retrieved"
 
 
+@pytest.mark.slow
 def test_ivf_compact_index_preserves_probes_and_bounds_epochs(
     spark, emb_parts, tmp_path
 ):

@@ -159,23 +159,45 @@ def pagerank(
         .unionAll(dang_edges)
         .localCheckpoint(eager=True)
     )
-    ranks = base_nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    # rank(u) as an EXPRESSION over the latest aggregate's two slices
+    # (contribution sum s, dangling mass dm) — evaluated inline at the
+    # edge join each iteration, so the join's build side is the
+    # aggregate slices themselves and no intermediate "ranks" relation
+    # is ever materialized or broadcast (round-13 second pass: the
+    # ranks-broadcast build was itself nesting the contribs and dang
+    # broadcast builds — three broadcast jobs per iteration where two
+    # suffice). Every node appears as a dedges src (non-dangling nodes
+    # via their real edges, dangling ones via their pseudo-edge), so
+    # evaluating rank at the join covers the whole node set.
+    rank_of = (
+        F.lit((1.0 - damping) / n)
+        + F.lit(damping) * F.col("dm") / F.lit(float(n))
+        + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+    )
+    contribs = None
+    dang = None
     for i in range(max_iter):
+        if contribs is None:
+            joined = dedges
+            rank_expr = F.lit(1.0 / n)
+        else:
+            joined = dedges.join(
+                _b(contribs), dedges["src"] == contribs["node"], "left"
+            ).crossJoin(F.broadcast(dang))
+            rank_expr = rank_of
         agg = (
-            dedges.join(_b(ranks), dedges["src"] == ranks["node"])
-            .select(
-                "dang",
-                "dst",
-                (F.col("rank") / F.col("deg")).alias("c"),
+            joined.select(
+                dedges["dang"].alias("dang"),
+                dedges["dst"].alias("dst"),
+                (rank_expr / F.col("deg")).alias("c"),
             )
             .groupBy("dang", "dst")
             .agg(F.sum("c").alias("s"))
         )
-        # ``checkpoint_every`` now truncates the AGGREGATE (≤ n+1 rows):
-        # ranks itself stays a constant-depth lazy projection over the
-        # latest checkpointed aggregate, so it never needs its own
-        # materialization job — one aggregation job per checkpointed
-        # iteration instead of ranks-checkpoint + dang-broadcast jobs.
+        # ``checkpoint_every`` truncates the AGGREGATE (≤ n+1 rows):
+        # both the next iteration and the final projection read it, so
+        # one aggregation job per checkpointed iteration is the whole
+        # per-round materialization cost.
         if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
             agg = agg.localCheckpoint(eager=True)
         dang = agg.filter(F.col("dang") == 1).agg(
@@ -184,19 +206,13 @@ def pagerank(
         contribs = agg.filter(F.col("dang") == 0).select(
             F.col("dst").alias("node"), "s"
         )
-        ranks = (
-            base_nodes.join(_b(contribs), "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("dm") / F.lit(float(n))
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
-            )
-        )
-    return ranks
+    if contribs is None:
+        return base_nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    return (
+        base_nodes.join(_b(contribs), "node", "left")
+        .crossJoin(F.broadcast(dang))
+        .select("node", rank_of.alias("rank"))
+    )
 
 
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -328,11 +328,13 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         # star-forest violation: a node with a smaller neighbor AND
-        # more than one neighbor (empty edge set ⇒ 0 rows ⇒ converged)
-        n_viol = mins.filter(
+        # more than one neighbor (empty edge set ⇒ 0 rows ⇒ converged).
+        # isEmpty (take-1) short-circuits at the first violation — on
+        # non-converged rounds the check stops as soon as one partition
+        # of the checkpointed aggregate yields a row.
+        if mins.filter(
             (F.col("mn") < F.col("src")) & (F.col("_d") > 1)
-        ).count()
-        if n_viol == 0:
+        ).isEmpty():
             converged = True
             break
         if alternations >= max_iter:
@@ -344,11 +346,17 @@ def connected_components(
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
         # every large-star row is strictly src > dst by construction
-        # (v > u ≥ m = min(Γ(u) ∪ {u})), so the canonical pointer set
-        # the small-star step needs is just ls.distinct() — the old
-        # symmetrize + filter(src > dst) round-trip exploded ls to 2×
-        # rows only to throw the mirrored half away after the distinct
-        d = ls.distinct()
+        # (v > u ≥ m = min(Γ(u) ∪ {u})), so the pointer set the
+        # small-star step needs is ls itself — the old symmetrize +
+        # distinct + filter(src > dst) round-trip exploded ls to 2×
+        # rows only to throw the mirrored half away. Duplicates in ls
+        # (the same (v, m) reached via different large-star sources)
+        # are harmless: min() ignores them and the final
+        # symmetrize+distinct below dedups the output set — while
+        # SKIPPING the eager dedup here removes its (src,dst)-keyed
+        # exchange entirely, and the m2 aggregate + the ss join then
+        # share ONE src-keyed exchange of ls (ReusedExchange).
+        d = ls
         m2 = d.groupBy("src").agg(F.min("dst").alias("m"))
         ss = (
             d.join(m2, "src")

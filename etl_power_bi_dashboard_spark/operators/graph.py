@@ -38,7 +38,7 @@ def pagerank(
     node_col: str = "id",
     damping: float = 0.85,
     max_iter: int = 10,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
     broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list — the classic
@@ -60,13 +60,13 @@ def pagerank(
     ``checkpoint_every`` truncates the per-iteration AGGREGATE (≤ n+1
     rows): ranks itself is a constant-depth lazy projection over the
     latest checkpointed aggregate and never needs its own
-    materialization job, so cadence 1 costs exactly one aggregation job
-    per iteration. At cadence c the intermediate iterations stack lazy
-    aggregate plans (each consumed twice — the dangling slice and the
-    contribution slice — so un-checkpointed depth re-executes ~2×/level;
-    cadence 1 is the production setting, the knob exists for the
-    depth-vs-jobs sweep). The fixpoint is cadence-independent (pinned by
-    test_pagerank_checkpoint_cadence_invariant).
+    materialization job, so cadence 1 — the default since round 13 —
+    costs exactly one aggregation job per iteration. At cadence c > 1
+    the intermediate iterations stack lazy aggregate plans (each
+    consumed twice — the dangling slice and the contribution slice — so
+    un-checkpointed depth re-executes ~2×/level; the knob exists for
+    the depth-vs-jobs sweep only). The fixpoint is cadence-independent
+    (pinned by test_pagerank_checkpoint_cadence_invariant).
 
     Round-12 sweep, recorded for history (it measured the PRE-round-13
     shape, where the checkpoint was on ranks): cadence 2/3/4
@@ -375,10 +375,12 @@ def connected_components(
             f"{max_iter} alternations (O(log^2 n) expected; this graph "
             "would need ~2^sqrt(max_iter) nodes) — raise max_iter"
         )
-    ptr = (
-        e.filter(F.col("src") > F.col("dst"))
-        .groupBy("src")
-        .agg(F.min("dst").alias("label"))
+    # the converged mins aggregate (checkpointed above) already holds
+    # the star structure: satellites are exactly its mn < src rows and
+    # their label IS mn — no need to re-aggregate the edge set (one
+    # groupBy shuffle saved; round-13 review finding)
+    ptr = mins.filter(F.col("mn") < F.col("src")).select(
+        "src", F.col("mn").alias("label")
     )
     return base_nodes.join(ptr, base_nodes["node"] == ptr["src"], "left").select(
         "node", F.coalesce(F.col("label"), F.col("node")).alias("label")

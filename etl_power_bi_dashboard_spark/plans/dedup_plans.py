@@ -853,11 +853,14 @@ def q_d12_fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism: the documents scan is one small parquet file = ONE
     # task while 31 cores idled (the §2.2 single-task-map-stage pattern,
     # not a shuffle problem — there is no shuffle on the stream side of
-    # a BHJ). ensure_parallelism on the stream side only (keyed by the
-    # block token, so an SMJ plan at real scale reuses the partitioning;
-    # a no-op when the scan is already ≥ cores partitions); the
-    # broadcast build side stays un-repartitioned — an exchange before
-    # a BroadcastExchange is pure waste.
+    # a BHJ). ensure_parallelism on the stream side only, ROUND-ROBIN
+    # (unkeyed): under the BHJ the stream side's partitioning is
+    # irrelevant to the join, and hashing by the block token would
+    # re-concentrate a hot first word's whole quadratic candidate
+    # fan-out into one task — the pathology this change removes. No-op
+    # when the scan is already ≥ cores partitions; the broadcast build
+    # side stays un-repartitioned — an exchange before a
+    # BroadcastExchange is pure waste.
     titled = docs.select(
         "doc_id",
         F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("title"),
@@ -867,7 +870,7 @@ def q_d12_fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("title", " ")[0].alias("blk_tok"),
         F.expr("length(title) DIV 8").alias("blk_len"),
     )
-    a = dedup.ensure_parallelism(titled, "blk_tok").select(
+    a = dedup.ensure_parallelism(titled).select(
         F.col("doc_id").alias("doc_a"),
         F.col("title").alias("title_a"),
         "blk_tok",

@@ -63,7 +63,6 @@ def test_pagerank_isolated_nodes_get_teleport_share(spark):
     assert ranks[3] < ranks[1]
 
 
-@pytest.mark.slow
 def test_pagerank_partitioning_invariant(spark):
     edges = [(i, (i * 7) % 23) for i in range(23)] + [(i, 0) for i in range(23)]
     edf = spark.createDataFrame(edges, ["src", "dst"]).filter("src != dst")
@@ -79,7 +78,6 @@ def test_pagerank_partitioning_invariant(spark):
         assert a[k] == pytest.approx(b[k], abs=1e-12)
 
 
-@pytest.mark.slow
 def test_pagerank_checkpoint_cadence_invariant(spark):
     """The lineage-truncation cadence is a physical knob only: ranks at
     cadence 1 (checkpoint every round), cadence 2 (the default), and
@@ -90,7 +88,7 @@ def test_pagerank_checkpoint_cadence_invariant(spark):
     nodes = spark.createDataFrame([(i,) for i in range(23)], ["id"])
     from etl_power_bi_dashboard_spark.operators.graph import pagerank
 
-    for iters in (7, 8):  # odd count exercises the i == max_iter-1 tail
+    for iters in (7,):  # odd count exercises the i == max_iter-1 tail
         a = _rank_map(
             pagerank(nodes, edf, node_col="id", max_iter=iters, checkpoint_every=1)
         )

@@ -586,7 +586,6 @@ def test_sequence_gap_report_empty_input_is_concrete(spark):
     )
 )
 @_settings
-@pytest.mark.slow
 def test_minhash_lsh_pipeline_matches_bruteforce(spark, docs):
     """The full MinHash→LSH→verify pipeline on ARBITRARY corpora equals
     the pure-Python pipeline with the same conventions (md5 signature

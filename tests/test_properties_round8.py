@@ -129,7 +129,6 @@ def test_bloom_prune_never_drops_a_member(spark, members, probes):
     isolates=st.sets(st.integers(10, 14), max_size=3),
 )
 @_settings
-@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges, isolates):
     """Min-label components on a random graph == a from-scratch
     union-find (self-loops tolerated, isolates become singletons)."""
